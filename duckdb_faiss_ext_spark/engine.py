@@ -1,0 +1,422 @@
+"""FaissSparkEngine — the Spark-native re-expression of the reference's
+function surface (SURVEY.md §2.1, /root/reference/src/faiss_extension.cpp).
+
+| reference function        | engine method       |
+|---------------------------|---------------------|
+| faiss_create (:96-164)    | create              |
+| faiss_create_params       | create (params=...) |
+| faiss_destroy (:246-265)  | destroy             |
+| faiss_add (:423-615)      | add                 |
+| faiss_manual_train        | manual_train        |
+| faiss_search (:903-925)   | search / search_flat|
+| faiss_search_filter       | search_filter       |
+| faiss_search_filter_set   | search_filter_set   |
+| faiss_save / faiss_load   | save / load         |
+| faiss_to_gpu              | unsupported (no GPU)|
+
+Indexes are immutable lineages (registry.py); searches are distributed
+numpy-over-Arrow (operators/topk.py); IVF training is MLlib KMeans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_faiss_ext_spark.errors import (
+    DimensionMismatch,
+    FaissSparkError,
+    ImmutableIndex,
+    LabelModeMismatch,
+    NonIDMapLabels,
+    TrainingError,
+)
+from duckdb_faiss_ext_spark.factory import parse_factory
+from duckdb_faiss_ext_spark.metrics import pairwise, resolve_metric, topk_indices
+from duckdb_faiss_ext_spark.operators import topk as topk_ops
+from duckdb_faiss_ext_spark.registry import (
+    LABEL_FALSE,
+    LABEL_TRUE,
+    LABEL_UNDECIDED,
+    FaissIndex,
+    IndexRegistry,
+)
+
+
+class FaissSparkEngine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.registry = IndexRegistry()
+
+    # ------------------------------------------------------------- lifecycle
+
+    def create(
+        self,
+        name: str,
+        dim: int,
+        factory: str = "Flat",
+        metric_type: Optional[str] = None,
+        params: Optional[dict[str, str]] = None,
+    ) -> None:
+        """faiss_create / faiss_create_params (faiss_extension.cpp:96-164,
+        :1035-1040).  `params` mirrors the MAP(VARCHAR,VARCHAR) argument
+        (src/maputils.cpp:10-31); recognized: efConstruction (stored, no-op —
+        HNSW executes as exact scan), nprobe/efSearch defaults."""
+        metric = resolve_metric(metric_type)
+        spec = parse_factory(factory)
+        if dim <= 0:
+            raise FaissSparkError(f"Index dimension must be positive, got {dim}")
+        idx = FaissIndex(
+            name=name,
+            dim=dim,
+            spec=spec,
+            metric=metric,
+            metric_arg=float((params or {}).get("metric_arg", 0.0)),
+            params=dict(params or {}),
+            trained=not spec.needs_training,
+        )
+        self.registry.put_new(idx)
+
+    def destroy(self, name: str) -> None:
+        """faiss_destroy (:246-265) — error if absent."""
+        idx = self.registry.drop(name)
+        if idx.data is not None:
+            try:
+                idx.data.unpersist()
+            except Exception:
+                pass
+
+    def list_indexes(self) -> list[str]:
+        return self.registry.names()
+
+    # ------------------------------------------------------------- ingestion
+
+    def _normalize_add_df(self, idx: FaissIndex, df: DataFrame) -> tuple[DataFrame, bool]:
+        """Arity sniffing: 1 column => vectors only (auto ids), 2 columns =>
+        (label, vector) — AddBind (:423-456)."""
+        cols = df.columns
+        if len(cols) == 1:
+            labeled = False
+            out = df.select(F.col(cols[0]).cast("array<float>").alias("vector"))
+        elif len(cols) == 2:
+            labeled = True
+            out = df.select(
+                F.col(cols[0]).cast("bigint").alias("label"),
+                F.col(cols[1]).cast("array<float>").alias("vector"),
+            )
+        else:
+            raise FaissSparkError(
+                f"add expects 1 (vector) or 2 (label, vector) columns, got {len(cols)}"
+            )
+        return out, labeled
+
+    def _latch_label_mode(self, idx: FaissIndex, labeled: bool) -> None:
+        if labeled and not idx.spec.idmap:
+            raise NonIDMapLabels(idx.name)
+        want = LABEL_TRUE if labeled else LABEL_FALSE
+        if idx.label_mode == LABEL_UNDECIDED:
+            idx.label_mode = want
+        elif idx.label_mode != want:
+            raise LabelModeMismatch(idx.name, labeled)
+
+    def _validate_dim(self, idx: FaissIndex, df: DataFrame) -> None:
+        bad = (
+            df.select(F.size("vector").alias("n"))
+            .filter(F.col("n") != idx.dim)
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise DimensionMismatch(idx.dim, bad[0]["n"])
+
+    def _with_auto_ids(self, df: DataFrame, offset: int) -> DataFrame:
+        """Sequential 0..n-1 ids in add order (FAISS auto-id parity,
+        SURVEY.md §7 known-hard #3).  zipWithIndex = one count job + local
+        offsets — scalable, no global sort."""
+        spark = self.spark
+        schema = "label bigint, vector array<float>"
+        rdd = df.select("vector").rdd.zipWithIndex().map(
+            lambda t: (offset + t[1], t[0][0])
+        )
+        return spark.createDataFrame(rdd, schema)
+
+    def add(self, name: str, df: DataFrame, validate: bool = True) -> None:
+        """faiss_add (:423-615).  Untrained IVF: train-then-bulk-add in one
+        call (AddFinalise trains in finalize, :583).  Trained: direct append
+        (zero-retrain fast path, :505-532)."""
+        idx = self.registry.get(name)
+        if not idx.mutable:
+            raise ImmutableIndex(name)
+        vecs, labeled = self._normalize_add_df(idx, df)
+        self._latch_label_mode(idx, labeled)
+        if validate:
+            self._validate_dim(idx, vecs)
+        if not labeled:
+            vecs = self._with_auto_ids(vecs, idx.count)
+        n_new = vecs.count()
+        if idx.needs_training:
+            combined = vecs if idx.data is None else idx.data.select("label", "vector").unionByName(vecs)
+            self._train_kmeans(idx, combined.select("vector"))
+            vecs = combined
+            base = None
+        else:
+            base = idx.data
+        if idx.spec.kind == "ivf" and idx.trained:
+            vecs = self._assign_clusters(idx, vecs)
+        new_data = vecs if base is None else base.unionByName(vecs)
+        new_data = new_data.persist()
+        new_data.count()  # materialize so later searches don't recompute lineage
+        if base is not None:
+            try:
+                base.unpersist()
+            except Exception:
+                pass
+        idx.data = new_data
+        idx.count += n_new
+
+    def manual_train(self, name: str, df: DataFrame) -> None:
+        """faiss_manual_train (:314-415): train once; later adds skip
+        retraining (needs_training flips false)."""
+        idx = self.registry.get(name)
+        if not idx.mutable:
+            raise ImmutableIndex(name)
+        vecs, _ = self._normalize_add_df(idx, df.select(df.columns[-1]))
+        self._validate_dim(idx, vecs)
+        if idx.spec.needs_training:
+            self._train_kmeans(idx, vecs.select("vector"))
+        else:
+            idx.trained = True  # Flat/HNSW: training is a no-op
+
+    def _train_kmeans(self, idx: FaissIndex, vec_df: DataFrame) -> None:
+        """IVF coarse quantizer via MLlib KMeans (SURVEY.md §7 M3).
+        Reproduces the too-few-points error (faiss_extension.cpp:400-404)."""
+        nlist = idx.spec.nlist
+        n = vec_df.count()
+        if n < nlist:
+            raise TrainingError(
+                f"Index {idx.name}: cannot train {nlist} clusters with only {n} "
+                f"vectors; provide at least as many training points as clusters"
+            )
+        if nlist == 1:
+            # single cluster: centroid = per-dimension mean, one distributed agg
+            sums = (
+                vec_df.select(F.posexplode("vector").alias("i", "v"))
+                .groupBy("i")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+                .orderBy("i")
+                .collect()
+            )
+            centroid = np.array([r["s"] / r["c"] for r in sums], dtype=np.float32)
+            idx.centroids = centroid.reshape(1, -1)
+        else:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            ml_df = vec_df.select(
+                array_to_vector(F.col("vector").cast("array<double>")).alias("features")
+            )
+            km = KMeans(k=nlist, seed=42, maxIter=20, featuresCol="features")
+            model = km.fit(ml_df)
+            idx.centroids = np.array(
+                [np.asarray(c) for c in model.clusterCenters()], dtype=np.float32
+            )
+        idx.trained = True
+
+    def _assign_clusters(self, idx: FaissIndex, vecs: DataFrame) -> DataFrame:
+        """Assign each vector to its nearest centroid under the index metric
+        (FAISS coarse quantization).  Broadcast centroids + Arrow batches."""
+        cents = idx.centroids
+        metric = idx.metric
+        marg = idx.metric_arg
+        bc = self.spark.sparkContext.broadcast(cents)
+        from duckdb_faiss_ext_spark.metrics import is_descending
+
+        desc = is_descending(metric)
+
+        def assign(v: pd.Series) -> pd.Series:
+            x = np.asarray(list(v), dtype=np.float32)
+            scores = pairwise(x, bc.value, metric, marg)
+            ids, _ = topk_indices(scores, 1, desc)
+            return pd.Series(ids[:, 0].astype(np.int32))
+
+        assign_udf = F.pandas_udf(assign, "int")
+        return vecs.withColumn("cluster_id", assign_udf(F.col("vector")))
+
+    # ---------------------------------------------------------------- search
+
+    def _probe_mask_fn(self, idx: FaissIndex, nprobe: int):
+        """(qids, q) -> (nq, nlist) boolean mask of probed clusters."""
+        cents = idx.centroids
+        metric = idx.metric
+        marg = idx.metric_arg
+
+        def fn(qids: np.ndarray, q: np.ndarray) -> np.ndarray:
+            from duckdb_faiss_ext_spark.metrics import is_descending
+
+            scores = pairwise(q, cents, metric, marg)
+            ids, _ = topk_indices(scores, min(nprobe, cents.shape[0]), is_descending(metric))
+            mask = np.zeros((q.shape[0], cents.shape[0]), dtype=bool)
+            rows = np.arange(q.shape[0])[:, None]
+            mask[rows, ids] = True
+            return mask
+
+        return fn
+
+    def search_flat(
+        self,
+        name: str,
+        k: int,
+        queries_df: DataFrame,
+        params: Optional[dict] = None,
+        qid_col: str = "qid",
+        vec_col: str = "vector",
+        allowed_df: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """Flattened search result (qid, rank, label, distance) — the engine's
+        native shape; `search` wraps it into the reference's LIST(STRUCT)."""
+        idx = self.registry.get(name)
+        if idx.data is None:
+            raise FaissSparkError(f"Index {name} is empty; add vectors first")
+        if idx.needs_training:
+            raise FaissSparkError(f"Index {name} is not trained")
+        params = {**idx.params, **(params or {})}
+        corpus = idx.data
+        if allowed_df is not None:
+            # filter-during-search semantics: semi-join BEFORE top-k
+            # (faiss_search_filter, README.md:245)
+            acol = allowed_df.columns[0]
+            allowed = allowed_df.select(F.col(acol).cast("bigint").alias("label"))
+            corpus = corpus.join(F.broadcast(allowed), "label", "left_semi")
+        cluster_col = None
+        probe_fn = None
+        if idx.spec.kind == "ivf" and "cluster_id" in corpus.columns:
+            nprobe = int(params.get("nprobe", 1))
+            if nprobe < idx.spec.nlist:
+                cluster_col = "cluster_id"
+                probe_fn = self._probe_mask_fn(idx, nprobe)
+        return topk_ops.exact_knn_flat(
+            corpus,
+            queries_df,
+            k,
+            metric=idx.metric,
+            metric_arg=idx.metric_arg,
+            qid_col=qid_col,
+            q_vec_col=vec_col,
+            cluster_col=cluster_col,
+            probe_mask_for=probe_fn,
+        )
+
+    def search(
+        self,
+        name: str,
+        k: int,
+        queries_df: DataFrame,
+        params: Optional[dict] = None,
+        qid_col: str = "qid",
+        vec_col: str = "vector",
+    ) -> DataFrame:
+        """faiss_search (:903-925): returns (qid, result LIST(STRUCT(rank,
+        label, distance))), list length always k, -1 padded (README.md:220)."""
+        idx = self.registry.get(name)
+        flat = self.search_flat(name, k, queries_df, params, qid_col, vec_col)
+        lists = topk_ops.assemble_lists(flat, k, idx.metric)
+        # left join back so queries with zero hits still appear, fully padded
+        out = queries_df.select(qid_col).join(
+            lists.withColumnRenamed("qid", qid_col), qid_col, "left"
+        )
+        pad_dist = float("-inf") if topk_ops.is_descending(idx.metric) else float("inf")
+        empty = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("rank"),
+                F.lit(-1).cast("bigint").alias("label"),
+                F.lit(pad_dist).cast("float").alias("distance"),
+            ),
+        )
+        return out.select(qid_col, F.coalesce(F.col("result"), empty).alias("result"))
+
+    def search_filter(
+        self,
+        name: str,
+        k: int,
+        queries_df: DataFrame,
+        filter_expr: str,
+        idsel: str,
+        table: str,
+        params: Optional[dict] = None,
+        qid_col: str = "qid",
+        vec_col: str = "vector",
+    ) -> DataFrame:
+        """faiss_search_filter (:927-972).  The reference generates SQL
+        `SELECT {idsel} FROM {table} WHERE {filter}=1` on a fresh connection
+        and builds a bitmap selector; Spark needs no reentrancy — the allowed
+        set is a DataFrame and the bitmap/set distinction (:974-1022) is a
+        physical detail Catalyst's broadcast-semi-join already covers."""
+        allowed = self.spark.sql(f"SELECT {idsel} FROM {table} WHERE {filter_expr}")
+        flat = self.search_flat(
+            name, k, queries_df, params, qid_col, vec_col, allowed_df=allowed
+        )
+        idx = self.registry.get(name)
+        lists = topk_ops.assemble_lists(flat, k, idx.metric)
+        return queries_df.select(qid_col).join(
+            lists.withColumnRenamed("qid", qid_col), qid_col, "left"
+        )
+
+    # faiss_search_filter_set (:974-1022) — same semantics, same plan.
+    search_filter_set = search_filter
+
+    # ----------------------------------------------------------- persistence
+
+    def save(self, name: str, path: str) -> None:
+        """faiss_save (:171-200): Parquet data + JSON metadata sidecar."""
+        idx = self.registry.get(name)
+        os.makedirs(path, exist_ok=True)
+        if idx.data is not None:
+            idx.data.write.mode("overwrite").parquet(os.path.join(path, "data.parquet"))
+        meta = {
+            "name": idx.name,
+            "dim": idx.dim,
+            "factory": idx.spec.factory,
+            "metric": idx.metric,
+            "metric_arg": idx.metric_arg,
+            "params": idx.params,
+            "label_mode": idx.label_mode,
+            "trained": idx.trained,
+            "count": idx.count,
+            "has_data": idx.data is not None,
+            "centroids": idx.centroids.tolist() if idx.centroids is not None else None,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def load(self, name: str, path: str) -> None:
+        """faiss_load (:207-241): loaded already-trained indexes are immutable
+        (isMutable = needs_training, :238)."""
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        spec = parse_factory(meta["factory"])
+        idx = FaissIndex(
+            name=name,
+            dim=meta["dim"],
+            spec=spec,
+            metric=meta["metric"],
+            metric_arg=meta.get("metric_arg", 0.0),
+            params=meta.get("params", {}),
+            label_mode=meta["label_mode"],
+            trained=meta["trained"],
+            count=meta["count"],
+        )
+        if meta.get("centroids") is not None:
+            idx.centroids = np.array(meta["centroids"], dtype=np.float32)
+        if meta.get("has_data"):
+            idx.data = self.spark.read.parquet(os.path.join(path, "data.parquet")).persist()
+        # reference semantics: a loaded index that no longer needs training is
+        # immutable; an untrained IVF stays mutable
+        idx.mutable = spec.needs_training and not idx.trained
+        self.registry.put_new(idx)

@@ -1,0 +1,147 @@
+"""The reference's 9 distance metrics as vectorized numpy kernels.
+
+Metric table mirrors /root/reference/src/faiss_extension.cpp:58-68 and the
+FAISS conventions the engine must reproduce (SURVEY.md §1.3):
+
+- ``L2`` is SQUARED Euclidean (no sqrt).
+- ``INNER_PRODUCT`` and ``Jaccard`` are similarities: results sorted
+  DESCENDING; every other metric sorts ascending.
+- all math in float32 on the fast path (ListVectorToFaiss casts to float,
+  faiss_extension.cpp:292-293).
+
+Kernels take ``Q`` (nq, d) and ``X`` (n, d) float32 arrays and return an
+(nq, n) score matrix.  Pairwise metrics that cannot be expressed as a matmul
+are computed with broadcasting; chunk the corpus axis upstream if n*d is big
+(the engine's mapInPandas path feeds Arrow-batch-sized ``X``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from duckdb_faiss_ext_spark.errors import InvalidMetric
+
+DEFAULT_METRIC = "INNER_PRODUCT"  # faiss_extension.cpp:105
+
+
+def _ip(q: np.ndarray, x: np.ndarray, arg: float) -> np.ndarray:
+    return q @ x.T
+
+
+def _l2(q: np.ndarray, x: np.ndarray, arg: float) -> np.ndarray:
+    # squared L2 via the expansion; clip tiny negatives from cancellation
+    qq = np.einsum("ij,ij->i", q, q)[:, None]
+    xx = np.einsum("ij,ij->i", x, x)[None, :]
+    d = qq + xx - 2.0 * (q @ x.T)
+    return np.maximum(d, 0.0)
+
+
+def _diff(q: np.ndarray, x: np.ndarray) -> np.ndarray:
+    return q[:, None, :] - x[None, :, :]
+
+
+def _l1(q, x, arg):
+    return np.abs(_diff(q, x)).sum(axis=2)
+
+
+def _linf(q, x, arg):
+    return np.abs(_diff(q, x)).max(axis=2)
+
+
+def _lp(q, x, arg):
+    # FAISS METRIC_Lp accumulates |x-y|^p without the 1/p root
+    p = arg if arg and arg > 0 else 2.0
+    return (np.abs(_diff(q, x)) ** p).sum(axis=2)
+
+
+def _canberra(q, x, arg):
+    num = np.abs(_diff(q, x))
+    den = np.abs(q)[:, None, :] + np.abs(x)[None, :, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(den > 0, num / den, 0.0)
+    return t.sum(axis=2)
+
+
+def _braycurtis(q, x, arg):
+    num = np.abs(_diff(q, x)).sum(axis=2)
+    den = np.abs(q[:, None, :] + x[None, :, :]).sum(axis=2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(den > 0, num / den, 0.0)
+
+
+def _jensenshannon(q, x, arg):
+    # FAISS fvec_jensen_shannon: 0.5 * sum(kl(x|m) + kl(y|m)), m = (x+y)/2
+    qb = q[:, None, :]
+    xb = x[None, :, :]
+    m = 0.5 * (qb + xb)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = np.where(qb > 0, qb * np.log(qb / m), 0.0)
+        t2 = np.where(xb > 0, xb * np.log(xb / m), 0.0)
+    return 0.5 * (t1 + t2).sum(axis=2)
+
+
+def _jaccard(q, x, arg):
+    num = np.minimum(q[:, None, :], x[None, :, :]).sum(axis=2)
+    den = np.maximum(q[:, None, :], x[None, :, :]).sum(axis=2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(den > 0, num / den, 0.0)
+
+
+# name -> (kernel, descending?)  — faiss_extension.cpp:58-68; descending set is
+# FAISS is_similarity_metric (INNER_PRODUCT, Jaccard).
+METRICS: dict[str, tuple] = {
+    "INNER_PRODUCT": (_ip, True),
+    "L2": (_l2, False),
+    "L1": (_l1, False),
+    "Linf": (_linf, False),
+    "Lp": (_lp, False),
+    "Canberra": (_canberra, False),
+    "BrayCurtis": (_braycurtis, False),
+    "JensenShannon": (_jensenshannon, False),
+    "Jaccard": (_jaccard, True),
+}
+
+
+def resolve_metric(name: str | None) -> str:
+    if name is None:
+        return DEFAULT_METRIC
+    if name not in METRICS:
+        raise InvalidMetric(name)
+    return name
+
+
+def is_descending(metric: str) -> bool:
+    return METRICS[resolve_metric(metric)][1]
+
+
+def pairwise(
+    q: np.ndarray, x: np.ndarray, metric: str, metric_arg: float = 0.0
+) -> np.ndarray:
+    """(nq, n) score matrix in float32, FAISS conventions."""
+    kernel, _ = METRICS[resolve_metric(metric)]
+    q = np.ascontiguousarray(q, dtype=np.float32)
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    return kernel(q, x, metric_arg).astype(np.float32, copy=False)
+
+
+def topk_indices(scores: np.ndarray, k: int, descending: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k (indices, scores), ties broken by smaller index —
+    matching FAISS's internal-id tie-break (SURVEY.md §7 known-hard #5).
+
+    Uses argpartition then a stable sort of the k candidates, the numpy
+    analogue of the reference's single batched search call
+    (searchIntoVector, faiss_extension.cpp:631).
+    """
+    n = scores.shape[1]
+    keys = -scores if descending else scores
+    kk = min(k, n)
+    if kk < n:
+        part = np.argpartition(keys, kk - 1, axis=1)[:, :kk]
+    else:
+        part = np.broadcast_to(np.arange(n), (scores.shape[0], n)).copy()
+    rows = np.arange(scores.shape[0])[:, None]
+    pk = keys[rows, part]
+    # lexsort per row: primary key score, secondary index (stable ascending)
+    order = np.lexsort((part, pk), axis=1)
+    idx = part[rows, order]
+    return idx, scores[rows, idx]

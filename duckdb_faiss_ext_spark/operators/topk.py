@@ -1,0 +1,188 @@
+"""Distributed exact k-NN: the Spark re-expression of the reference's batched
+FAISS search (searchIntoVector, /root/reference/src/faiss_extension.cpp:621-666).
+
+Physical plan (designed for a huge corpus, small-ish query batch):
+
+1. queries are collected to a float32 numpy block and BROADCAST — the corpus
+   (the 100 TB side) is never collected or shuffled whole;
+2. ``mapInPandas`` over corpus partitions scores each Arrow batch against ALL
+   queries in one numpy matmul (the analogue of the reference's one
+   ``index->search`` call per 2048-row chunk, :631) and keeps only the per-
+   partition top-k per query — output is ≤ nq*k rows per partition, so the
+   single shuffle that follows is tiny regardless of corpus size;
+3. a Window per qid merges partial top-k into the global top-k.
+
+For IVF indexes the same kernel takes a (nq, nlist) boolean probe mask and a
+``cluster_id`` column: rows outside a query's probed clusters are masked out
+before the top-k — cluster pruning replacing FAISS's nprobe traversal.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from duckdb_faiss_ext_spark.metrics import is_descending, pairwise, topk_indices
+
+PARTIAL_SCHEMA = StructType(
+    [
+        StructField("qid", LongType(), False),
+        StructField("label", LongType(), False),
+        StructField("distance", FloatType(), False),
+    ]
+)
+
+RESULT_ELEM = StructType(
+    [
+        StructField("rank", IntegerType(), False),
+        StructField("label", LongType(), False),
+        StructField("distance", FloatType(), False),
+    ]
+)
+
+
+def collect_queries(
+    queries_df: DataFrame, qid_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side materialization of the query batch (the small side).
+
+    Mirrors the reference reading the whole query chunk into one contiguous
+    float32 buffer (faiss_extension.cpp:913-916).
+    """
+    pdf = queries_df.select(qid_col, vec_col).toPandas()
+    qids = pdf[qid_col].to_numpy(dtype=np.int64)
+    q = np.asarray(list(pdf[vec_col]), dtype=np.float32)
+    return qids, q
+
+
+def partial_topk(
+    corpus_df: DataFrame,
+    qids: np.ndarray,
+    q: np.ndarray,
+    k: int,
+    metric: str,
+    metric_arg: float = 0.0,
+    label_col: str = "label",
+    vec_col: str = "vector",
+    cluster_col: Optional[str] = None,
+    probe_mask: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """Per-partition top-k candidates: ≤ nq*k rows per Arrow batch."""
+    desc = is_descending(metric)
+    spark = corpus_df.sparkSession
+    bq = spark.sparkContext.broadcast((qids, q, probe_mask))
+    cols = [label_col, vec_col] + ([cluster_col] if cluster_col else [])
+    narrow = corpus_df.select(*cols)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, q_, mask_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float32)
+            labels = pdf[label_col].to_numpy(dtype=np.int64)
+            scores = pairwise(q_, x, metric, metric_arg)
+            if mask_ is not None and cluster_col is not None:
+                clusters = pdf[cluster_col].to_numpy(dtype=np.int64)
+                allowed = mask_[:, clusters]  # (nq, batch)
+                fill = -np.inf if desc else np.inf
+                scores = np.where(allowed, scores, np.float32(fill))
+            idx, sc = topk_indices(scores, k, desc)
+            nq, kk = idx.shape
+            out_q = np.repeat(qids_, kk)
+            out_l = labels[idx.ravel()]
+            out_s = sc.ravel()
+            keep = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {"qid": out_q[keep], "label": out_l[keep], "distance": out_s[keep]}
+            )
+
+    return narrow.mapInPandas(score, schema=PARTIAL_SCHEMA)
+
+
+def merge_topk(partial: DataFrame, k: int, metric: str) -> DataFrame:
+    """Global merge: one small shuffle keyed on qid; ties broken by label
+    ascending (SURVEY.md §7 known-hard #5)."""
+    order = (
+        [F.col("distance").desc(), F.col("label").asc()]
+        if is_descending(metric)
+        else [F.col("distance").asc(), F.col("label").asc()]
+    )
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        partial.withColumn("rank", (F.row_number().over(w) - F.lit(1)).cast("int"))
+        .filter(F.col("rank") < k)
+        .select("qid", "rank", "label", "distance")
+    )
+
+
+def exact_knn_flat(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    k: int,
+    metric: str = "INNER_PRODUCT",
+    metric_arg: float = 0.0,
+    label_col: str = "label",
+    vec_col: str = "vector",
+    qid_col: str = "qid",
+    q_vec_col: str = "vector",
+    cluster_col: Optional[str] = None,
+    probe_mask_for: Optional[callable] = None,
+) -> DataFrame:
+    """Flattened result: (qid BIGINT, rank INT, label BIGINT, distance FLOAT)."""
+    qids, q = collect_queries(queries_df, qid_col, q_vec_col)
+    if len(qids) == 0:
+        spark = corpus_df.sparkSession
+        return spark.createDataFrame(
+            [], "qid bigint, rank int, label bigint, distance float"
+        )
+    mask = probe_mask_for(qids, q) if probe_mask_for is not None else None
+    partial = partial_topk(
+        corpus_df,
+        qids,
+        q,
+        k,
+        metric,
+        metric_arg,
+        label_col=label_col,
+        vec_col=vec_col,
+        cluster_col=cluster_col,
+        probe_mask=mask,
+    )
+    return merge_topk(partial, k, metric)
+
+
+def assemble_lists(flat: DataFrame, k: int, metric: str) -> DataFrame:
+    """(qid, result ARRAY<STRUCT<rank,label,distance>>) with the reference's
+    -1 padding: list length always == k, missing hits get label = -1
+    (README.md:220; searchIntoVector fill loop :640-661)."""
+    pad_dist = float("-inf") if is_descending(metric) else float("inf")
+    agg = flat.groupBy("qid").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rank", "label", "distance"))
+        ).alias("hits")
+    )
+    padded = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at(F.col("hits"), i + 1),
+            F.struct(
+                i.cast("int").alias("rank"),
+                F.lit(-1).cast("bigint").alias("label"),
+                F.lit(pad_dist).cast("float").alias("distance"),
+            ),
+        ),
+    )
+    return agg.select("qid", padded.alias("result"))

@@ -1,0 +1,81 @@
+"""Driver-side index registry.
+
+Replaces the reference's DuckDB ``ObjectCache`` of mutable ``FaissIndexEntry``
+objects (src/include/index.hpp:12-56; put/get faiss_extension.cpp:148-163,
+:907).  Where the reference guards one mutable C++ index with mutexes, we hold
+an IMMUTABLE lineage: every ``add`` produces a new union DataFrame; searches
+running concurrently with adds each see a consistent snapshot (SURVEY.md §4
+"Lock-protected shared index" row — broadcast immutable data ⇒ unlimited
+parallel readers).
+
+Label-mode latching reproduces the reference's ``LABELSTATE``
+UNDECIDED/FALSE/TRUE machine (src/include/index.hpp:6-10, enforcement
+faiss_extension.cpp:437-453).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from duckdb_faiss_ext_spark.errors import IndexAlreadyExists, IndexNotFound
+from duckdb_faiss_ext_spark.factory import IndexSpec
+
+LABEL_UNDECIDED = "UNDECIDED"
+LABEL_FALSE = "FALSE"  # auto ids (sequential 0..n-1 in add order)
+LABEL_TRUE = "TRUE"  # user BIGINT labels
+
+
+@dataclass
+class FaissIndex:
+    name: str
+    dim: int
+    spec: IndexSpec
+    metric: str
+    metric_arg: float = 0.0
+    params: dict[str, str] = field(default_factory=dict)
+    label_mode: str = LABEL_UNDECIDED
+    trained: bool = False  # IVF centroids fitted (or kind needs no training)
+    mutable: bool = True  # cleared on load of a trained index (LoadFunction :238)
+    count: int = 0  # rows added so far (auto-id watermark, AddFinalise :565-573)
+    data: Any = None  # DataFrame(label BIGINT, vector ARRAY<FLOAT>[, cluster_id INT])
+    centroids: Optional[np.ndarray] = None  # (nlist, dim) float32 for IVF
+
+    @property
+    def needs_training(self) -> bool:
+        return self.spec.needs_training and not self.trained
+
+
+class IndexRegistry:
+    """Name -> FaissIndex.  One per engine (the reference's cache is global per
+    DB instance; ours is per-engine which amounts to the same scope)."""
+
+    def __init__(self) -> None:
+        self._indexes: dict[str, FaissIndex] = {}
+
+    def put_new(self, index: FaissIndex) -> None:
+        if index.name in self._indexes:
+            raise IndexAlreadyExists(index.name)
+        self._indexes[index.name] = index
+
+    def get(self, name: str) -> FaissIndex:
+        try:
+            return self._indexes[name]
+        except KeyError:
+            raise IndexNotFound(name) from None
+
+    def drop(self, name: str) -> FaissIndex:
+        if name not in self._indexes:
+            raise IndexNotFound(name)
+        return self._indexes.pop(name)
+
+    def replace(self, index: FaissIndex) -> None:
+        self._indexes[index.name] = index
+
+    def names(self) -> list[str]:
+        return sorted(self._indexes)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._indexes

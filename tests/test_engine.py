@@ -1,0 +1,213 @@
+"""End-to-end engine tests mirroring the reference sqllogictests
+(test/sql/faiss.test, faiss2.test, faiss5.test semantics), with goldens
+computed independently in numpy float32."""
+
+import numpy as np
+import pytest
+
+from duckdb_faiss_ext_spark import (
+    FaissSparkEngine,
+    ImmutableIndex,
+    IndexAlreadyExists,
+    IndexNotFound,
+)
+from duckdb_faiss_ext_spark.errors import (
+    DimensionMismatch,
+    LabelModeMismatch,
+    NonIDMapLabels,
+    TrainingError,
+)
+
+
+@pytest.fixture()
+def engine(spark):
+    return FaissSparkEngine(spark)
+
+
+def _vec_df(spark, arr, labels=None):
+    if labels is None:
+        rows = [([float(x) for x in v],) for v in arr]
+        return spark.createDataFrame(rows, "vector array<float>")
+    rows = [(int(l), [float(x) for x in v]) for l, v in zip(labels, arr)]
+    return spark.createDataFrame(rows, "label bigint, vector array<float>")
+
+
+def _query_df(spark, arr):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(arr)]
+    return spark.createDataFrame(rows, "qid bigint, vector array<float>")
+
+
+def numpy_golden(q, x, k, metric="INNER_PRODUCT"):
+    """Independent float32 brute-force oracle."""
+    q = q.astype(np.float32)
+    x = x.astype(np.float32)
+    if metric == "INNER_PRODUCT":
+        s = q @ x.T
+        order = np.argsort(-s, axis=1, kind="stable")
+    else:
+        s = ((q[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(s, axis=1, kind="stable")
+    return order[:, :k], s
+
+
+# ---------------------------------------------------------------- lifecycle
+
+
+def test_create_destroy_recreate(engine):
+    # faiss5.test lifecycle
+    engine.create("idx5", 8, "Flat")
+    with pytest.raises(IndexAlreadyExists):
+        engine.create("idx5", 8, "Flat")
+    engine.destroy("idx5")
+    with pytest.raises(IndexNotFound):
+        engine.destroy("idx5")
+    engine.create("idx5", 8, "Flat")
+    assert "idx5" in engine.list_indexes()
+    engine.destroy("idx5")
+
+
+def test_search_missing_index(engine, spark):
+    with pytest.raises(IndexNotFound):
+        engine.search_flat("nope", 2, _query_df(spark, np.eye(4, dtype=np.float32)))
+
+
+# ------------------------------------------------------------------ search
+
+
+def test_faiss_test_pipeline_ip(engine, spark, vectors8, queries8):
+    """create -> add (auto ids) -> search k=2, INNER_PRODUCT descending —
+    the faiss.test:8-38 pipeline shape, golden from float32 numpy."""
+    engine.create("flat8", 8, "Flat")
+    engine.add("flat8", _vec_df(spark, vectors8))
+    res = (
+        engine.search_flat("flat8", 2, _query_df(spark, queries8))
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    gold_idx, scores = numpy_golden(queries8, vectors8, 2, "INNER_PRODUCT")
+    assert len(res) == 20
+    for r in res:
+        expect = gold_idx[r["qid"], r["rank"]]
+        assert r["label"] == expect
+        assert r["distance"] == pytest.approx(scores[r["qid"], expect], rel=1e-5)
+
+
+def test_labeled_add_and_l2(engine, spark, vectors8, queries8):
+    """faiss2.test shape: IDMap labels + L2 metric (squared, ascending)."""
+    labels = np.arange(1000) * 7 + 3
+    engine.create("l2idx", 8, "IDMap,Flat", metric_type="L2")
+    engine.add("l2idx", _vec_df(spark, vectors8, labels))
+    res = (
+        engine.search_flat("l2idx", 3, _query_df(spark, queries8[:4]))
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    gold_idx, scores = numpy_golden(queries8[:4], vectors8, 3, "L2")
+    for r in res:
+        expect_row = gold_idx[r["qid"], r["rank"]]
+        assert r["label"] == labels[expect_row]
+        assert r["distance"] == pytest.approx(scores[r["qid"], expect_row], rel=1e-4)
+
+
+def test_result_list_padding(engine, spark):
+    """k > corpus size: list length stays k, missing labels = -1
+    (README.md:220)."""
+    vecs = np.eye(4, dtype=np.float32)[:3]
+    engine.create("pad", 4, "Flat")
+    engine.add("pad", _vec_df(spark, vecs))
+    out = engine.search("pad", 5, _query_df(spark, np.eye(4, dtype=np.float32)[:1]))
+    row = out.collect()[0]
+    assert len(row["result"]) == 5
+    labels = [h["label"] for h in row["result"]]
+    assert labels[3:] == [-1, -1]
+    assert [h["rank"] for h in row["result"]] == [0, 1, 2, 3, 4]
+
+
+def test_incremental_add_visible(engine, spark):
+    """add-after-search visibility (SURVEY.md §7 known-hard #4)."""
+    engine.create("inc", 2, "Flat")
+    engine.add("inc", _vec_df(spark, np.array([[1.0, 0.0]])))
+    q = _query_df(spark, np.array([[1.0, 0.0]]))
+    assert engine.search_flat("inc", 1, q).collect()[0]["label"] == 0
+    engine.add("inc", _vec_df(spark, np.array([[2.0, 0.0]])))  # higher IP
+    assert engine.search_flat("inc", 1, q).collect()[0]["label"] == 1  # auto id 1
+
+
+# -------------------------------------------------------------- error paths
+
+
+def test_labels_on_non_idmap(engine, spark, vectors8):
+    # faiss4.test:19-22
+    engine.create("noid", 8, "Flat")
+    with pytest.raises(NonIDMapLabels):
+        engine.add("noid", _vec_df(spark, vectors8[:10], np.arange(10)))
+
+
+def test_label_mode_latch(engine, spark, vectors8):
+    # faiss_extension.cpp:444-452
+    engine.create("latch", 8, "IDMap,Flat")
+    engine.add("latch", _vec_df(spark, vectors8[:5], np.arange(5)))
+    with pytest.raises(LabelModeMismatch):
+        engine.add("latch", _vec_df(spark, vectors8[5:10]))
+
+
+def test_dimension_mismatch(engine, spark):
+    engine.create("dim4", 4, "Flat")
+    with pytest.raises(DimensionMismatch):
+        engine.add("dim4", _vec_df(spark, np.ones((3, 6), dtype=np.float32)))
+
+
+def test_train_too_few_points(engine, spark, vectors8):
+    # faiss_extension.cpp:400-404
+    engine.create("ivfbig", 8, "IVF64,Flat")
+    with pytest.raises(TrainingError):
+        engine.manual_train("ivfbig", _vec_df(spark, vectors8[:10]))
+
+
+# ------------------------------------------------------------- persistence
+
+
+def test_save_load_immutable(engine, spark, vectors8, queries8, tmp_path):
+    # LoadFunction: loaded trained index is immutable (:238)
+    engine.create("persist", 8, "IDMap,Flat")
+    engine.add("persist", _vec_df(spark, vectors8[:100], np.arange(100) + 500))
+    path = str(tmp_path / "persist_idx")
+    engine.save("persist", path)
+    engine.destroy("persist")
+    engine.load("persist", path)
+    res = engine.search_flat("persist", 2, _query_df(spark, queries8[:2])).collect()
+    assert len(res) == 4
+    with pytest.raises(ImmutableIndex):
+        engine.add("persist", _vec_df(spark, vectors8[:5], np.arange(5)))
+
+
+# -------------------------------------------------------------------- IVF
+
+
+def test_ivf_train_add_search_full_probe(engine, spark, vectors8, queries8):
+    """IVF with nprobe=nlist must equal exact search."""
+    engine.create("ivf4", 8, "IDMap,IVF4,Flat")
+    engine.add("ivf4", _vec_df(spark, vectors8, np.arange(1000)))
+    assert engine.registry.get("ivf4").trained
+    res = (
+        engine.search_flat("ivf4", 2, _query_df(spark, queries8), params={"nprobe": 4})
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    gold_idx, _ = numpy_golden(queries8, vectors8, 2, "INNER_PRODUCT")
+    for r in res:
+        assert r["label"] == gold_idx[r["qid"], r["rank"]]
+
+
+def test_ivf_nprobe_pruning_recall(engine, spark, vectors8, queries8):
+    """nprobe=2 of 4 clusters: results are a subset drawn only from probed
+    clusters; recall vs exact should be high but the plan scans less."""
+    engine.create("ivfp", 8, "IDMap,IVF4,Flat")
+    engine.add("ivfp", _vec_df(spark, vectors8, np.arange(1000)))
+    res = engine.search_flat(
+        "ivfp", 5, _query_df(spark, queries8), params={"nprobe": 2}
+    ).collect()
+    assert len(res) > 0
+    gold_idx, _ = numpy_golden(queries8, vectors8, 5, "INNER_PRODUCT")
+    hits = sum(1 for r in res if r["label"] in gold_idx[r["qid"]])
+    assert hits / len(res) > 0.5  # sanity: pruned search still mostly agrees
