@@ -272,6 +272,99 @@ def knn_engine_ip(spark, sf):
     return eng.search_flat("_entry_ip", 10, q)
 
 
+# ------------------------------------------------- LLM-pipeline: dedup/text
+
+
+def dedup_exact(spark, sf):
+    """Exact dedup groups keyed on md5(text) (min-id survivor)."""
+    from duckdb_faiss_ext_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def dedup_minhash_sig(spark, sf):
+    """Word-set MinHash signatures (4 hashes, md5-based for oracle parity)."""
+    from duckdb_faiss_ext_spark.operators.dedup import minhash_signature
+
+    return minhash_signature(_t(spark, sf, "documents"), "doc_id", "text", 4)
+
+
+def dedup_lsh_pairs(spark, sf):
+    """MinHash LSH candidate pairs (2 bands x 2 rows)."""
+    from duckdb_faiss_ext_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), "doc_id", "text", 4, 2)
+
+
+def dedup_jaccard_pairs(spark, sf):
+    """Exact word-3-gram Jaccard pairs >= 0.05 (candidate verification)."""
+    from duckdb_faiss_ext_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.05
+    )
+
+
+def dedup_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs (> 0.4), double precision."""
+    from duckdb_faiss_ext_spark.operators.dedup import cosine_neardup_pairs
+
+    pairs = cosine_neardup_pairs(_emb(spark, sf), "vec_id", "embedding", 0.4)
+    return pairs.select(
+        "id_a", "id_b", V.round_half_up("cos_full", 4).alias("cos")
+    )
+
+
+def dedup_simhash(spark, sf):
+    """64-bit SimHash fingerprints (xxhash64, JVM-side) — no DuckDB twin for
+    Spark's xxhash64 seed/spec, so rows-only check; pytest pins semantics."""
+    from duckdb_faiss_ext_spark.operators.dedup import simhash64
+
+    return simhash64(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def text_stats(spark, sf):
+    """Token / regex-token / char / punctuation counts."""
+    from duckdb_faiss_ext_spark.functions import text as T
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("tc"),
+        T.regex_token_count("text").alias("rtc"),
+        T.char_count("text").alias("cc"),
+        T.punct_count("text").alias("pc"),
+    )
+
+
+def text_quality(spark, sf):
+    """Deterministic quality score in [0,1]."""
+    from duckdb_faiss_ext_spark.functions import text as T
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", V.round_half_up(T.quality_score("text"), 4).alias("q"))
+
+
+def text_lang(spark, sf):
+    """Stopword/codepoint language heuristic."""
+    from duckdb_faiss_ext_spark.functions import text as T
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.lang_id("text").alias("lang_guess"))
+
+
+def text_fingerprint(spark, sf):
+    """Content fingerprints: normalized-md5 + min-shingle (winnowing-style)."""
+    from duckdb_faiss_ext_spark.functions import text as T
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.fingerprint("text").alias("fp"),
+        T.min_shingle_fingerprint("text", 5).alias("msfp"),
+    )
+
+
 # -------------------------------------------------------------------- entry
 
 
@@ -320,6 +413,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_l2": knn_l2,
         "knn_filtered": knn_filtered,
         "knn_engine_ip": knn_engine_ip,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_sig": dedup_minhash_sig,
+        "dedup_lsh_pairs": dedup_lsh_pairs,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_cosine": dedup_cosine,
+        "dedup_simhash": dedup_simhash,
+        "text_stats": text_stats,
+        "text_quality": text_quality,
+        "text_lang": text_lang,
+        "text_fingerprint": text_fingerprint,
     }
 
 
@@ -423,6 +526,110 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
             "ORDER BY ip_full DESC, id) AS rk FROM d) WHERE rk <= 5"
         ),
-        # knn_engine_ip intentionally omitted: float32 FAISS-parity path,
-        # rows-only check (see docstring)
+        "dedup_exact": (
+            "SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS cnt "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_minhash_sig": (
+            "SELECT doc_id, "
+            + ", ".join(
+                f"list_min(list_transform(string_split_regex(trim(text), '\\s+'), "
+                f"w -> md5(concat('{i}|', w)))) AS mh_{i}"
+                for i in range(4)
+            )
+            + " FROM documents"
+        ),
+        "dedup_lsh_pairs": (
+            "WITH sig AS (SELECT doc_id, "
+            + ", ".join(
+                f"list_min(list_transform(string_split_regex(trim(text), '\\s+'), "
+                f"w -> md5(concat('{i}|', w)))) AS mh_{i}"
+                for i in range(4)
+            )
+            + " FROM documents), "
+            "bands AS ("
+            "SELECT doc_id, 0 AS band, md5(concat(mh_0, mh_1)) AS bkey FROM sig "
+            "UNION ALL "
+            "SELECT doc_id, 1 AS band, md5(concat(mh_2, mh_3)) AS bkey FROM sig) "
+            "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.band AS band "
+            "FROM bands a JOIN bands b "
+            "ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"
+        ),
+        "dedup_jaccard_pairs": (
+            "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws "
+            "FROM documents), "
+            "g AS (SELECT doc_id AS _id, unnest(list_distinct(list_transform("
+            "generate_series(1, greatest(len(ws) - 2, 1)), "
+            "i -> array_to_string(ws[i:i+2], ' ')))) AS gram FROM w), "
+            "sizes AS (SELECT _id, COUNT(*) AS sz FROM g GROUP BY _id), "
+            "inter AS (SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS inter "
+            "FROM g a JOIN g b ON a.gram = b.gram AND a._id < b._id "
+            "GROUP BY a._id, b._id) "
+            "SELECT id_a, id_b, inter / (sa.sz + sb.sz - inter) AS jac "
+            "FROM inter JOIN sizes sa ON sa._id = id_a "
+            "JOIN sizes sb ON sb._id = id_b "
+            "WHERE inter / (sa.sz + sb.sz - inter) >= 0.05"
+        ),
+        "dedup_cosine": (
+            "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) "
+            "* sqrt(list_inner_product(b.v, b.v))) AS cos_full "
+            "FROM t a JOIN t b ON a.vec_id < b.vec_id) "
+            "SELECT id_a, id_b, FLOOR(cos_full * 10000.0 + 0.5) / 10000.0 AS cos "
+            "FROM p WHERE cos_full > 0.4"
+        ),
+        "text_stats": (
+            "SELECT doc_id, "
+            "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tc, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS rtc, "
+            "CAST(length(text) AS BIGINT) AS cc, "
+            "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS pc "
+            "FROM documents"
+        ),
+        "text_quality": (
+            "WITH s AS (SELECT doc_id, "
+            "CAST(length(text) AS DOUBLE) AS chars, "
+            "CAST(greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS DOUBLE) AS toks, "
+            "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct, "
+            "CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            "w -> list_contains(['the','a','and','of','to','is'], w))) AS DOUBLE) AS stop "
+            "FROM documents) "
+            "SELECT doc_id, FLOOR(("
+            "0.5 * least(chars / 500.0, 1.0) "
+            "+ 0.3 * (1.0 - least(punct / toks, 1.0)) "
+            "+ 0.2 * least(stop / toks * 5.0, 1.0)"
+            ") * 10000.0 + 0.5) / 10000.0 AS q FROM s"
+        ),
+        "text_lang": (
+            "WITH s AS (SELECT doc_id, "
+            "length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk, "
+            "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            "w -> list_contains(['the','a','and','of','to','is'], w))) AS en, "
+            "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            "w -> list_contains(['el','la','y','de','que','los'], w))) AS es, "
+            "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            "w -> list_contains(['der','die','das','und','ist','ein'], w))) AS de, "
+            "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            "w -> list_contains(['le','la','et','les','des','est'], w))) AS fr "
+            "FROM documents) "
+            "SELECT doc_id, CASE WHEN cjk > 0 THEN 'zh' "
+            "WHEN en > 0 AND es <= en AND de <= en AND fr <= en THEN 'en' "
+            "WHEN es > 0 AND en < es AND de <= es AND fr <= es THEN 'es' "
+            "WHEN de > 0 AND en < de AND es < de AND fr <= de THEN 'de' "
+            "WHEN fr > 0 AND en < fr AND es < fr AND de < fr THEN 'fr' "
+            "ELSE 'und' END AS lang_guess FROM s"
+        ),
+        "text_fingerprint": (
+            "WITH w AS (SELECT doc_id, text, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents) "
+            "SELECT doc_id, "
+            "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+            "list_min(list_transform(generate_series(1, greatest(len(ws) - 4, 1)), "
+            "i -> md5(array_to_string(ws[i:i+4], ' ')))) AS msfp "
+            "FROM w"
+        ),
+        # rows-only (no oracle): knn_engine_ip (float32 FAISS-parity path),
+        # dedup_simhash (Spark xxhash64 has no DuckDB twin)
     }

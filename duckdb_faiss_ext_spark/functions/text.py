@@ -1,0 +1,120 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure Spark SQL expressions (JVM codegen, no UDFs) chosen so an identical
+DuckDB SQL formulation exists — every function here has an oracle twin in
+`__spark_entry__.oracle_sql()`.  Heuristics are deliberately simple and
+deterministic; they are pipeline plumbing, not models.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+TOKEN_RE = "[A-Za-z0-9]+"  # same meaning in Java regex and RE2
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "is"],
+    "es": ["el", "la", "y", "de", "que", "los"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "zh": [],  # CJK detected by codepoint range instead
+}
+LANG_ORDER = ["en", "es", "de", "fr"]  # deterministic tie-break order
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def words(col) -> Column:
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col)).cast("bigint")
+
+
+def regex_token_count(col) -> Column:
+    """BPE-ish tokenization proxy: alnum runs ([A-Za-z0-9]+)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(TOKEN_RE), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+def char_count(col) -> Column:
+    return F.length(_c(col)).cast("bigint")
+
+
+def punct_count(col) -> Column:
+    """Characters that are not alnum/whitespace."""
+    return F.length(F.regexp_replace(_c(col), r"[A-Za-z0-9\s]", "")).cast("bigint")
+
+
+def stopword_count(col, lang: str = "en") -> Column:
+    stop = LANG_STOPWORDS[lang]
+    return F.size(
+        F.filter(words(F.lower(_c(col))), lambda w: w.isin(*stop))
+    ).cast("bigint")
+
+
+def cjk_count(col) -> Column:
+    """CJK codepoints (for zh detection)."""
+    return F.length(F.regexp_replace(_c(col), r"[^一-鿿]", "")).cast("bigint")
+
+
+def quality_score(col) -> Column:
+    """Deterministic quality heuristic in [0,1]:
+    0.5 * min(chars/500, 1)  (length)
+    + 0.3 * (1 - min(punct/tokens, 1))  (punctuation burden)
+    + 0.2 * min(stopwords_en/tokens * 5, 1)  (natural-language-ness)."""
+    chars = char_count(col).cast("double")
+    toks = F.greatest(token_count(col), F.lit(1)).cast("double")
+    punct = punct_count(col).cast("double")
+    stop = stopword_count(col, "en").cast("double")
+    return (
+        F.lit(0.5) * F.least(chars / F.lit(500.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct / toks, F.lit(1.0)))
+        + F.lit(0.2) * F.least(stop / toks * F.lit(5.0), F.lit(1.0))
+    )
+
+
+def lang_id(col) -> Column:
+    """Stopword/codepoint language heuristic: zh if any CJK; otherwise the
+    max stopword-hit language in LANG_ORDER (ties -> earlier); 'und' if no
+    hits at all."""
+    scores = {lang: stopword_count(col, lang) for lang in LANG_ORDER}
+    expr = F.lit("und")
+    # build CASE from the last tie-break backwards so earlier langs win ties
+    best = None
+    for lang in LANG_ORDER:
+        s = scores[lang]
+        cond = s > F.lit(0)
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            prior = LANG_ORDER.index(other) < LANG_ORDER.index(lang)
+            cond = cond & (
+                (scores[other] < s) if prior else (scores[other] <= s)
+            )
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    best = best.otherwise(F.lit("und"))
+    return F.when(cjk_count(col) > 0, F.lit("zh")).otherwise(best)
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 of casefolded, whitespace-collapsed text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " "))
+
+
+def min_shingle_fingerprint(col, n: int = 5) -> Column:
+    """Winnowing-style content fingerprint: min md5 over word n-gram shingles
+    (stable under local edits away from the minimizing shingle)."""
+    w = words(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, n))),
+    )
+    return F.array_min(grams)

@@ -1,0 +1,319 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's own surface (BASELINE.json north star): exact dedup,
+MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup — each
+expressed as shuffle-scalable DataFrame plans (explode -> hash-partitioned
+joins/aggregations; no driver-side collection), so the same plan that handles
+500 docs at sf0.01 handles 10^9 docs on a cluster:
+
+- exact:        one groupBy on a 128-bit content hash (map-side combine).
+- MinHash LSH:  per-doc signature is a projection (no shuffle); candidate
+  pairs come from a self-join on band keys — cost scales with bucket
+  collision counts, not n^2.
+- n-gram Jaccard: explode grams -> join on gram -> count intersections; the
+  join is hash-partitioned on the gram, skew-handled by AQE.
+- cosine near-dup: brute-force variant for oracle parity; LSH (random
+  hyperplane) variant for scale, where pairs only form inside sign-buckets.
+
+Hash choice: md5 (not xxhash64) wherever a DuckDB oracle must reproduce the
+value — both engines produce identical md5 hex strings.  Deterministic
+tie-breaks everywhere: pairs are emitted with id_a < id_b.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+WHITESPACE = r"\s+"
+
+
+def _words(text_col: str):
+    return F.split(F.trim(F.col(text_col)), WHITESPACE)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups keyed by md5(text): (h, keep_id, cnt).
+    keep_id = min id (deterministic survivor)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col).alias("_id"))
+        .groupBy("h")
+        .agg(F.min("_id").alias("keep_id"), F.count("*").alias("cnt"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct text (the min-id survivor)."""
+    w = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(w, id_col, "left_semi")
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 4
+) -> DataFrame:
+    """Word-set MinHash: sig_i = min over words of md5('<i>|' + word).
+
+    One narrow projection, no shuffle; md5-hex min is a valid uniform min-hash
+    (lexicographic order on hex == order on the 128-bit value)."""
+    def seeded(i: int):
+        prefix = f"{i}|"
+        # NB: must stay a 1-arg lambda — a 2-arg lambda would be bound by
+        # Spark's transform() as (element, array_index)
+        return lambda w: F.md5(F.concat(F.lit(prefix), w))
+
+    cols = [F.col(id_col)]
+    for i in range(num_hashes):
+        sig = F.array_min(F.transform(_words(text_col), seeded(i)))
+        cols.append(sig.alias(f"mh_{i}"))
+    return df.select(*cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 4,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, band) sharing an LSH band.
+
+    bands = num_hashes/band_size; band key = md5(concat of its signatures).
+    The self-join is on (band_idx, band_key) — hash-partitioned, no n^2."""
+    assert num_hashes % band_size == 0
+    sig = minhash_signature(df, id_col, text_col, num_hashes)
+    nbands = num_hashes // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"mh_{b * band_size + j}") for j in range(band_size)])
+                ).alias("bkey"),
+            )
+            for b in range(nbands)
+        ]
+    )
+    exploded = sig.select(
+        F.col(id_col).alias("_id"), F.explode(band_structs).alias("b")
+    ).select("_id", "b.band", "b.bkey")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.band").alias("band"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word n-gram Jaccard similarity for every pair sharing >= 1 gram:
+    (id_a, id_b, jac).  Shuffle cost ~ sum of per-gram doc-frequency^2 —
+    bounded in practice because frequent shingles are rare at n >= 3."""
+    words = _words(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    g = df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("gram"))
+    sizes = g.groupBy("_id").agg(F.count("*").alias("sz"))
+    a = g.alias("a")
+    b = g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jac",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over the word multiset (xxhash64 word hashes): bit j of
+    the fingerprint is the sign of sum over words of (+-1 per hash bit j).
+
+    Pure column expressions — one shuffle (the groupBy); xxhash64 is
+    JVM-side, so no Python boundary at all."""
+    wdf = df.select(
+        F.col(id_col).alias("_id"), F.explode(_words(text_col)).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    sums = wdf.groupBy("_id").agg(*aggs)
+    fp = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return sums.select(F.col("_id").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates: pairs whose SimHashes differ in <= max_hamming
+    bits.  Banded by 16-bit chunks (pigeonhole: <=3 flips over 4 chunks means
+    some chunk is identical) so the join is on chunk value, not n^2."""
+    sh = simhash64(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("ckey"),
+            )
+            for c in range(4)
+        ]
+    )
+    e = sh.select(
+        F.col(id_col).alias("_id"), F.col("simhash"), F.explode(chunks).alias("c")
+    ).select("_id", "simhash", "c.chunk", "c.ckey")
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Brute-force embedding near-dup: all pairs with cosine > threshold,
+    double precision (oracle-parity ground truth; O(n^2) — use
+    cosine_lsh_pairs at scale)."""
+    from duckdb_faiss_ext_spark.functions.vector import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_full", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_full") > threshold)
+        .select("id_a", "id_b", "cos_full")
+    )
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH.  Each vector gets n_planes sign
+    bits (one broadcast matmul in a pandas_udf); bits are split into bands
+    and pairs only form inside identical (band, bits) buckets, then exact
+    cosine verifies.  Recall < 1 by construction (candidates must agree on
+    some band); raise n_bands/lower band width for higher recall."""
+    from duckdb_faiss_ext_spark.functions.vector import cosine_similarity
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    spark = df.sparkSession
+    bpl = spark.sparkContext.broadcast(planes)
+
+    def signs(v: pd.Series) -> pd.Series:
+        x = np.asarray(list(v), dtype=np.float32)
+        bits = (x @ bpl.value) > 0
+        vals = (bits * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
+        return pd.Series(vals.astype(np.int64))
+
+    signs_udf = F.pandas_udf(signs, "bigint")
+    assert n_planes % n_bands == 0
+    width = n_planes // n_bands
+    sig = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), signs_udf(F.col(vec_col)).alias("sig")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band"),
+                F.shiftright(F.col("sig"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bkey"),
+            )
+            for c in range(n_bands)
+        ]
+    )
+    e = sig.select("_id", "_v", F.explode(bands).alias("b")).select(
+        "_id", "_v", "b.band", "b.bkey"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("va"),
+            F.col("b._v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos_full", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_full") > threshold)
+        .select("id_a", "id_b", "cos_full")
+    )

@@ -1,0 +1,92 @@
+import numpy as np
+import pytest
+
+from duckdb_faiss_ext_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different words entirely unrelated content here"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r["keep_id"]: r["cnt"] for r in D.exact_dedup_groups(docs, "doc_id", "text").collect()}
+    assert groups[1] == 3  # docs 1,2,5 collapse, min-id survivor
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_exact_dedup_keeps_survivors(docs):
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(docs, "doc_id", "text").collect())
+    assert kept == [1, 3, 4]
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sig = {r["doc_id"]: (r["mh_0"], r["mh_1"], r["mh_2"], r["mh_3"])
+           for r in D.minhash_signature(docs, "doc_id", "text", 4).collect()}
+    assert sig[1] == sig[2] == sig[5]
+    assert sig[1] != sig[4]
+    # seeds must differ per hash (the transform-lambda-arity regression)
+    assert len(set(sig[4])) > 1
+
+
+def test_lsh_pairs_catch_exact_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs, "doc_id", "text", 4, 2).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jac"] for r in
+             D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)  # identical -> jaccard 1
+    assert 0.1 < pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_simhash_properties(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[2] == sh[5]  # identical text -> identical fingerprint
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer in hamming space
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             D.simhash_pairs(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    near = base[0] + rng.standard_normal(16).astype(np.float32) * 0.05
+    near /= np.linalg.norm(near)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows.append((20, [float(x) for x in near]))  # near-dup of id 0
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_cosine_neardup_brute(vecs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.cosine_neardup_pairs(vecs, "vec_id", "embedding", 0.9).collect()}
+    assert pairs == {(0, 20)}
+
+
+def test_cosine_lsh_subset_of_brute(vecs):
+    brute = {(r["id_a"], r["id_b"]) for r in
+             D.cosine_neardup_pairs(vecs, "vec_id", "embedding", 0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           D.cosine_lsh_pairs(vecs, "vec_id", "embedding", dim=16, threshold=0.5).collect()}
+    assert lsh <= brute  # LSH candidates verified by exact cosine: no false positives
+    assert (0, 20) in lsh  # near-identical pair must collide in some band
