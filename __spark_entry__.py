@@ -290,10 +290,13 @@ def dedup_minhash_sig(spark, sf):
 
 
 def dedup_lsh_pairs(spark, sf):
-    """MinHash LSH candidate pairs (2 bands x 2 rows)."""
+    """MinHash LSH candidate pairs over 3-gram shingles (2 bands x 2 hashes) —
+    the classic shingle->minhash->band->bucket-join pipeline."""
     from duckdb_faiss_ext_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf, "documents"), "doc_id", "text", 4, 2)
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", 4, 2, shingle_n=3
+    )
 
 
 def dedup_jaccard_pairs(spark, sf):
@@ -540,13 +543,16 @@ def oracle_sql() -> dict[str, str]:
             + " FROM documents"
         ),
         "dedup_lsh_pairs": (
-            "WITH sig AS (SELECT doc_id, "
+            "WITH w AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)), "
+            "i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' ')"
+            ")) AS grams FROM documents), "
+            "sig AS (SELECT doc_id, "
             + ", ".join(
-                f"list_min(list_transform(string_split_regex(trim(text), '\\s+'), "
-                f"w -> md5(concat('{i}|', w)))) AS mh_{i}"
+                f"list_min(list_transform(grams, s -> md5(concat('{i}|', s)))) AS mh_{i}"
                 for i in range(4)
             )
-            + " FROM documents), "
+            + " FROM w), "
             "bands AS ("
             "SELECT doc_id, 0 AS band, md5(concat(mh_0, mh_1)) AS bkey FROM sig "
             "UNION ALL "

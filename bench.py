@@ -1,0 +1,130 @@
+"""Benchmark harness — BASELINE.md proxies at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total-sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>}
+
+Proxies mirrored from BASELINE.md (engine targets table):
+- exact_knn_ip / exact_knn_engine: Q16-style brute-force IP top-k
+  (10 queries x full embeddings, k=10) — SQL-expr path and the engine's
+  float32 Arrow path.
+- filtered_knn_p{1,10,50,90}: Q18-style semi-join + top-k at the reference's
+  selectivity sweep (sel = id % 100 < p; go/benches_c.go:31).
+- batch_amortization: time(48-query batch) / time(1-query batch)
+  (README.md:87 — reference achieves ~1.25, target <= 2.0).
+- ingest: rows/s into an index via add (engine add path).
+- relational headliners: q03 join, q05 agg, q07 window from the contract.
+- dedup/text: minhash signature + lsh pairs, quality+lang scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def timed(fn, warmup: bool = False):
+    if warmup:
+        fn()
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+    from duckdb_faiss_ext_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+    n_emb = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+
+    queries: dict[str, float] = {}
+
+    # --- relational headliners (count() forces full execution) -------------
+    queries["q03_equi_join"] = timed(
+        lambda: entry.q03_equi_join(spark, sf_dir).count(), warmup=True
+    )
+    queries["q05_agg_multi"] = timed(
+        lambda: entry.q05_agg_multi(spark, sf_dir).count(), warmup=True
+    )
+    queries["q07_window_topk"] = timed(
+        lambda: entry.q07_window_topk(spark, sf_dir).count(), warmup=True
+    )
+
+    # --- exact kNN: SQL-expression path and engine float32 path -----------
+    queries["exact_knn_ip"] = timed(
+        lambda: entry.knn_ip(spark, sf_dir).count(), warmup=True
+    )
+
+    eng = FaissSparkEngine(spark)
+    t0 = time.perf_counter()
+    eng.create("bench_ip", dim, "IDMap,Flat", metric_type="INNER_PRODUCT")
+    eng.add("bench_ip", emb.select("vec_id", "embedding"))
+    ingest_sec = time.perf_counter() - t0
+    queries["ingest_rows_per_sec"] = round(n_emb / ingest_sec, 1)
+
+    qdf48 = emb.limit(48).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    ).cache()
+    qdf48.count()
+    qdf1 = qdf48.limit(1).cache()
+    qdf1.count()
+
+    queries["exact_knn_engine"] = timed(
+        lambda: eng.search_flat("bench_ip", 10, qdf48).count(), warmup=True
+    )
+    t48 = timed(lambda: eng.search_flat("bench_ip", 10, qdf48).count())
+    t1 = timed(lambda: eng.search_flat("bench_ip", 10, qdf1).count())
+    queries["batch48_sec"] = round(t48, 4)
+    queries["batch1_sec"] = round(t1, 4)
+    queries["batch_amortization"] = round(t48 / max(t1, 1e-9), 3)
+
+    # --- filtered kNN selectivity sweep (sel = vec_id % 100 < p) -----------
+    emb.createOrReplaceTempView("bench_embeddings")
+    for p in (1, 10, 50, 90):
+        queries[f"filtered_knn_p{p}"] = timed(
+            lambda p=p: eng.search_filter(
+                "bench_ip", 10, qdf48, f"vec_id % 100 < {p}", "vec_id",
+                "bench_embeddings",
+            ).count(),
+            warmup=(p == 1),
+        )
+
+    # --- LLM-pipeline ops --------------------------------------------------
+    queries["dedup_minhash_lsh"] = timed(
+        lambda: entry.dedup_lsh_pairs(spark, sf_dir).count(), warmup=True
+    )
+    queries["text_quality_lang"] = timed(
+        lambda: entry.text_quality(spark, sf_dir).count()
+        + entry.text_lang(spark, sf_dir).count(),
+        warmup=True,
+    )
+
+    non_time_keys = {"ingest_rows_per_sec", "batch_amortization"}
+    total = round(sum(v for k, v in queries.items() if k not in non_time_keys), 4)
+    queries = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in queries.items()}
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

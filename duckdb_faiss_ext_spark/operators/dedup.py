@@ -34,6 +34,17 @@ def _words(text_col: str):
     return F.split(F.trim(F.col(text_col)), WHITESPACE)
 
 
+def _ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Self-join operators recompute their heavy projection once per side; if
+    the input arrives in fewer partitions than cores (e.g. one small parquet
+    file), that work serializes.  Repartition up to defaultParallelism —
+    a no-op on real multi-partition inputs, where this returns df unchanged."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, key)
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups keyed by md5(text): (h, keep_id, cnt).
     keep_id = min id (deterministic survivor)."""
@@ -52,22 +63,42 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(w, id_col, "left_semi")
 
 
+def _shingles(text_col: str, n: int):
+    """Word n-gram shingle array (n=1 -> the word set itself)."""
+    if n <= 1:
+        return _words(text_col)
+    w = _words(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        )
+    )
+
+
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 4,
+    shingle_n: int = 1,
 ) -> DataFrame:
-    """Word-set MinHash: sig_i = min over words of md5('<i>|' + word).
+    """Shingle-set MinHash: sig_i = min over shingles of md5('<i>|' + s).
 
     One narrow projection, no shuffle; md5-hex min is a valid uniform min-hash
-    (lexicographic order on hex == order on the 128-bit value)."""
+    (lexicographic order on hex == order on the 128-bit value).  shingle_n=1
+    hashes the word set; n>=2 hashes word n-grams (the classic
+    shingle->minhash->band pipeline — far more selective buckets)."""
     def seeded(i: int):
         prefix = f"{i}|"
         # NB: must stay a 1-arg lambda — a 2-arg lambda would be bound by
         # Spark's transform() as (element, array_index)
         return lambda w: F.md5(F.concat(F.lit(prefix), w))
 
+    grams = _shingles(text_col, shingle_n)
     cols = [F.col(id_col)]
     for i in range(num_hashes):
-        sig = F.array_min(F.transform(_words(text_col), seeded(i)))
+        sig = F.array_min(F.transform(grams, seeded(i)))
         cols.append(sig.alias(f"mh_{i}"))
     return df.select(*cols)
 
@@ -78,13 +109,15 @@ def minhash_lsh_pairs(
     text_col: str,
     num_hashes: int = 4,
     band_size: int = 2,
+    shingle_n: int = 1,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, band) sharing an LSH band.
 
     bands = num_hashes/band_size; band key = md5(concat of its signatures).
     The self-join is on (band_idx, band_key) — hash-partitioned, no n^2."""
     assert num_hashes % band_size == 0
-    sig = minhash_signature(df, id_col, text_col, num_hashes)
+    df = _ensure_parallelism(df, id_col)
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
     nbands = num_hashes // band_size
     band_structs = F.array(
         *[
@@ -128,6 +161,7 @@ def ngram_jaccard_pairs(
     """Exact word n-gram Jaccard similarity for every pair sharing >= 1 gram:
     (id_a, id_b, jac).  Shuffle cost ~ sum of per-gram doc-frequency^2 —
     bounded in practice because frequent shingles are rare at n >= 3."""
+    df = _ensure_parallelism(df, id_col)
     words = _words(text_col)
     grams = F.array_distinct(
         F.transform(
@@ -164,6 +198,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Pure column expressions — one shuffle (the groupBy); xxhash64 is
     JVM-side, so no Python boundary at all."""
+    df = _ensure_parallelism(df, id_col)
     wdf = df.select(
         F.col(id_col).alias("_id"), F.explode(_words(text_col)).alias("w")
     ).withColumn("h", F.xxhash64("w"))
