@@ -272,6 +272,66 @@ def knn_engine_ip(spark, sf):
     return eng.search_flat("_entry_ip", 10, q)
 
 
+def q20_sample(spark, sf):
+    """Seeded exact-size reservoir-style sample (ai.py:9 'USING SAMPLE 500
+    (reservoir, 42)').  Spark's .sample is Bernoulli (wrong shape), so the
+    engine uses orderBy(rand(seed)).limit(n) — exact size, deterministic per
+    seed.  Seeds aren't portable across engines -> rows-only check."""
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.rand(42))
+        .limit(500)
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+def q21_time_window(spark, sf):
+    """Tumbling 1-hour window aggregation over the events stream table —
+    the batch twin of streaming.windowed_event_counts (same plan runs under
+    readStream with a watermark)."""
+    from duckdb_faiss_ext_spark.streaming.ingest import (
+        events_ts_as_timestamp,
+        windowed_event_counts,
+    )
+
+    ev = events_ts_as_timestamp(_t(spark, sf, "events"))
+    out = windowed_event_counts(ev, window="1 hour", watermark="2 hours")
+    return out.select(
+        "window_start",
+        "event_type",
+        "cnt",
+        V.round_half_up("sum_value", 2).alias("sv"),
+    )
+
+
+def q22_lag_window(spark, sf):
+    """LAG over an ordered per-user event stream (delta encoding — classic
+    sessionization primitive)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("dv"),
+    )
+
+
+def media_features(spark, sf):
+    """Multimodal plumbing: synthesize binary payloads from document text
+    (deterministic), run the Arrow-batched feature extractor.  sha256/numpy
+    features have no SQL twin -> rows-only check; pytest pins determinism."""
+    from duckdb_faiss_ext_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_features(d, dim=16).select(
+        "media_id", "n_bytes", "content_hash"
+    )
+
+
 # ------------------------------------------------- LLM-pipeline: dedup/text
 
 
@@ -412,6 +472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_array_construct": q14_array_construct,
         "q15_unnest": q15_unnest,
         "q19_events_agg": q19_events_agg,
+        "q20_sample": q20_sample,
+        "q21_time_window": q21_time_window,
+        "q22_lag_window": q22_lag_window,
+        "media_features": media_features,
         "knn_ip": knn_ip,
         "knn_l2": knn_l2,
         "knn_filtered": knn_filtered,
@@ -494,6 +558,17 @@ def oracle_sql() -> dict[str, str]:
         "q19_events_agg": (
             "SELECT user_id, event_type, COUNT(*) AS cnt, "
             "FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sv FROM events GROUP BY user_id, event_type"
+        ),
+        "q21_time_window": (
+            "SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) "
+            "AS window_start, event_type, COUNT(*) AS cnt, "
+            "FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sv "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "q22_lag_window": (
+            "SELECT event_id, user_id, "
+            "value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv "
+            "FROM events"
         ),
         "knn_ip": (
             "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "

@@ -1,0 +1,65 @@
+"""Structured Streaming integration.
+
+The reference has NO streaming operators (SURVEY.md §2.2: grep of src/ is
+empty); its incremental ``faiss_add`` is micro-batch append, which maps
+directly onto ``foreachBatch``.  This module provides that mapping plus the
+standard streaming pieces a training-data pipeline needs over the ``events``
+table shape (watermark + windowed aggregation).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_add(engine, index_name: str, stream_df: DataFrame, **write_opts) -> StreamingQuery:
+    """Micro-batch append into a vector index: each micro-batch runs the
+    engine's (batch) add — the Spark-native version of incremental
+    faiss_add (faiss_extension.cpp:475-547, trained fast path)."""
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.add(index_name, batch_df, validate=False)
+
+    return (
+        stream_df.writeStream.foreachBatch(feed)
+        .outputMode("append")
+        .options(**write_opts)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the canonical
+    late-data-tolerant streaming aggregation.  Works on a readStream or batch
+    DataFrame (batch ignores the watermark), so tests can pin values in batch
+    mode and streams reuse the identical plan."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def events_ts_as_timestamp(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Driver testdata stores events.ts as TIMESTAMP(NANOS); the session reads
+    it as bigint nanos (nanosAsLong).  Convert to a proper timestamp column
+    (microsecond precision) for windowing."""
+    return events.withColumn(
+        ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+    )

@@ -1,0 +1,54 @@
+import time
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from duckdb_faiss_ext_spark import FaissSparkEngine
+from duckdb_faiss_ext_spark.streaming.ingest import (
+    events_ts_as_timestamp,
+    stream_add,
+    windowed_event_counts,
+)
+
+
+def test_windowed_counts_batch_semantics(spark, sf_dir):
+    """Same plan runs batch & stream; pin batch values on real events data."""
+    ev = events_ts_as_timestamp(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    out = windowed_event_counts(ev, window="1 hour", watermark="2 hours")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["window_end"] > r["window_start"] for r in rows)
+    total = sum(r["cnt"] for r in rows)
+    assert total == ev.count()  # tumbling windows partition the stream
+
+
+def test_stream_add_microbatch(spark, tmp_path):
+    """foreachBatch ingestion: rows appended by the stream become searchable."""
+    src = str(tmp_path / "stream_src")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    eng = FaissSparkEngine(spark)
+    eng.create("stream_idx", 4, "IDMap,Flat", metric_type="L2")
+
+    rows = [(int(i), [float(i), 0.0, 0.0, 0.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "label bigint, vector array<float>")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("label bigint, vector array<float>").parquet(src)
+    q = stream_add(eng, "stream_idx", stream,
+                   checkpointLocation=str(tmp_path / "ckpt"))
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if eng.registry.get("stream_idx").count >= 8:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert eng.registry.get("stream_idx").count == 8
+    qdf = spark.createDataFrame([(0, [3.0, 0.0, 0.0, 0.0])], "qid bigint, vector array<float>")
+    res = eng.search_flat("stream_idx", 1, qdf).collect()
+    assert res[0]["label"] == 3 and res[0]["distance"] == 0.0
