@@ -272,6 +272,101 @@ def knn_engine_ip(spark, sf):
     return eng.search_flat("_entry_ip", 10, q)
 
 
+def q23_transform_lambda(spark, sf):
+    """Higher-order lambda over arrays (README.md:58 'apply(list, x -> ...)')."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 100)
+    arr = F.array("l_quantity", "l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.transform(arr, lambda x: x * 2 + 1).alias("mapped"),
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x).alias("arr_sum"),
+    )
+
+
+def q24_multiway_join(spark, sf):
+    """3-way join + agg (TPC-H Q3 shape): customer x orders x lineitem.
+    Plan: lineitem (largest) joins shuffle-hash on orderkey; customer side
+    pre-filtered before its join — Catalyst orders by size with AQE."""
+    c = _t(spark, sf, "customer").filter(F.col("c_nationkey") < 10)
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            V.round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def q25_distinct_count(spark, sf):
+    """COUNT(DISTINCT) + plain count per group."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nparts"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def q26_date_functions(spark, sf):
+    """Date part extraction + grouping by year/month."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+        )
+        .agg(F.count("*").alias("cnt"), F.max("o_totalprice").alias("mx"))
+    )
+
+
+def q27_having_avg(spark, sf):
+    """AVG + HAVING (post-aggregation filter)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            V.round_half_up(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.count("*").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 100)
+    )
+
+
+def q28_union_all(spark, sf):
+    """UNION ALL of two projections (bag semantics)."""
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"), F.lit("cust").alias("src")
+    )
+    s_ = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("k"), F.lit("supp").alias("src")
+    )
+    return c.unionByName(s_)
+
+
+def q29_anti_join(spark, sf):
+    """Anti-join: customers with no orders (ai.py:10 EXCEPT semantics as the
+    join form; Catalyst plans broadcast-anti when the right side is small)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_nationkey")
+
+
+def q30_rollup(spark, sf):
+    """GROUP BY ROLLUP (hierarchical totals)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .select("o_orderstatus", "o_orderpriority", "cnt")
+    )
+
+
 def q20_sample(spark, sf):
     """Seeded exact-size reservoir-style sample (ai.py:9 'USING SAMPLE 500
     (reservoir, 42)').  Spark's .sample is Bernoulli (wrong shape), so the
@@ -473,6 +568,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_unnest": q15_unnest,
         "q19_events_agg": q19_events_agg,
         "q20_sample": q20_sample,
+        "q23_transform_lambda": q23_transform_lambda,
+        "q24_multiway_join": q24_multiway_join,
+        "q25_distinct_count": q25_distinct_count,
+        "q26_date_functions": q26_date_functions,
+        "q27_having_avg": q27_having_avg,
+        "q28_union_all": q28_union_all,
+        "q29_anti_join": q29_anti_join,
+        "q30_rollup": q30_rollup,
         "q21_time_window": q21_time_window,
         "q22_lag_window": q22_lag_window,
         "media_features": media_features,
@@ -558,6 +661,47 @@ def oracle_sql() -> dict[str, str]:
         "q19_events_agg": (
             "SELECT user_id, event_type, COUNT(*) AS cnt, "
             "FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sv FROM events GROUP BY user_id, event_type"
+        ),
+        "q23_transform_lambda": (
+            "SELECT l_orderkey, l_linenumber, "
+            "list_transform([l_quantity, l_tax], x -> x * 2 + 1) AS mapped, "
+            "list_aggregate([l_quantity, l_tax], 'sum') + 0.0 AS arr_sum "
+            "FROM lineitem WHERE l_orderkey < 100"
+        ),
+        "q24_multiway_join": (
+            "SELECT o_orderkey, COUNT(*) AS n_lines, "
+            "FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 "
+            "AS revenue FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_nationkey < 10 GROUP BY o_orderkey"
+        ),
+        "q25_distinct_count": (
+            "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nparts, "
+            "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag"
+        ),
+        "q26_date_functions": (
+            "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y, "
+            "CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m, "
+            "COUNT(*) AS cnt, MAX(o_totalprice) AS mx FROM orders GROUP BY 1, 2"
+        ),
+        "q27_having_avg": (
+            "SELECT o_orderpriority, "
+            "FLOOR(AVG(o_totalprice) * 100.0 + 0.5) / 100.0 AS avg_price, "
+            "COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority "
+            "HAVING COUNT(*) > 100"
+        ),
+        "q28_union_all": (
+            "SELECT c_custkey AS k, 'cust' AS src FROM customer "
+            "UNION ALL SELECT s_suppkey AS k, 'supp' AS src FROM supplier"
+        ),
+        "q29_anti_join": (
+            "SELECT c_custkey, c_nationkey FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        "q30_rollup": (
+            "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt "
+            "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
         ),
         "q21_time_window": (
             "SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) "

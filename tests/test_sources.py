@@ -1,0 +1,48 @@
+"""Scan-surface parity tests (SURVEY.md §2.2): CSV w/ header inference,
+gzipped CSV, JSONL, globbed .jsonl.gz — the formats the reference reads
+(test/sql/faiss.test:11, examples/ai.py:7, go/benches_c.go:41,:82)."""
+
+import gzip
+import json
+import os
+
+from duckdb_faiss_ext_spark.sources.loaders import load_tables, read_csv, read_jsonl
+
+
+def test_csv_header_inference(spark, tmp_path):
+    p = str(tmp_path / "training.csv")
+    with open(p, "w") as f:
+        f.write("id,d0,d1\n1,0.5,1.5\n2,2.5,3.5\n")
+    df = read_csv(spark, p)
+    assert df.columns == ["id", "d0", "d1"]
+    rows = {r["id"]: (r["d0"], r["d1"]) for r in df.collect()}
+    assert rows[1] == (0.5, 1.5)
+    assert dict(df.dtypes)["d0"] == "double"  # schema inferred
+
+
+def test_gzipped_csv(spark, tmp_path):
+    p = str(tmp_path / "tweets.csv.gz")
+    with gzip.open(p, "wt") as f:
+        f.write("tweet_id,text\n7,hello world\n")
+    df = read_csv(spark, p)
+    assert df.count() == 1 and df.first()["text"] == "hello world"
+
+
+def test_jsonl_and_glob_gz(spark, tmp_path):
+    d = tmp_path / "jsonl"
+    os.makedirs(d)
+    for i in range(2):
+        with gzip.open(str(d / f"part{i}.jsonl.gz"), "wt") as f:
+            for j in range(3):
+                f.write(json.dumps({"qid": i * 3 + j, "vector": [0.1 * j, 1.0]}) + "\n")
+    df = read_jsonl(spark, str(d / "*.jsonl.gz"))
+    assert df.count() == 6
+    assert set(df.columns) == {"qid", "vector"}
+    assert df.filter("qid = 4").first()["vector"] == [0.1, 1.0]
+
+
+def test_load_tables_registers_views(spark, sf_dir):
+    tables = load_tables(spark, sf_dir)
+    assert {"lineitem", "orders", "embeddings", "documents"} <= set(tables)
+    assert spark.sql("SELECT COUNT(*) c FROM lineitem").first()["c"] > 0
+    assert spark.table("embeddings").columns == ["vec_id", "embedding", "label"]
