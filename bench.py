@@ -104,6 +104,28 @@ def main() -> None:
             warmup=(p == 1),
         )
 
+    # --- IVF (ANN scale path): cluster-pruned search + recall --------------
+    t0 = time.perf_counter()
+    eng.create("bench_ivf", dim, "IDMap,IVF16,Flat", metric_type="INNER_PRODUCT")
+    eng.add("bench_ivf", emb.select("vec_id", "embedding"))
+    queries["ivf_build_sec"] = round(time.perf_counter() - t0, 4)
+    queries["ivf_knn_nprobe4"] = timed(
+        lambda: eng.search_flat("bench_ivf", 10, qdf48, params={"nprobe": 4}).count(),
+        warmup=True,
+    )
+    queries["ivf_knn_nprobe16"] = timed(
+        lambda: eng.search_flat("bench_ivf", 10, qdf48, params={"nprobe": 16}).count()
+    )
+    exact_hits = {
+        (r["qid"], r["label"])
+        for r in eng.search_flat("bench_ip", 10, qdf48).collect()
+    }
+    ivf_hits = {
+        (r["qid"], r["label"])
+        for r in eng.search_flat("bench_ivf", 10, qdf48, params={"nprobe": 4}).collect()
+    }
+    queries["ivf_recall_nprobe4"] = round(len(ivf_hits & exact_hits) / len(exact_hits), 4)
+
     # --- LLM-pipeline ops --------------------------------------------------
     queries["dedup_minhash_lsh"] = timed(
         lambda: entry.dedup_lsh_pairs(spark, sf_dir).count(), warmup=True
@@ -114,7 +136,7 @@ def main() -> None:
         warmup=True,
     )
 
-    non_time_keys = {"ingest_rows_per_sec", "batch_amortization"}
+    non_time_keys = {"ingest_rows_per_sec", "batch_amortization", "ivf_recall_nprobe4"}
     total = round(sum(v for k, v in queries.items() if k not in non_time_keys), 4)
     queries = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in queries.items()}
     print(json.dumps({

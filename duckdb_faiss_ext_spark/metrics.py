@@ -29,10 +29,15 @@ def _ip(q: np.ndarray, x: np.ndarray, arg: float) -> np.ndarray:
 
 
 def _l2(q: np.ndarray, x: np.ndarray, arg: float) -> np.ndarray:
-    # squared L2 via the expansion; clip tiny negatives from cancellation
-    qq = np.einsum("ij,ij->i", q, q)[:, None]
-    xx = np.einsum("ij,ij->i", x, x)[None, :]
-    d = qq + xx - 2.0 * (q @ x.T)
+    # squared L2 via the expansion, accumulated in float64: the float32
+    # expansion cancels catastrophically (||q||^2+||x||^2-2qx loses ~eps*|v|^2
+    # absolute accuracy — a self-distance came out 4e-3 at |v|~75), while
+    # float64 keeps error ~1e-11 at the same BLAS cost; result cast back
+    qd = q.astype(np.float64)
+    xd = x.astype(np.float64)
+    qq = np.einsum("ij,ij->i", qd, qd)[:, None]
+    xx = np.einsum("ij,ij->i", xd, xd)[None, :]
+    d = qq + xx - 2.0 * (qd @ xd.T)
     return np.maximum(d, 0.0)
 
 
@@ -128,20 +133,16 @@ def topk_indices(scores: np.ndarray, k: int, descending: bool) -> tuple[np.ndarr
     """Per-row top-k (indices, scores), ties broken by smaller index —
     matching FAISS's internal-id tie-break (SURVEY.md §7 known-hard #5).
 
-    Uses argpartition then a stable sort of the k candidates, the numpy
-    analogue of the reference's single batched search call
-    (searchIntoVector, faiss_extension.cpp:631).
+    Full stable argsort per row: ties break by smaller index EXACTLY (an
+    argpartition pre-cut would pick arbitrary candidates among ties that
+    straddle the k boundary — found by hypothesis).  The sort is O(n log n)
+    per row but batches are Arrow-bounded (~10k rows), so the score matmul
+    dominates; the reference's single batched call is searchIntoVector,
+    faiss_extension.cpp:631.
     """
     n = scores.shape[1]
     keys = -scores if descending else scores
     kk = min(k, n)
-    if kk < n:
-        part = np.argpartition(keys, kk - 1, axis=1)[:, :kk]
-    else:
-        part = np.broadcast_to(np.arange(n), (scores.shape[0], n)).copy()
     rows = np.arange(scores.shape[0])[:, None]
-    pk = keys[rows, part]
-    # lexsort per row: primary key score, secondary index (stable ascending)
-    order = np.lexsort((part, pk), axis=1)
-    idx = part[rows, order]
+    idx = np.argsort(keys, axis=1, kind="stable")[:, :kk]
     return idx, scores[rows, idx]

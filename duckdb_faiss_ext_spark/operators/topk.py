@@ -53,6 +53,9 @@ RESULT_ELEM = StructType(
 )
 
 
+MAX_QUERY_BATCH = 8192  # queries per broadcast chunk (keeps driver+broadcast bounded)
+
+
 def collect_queries(
     queries_df: DataFrame, qid_col: str, vec_col: str
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -148,19 +151,30 @@ def exact_knn_flat(
         return spark.createDataFrame(
             [], "qid bigint, rank int, label bigint, distance float"
         )
-    mask = probe_mask_for(qids, q) if probe_mask_for is not None else None
-    partial = partial_topk(
-        corpus_df,
-        qids,
-        q,
-        k,
-        metric,
-        metric_arg,
-        label_col=label_col,
-        vec_col=vec_col,
-        cluster_col=cluster_col,
-        probe_mask=mask,
-    )
+    # chunk the query axis: each chunk is one broadcast + one corpus pass, so
+    # an arbitrarily large query batch never exceeds driver/broadcast budgets
+    # (the corpus side remains streaming-only regardless)
+    partials = []
+    for lo in range(0, len(qids), MAX_QUERY_BATCH):
+        cq, cqids = q[lo : lo + MAX_QUERY_BATCH], qids[lo : lo + MAX_QUERY_BATCH]
+        mask = probe_mask_for(cqids, cq) if probe_mask_for is not None else None
+        partials.append(
+            partial_topk(
+                corpus_df,
+                cqids,
+                cq,
+                k,
+                metric,
+                metric_arg,
+                label_col=label_col,
+                vec_col=vec_col,
+                cluster_col=cluster_col,
+                probe_mask=mask,
+            )
+        )
+    partial = partials[0]
+    for p in partials[1:]:
+        partial = partial.unionByName(p)
     return merge_topk(partial, k, metric)
 
 

@@ -1,0 +1,75 @@
+"""Plan-shape regression tests: the physical properties that make these
+queries survive a 100x scale-up.  Loose substring checks on the formatted
+plan (resilient to cosmetic plan-format changes)."""
+
+import pyspark.sql.functions as F
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q01_scan_filter(spark, sf_dir))
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity,45.0)" in plan
+    # column pruning: only the 3 selected columns reach the scan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>" in plan
+
+
+def test_knn_partial_topk_below_exchange(spark, sf_dir):
+    """Top-k must be applied map-side (WindowGroupLimit) BEFORE the shuffle —
+    the property that bounds shuffle volume to nq*k rows per partition."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.knn_ip(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    pre, _, post = plan.partition("Exchange")
+    assert "WindowGroupLimit" in pre or plan.count("WindowGroupLimit") >= 2
+
+
+def test_small_dim_broadcast(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q04_join_groupby(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation(spark, sf_dir):
+    """groupBy must map-side combine (two HashAggregates around the shuffle)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q05_agg_multi(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_limit_is_take_ordered(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q08_topk_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no full sort for ORDER BY+LIMIT
+
+
+def test_filtered_search_is_semi_join(spark, sf_dir):
+    """Engine filtered search: the allowed-set restriction must appear as a
+    semi-join before top-k, not a post-filter."""
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.createOrReplaceTempView("plan_emb")
+    eng = FaissSparkEngine(spark)
+    eng.create("plan_idx", 64, "IDMap,Flat")
+    eng.add("plan_idx", emb.select("vec_id", "embedding"))
+    q = emb.limit(2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    flat = eng.search_flat(
+        "plan_idx", 3, q,
+        allowed_df=spark.sql("SELECT vec_id FROM plan_emb WHERE vec_id % 2 = 0"),
+    )
+    plan = _plan(flat)
+    assert "LeftSemi" in plan
+    eng.destroy("plan_idx")
