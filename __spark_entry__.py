@@ -256,6 +256,65 @@ def knn_filtered(spark, sf):
     )
 
 
+def knn_cosine(spark, sf):
+    """Brute-force cosine top-k (the near-dup/similarity-search baseline):
+    same broadcast-queries plan as knn_ip with normalized scores."""
+    e = _emb(spark, sf)
+    t = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("tv"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    d = t.crossJoin(F.broadcast(q)).select(
+        "qid", "id", V.cosine_similarity("qv", "tv").alias("cos_full")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_full").desc(), F.col("id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "id", V.round_half_up("cos_full", 4).alias("cos"), "rk")
+    )
+
+
+def ann_ivf_knn(spark, sf):
+    """ANN scale path: IVF(8) with nprobe=2 cluster pruning through the
+    engine (approximate by design -> rows-only check; recall vs exact is
+    asserted in pytest and measured in bench)."""
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+
+    e = _emb(spark, sf)
+    eng = FaissSparkEngine(spark)
+    eng.create("_entry_ivf", 64, "IDMap,IVF8,Flat", metric_type="INNER_PRODUCT")
+    eng.add("_entry_ivf", e.select("vec_id", "embedding"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    return eng.search_flat("_entry_ivf", 10, q, params={"nprobe": 2})
+
+
+def vector_centroids(spark, sf):
+    """Per-label centroid vectors (the IVF-training primitive as a query):
+    posexplode -> per-(label, dim) mean -> re-assemble ordered array.
+    Scales as one shuffle keyed on (label, dim) with partial aggregation."""
+    e = _emb(spark, sf)
+    per_dim = (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("av"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "av"))), lambda s: s["av"]
+            ).alias("centroid_raw")
+        )
+        .select(
+            "label",
+            F.transform("centroid_raw", lambda x: V.round_half_up(x, 6)).alias("centroid"),
+        )
+    )
+
+
 def knn_engine_ip(spark, sf):
     """The engine's float32 Arrow/numpy fast path (FaissSparkEngine.search) —
     FAISS-parity float32 math, so no double-precision SQL oracle; the driver
@@ -582,6 +641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ip": knn_ip,
         "knn_l2": knn_l2,
         "knn_filtered": knn_filtered,
+        "knn_cosine": knn_cosine,
+        "ann_ivf_knn": ann_ivf_knn,
+        "vector_centroids": vector_centroids,
         "knn_engine_ip": knn_engine_ip,
         "dedup_exact": dedup_exact,
         "dedup_minhash_sig": dedup_minhash_sig,
@@ -747,6 +809,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT qid, id, rk FROM ("
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
             "ORDER BY ip_full DESC, id) AS rk FROM d) WHERE rk <= 5"
+        ),
+        "knn_cosine": (
+            "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 10), "
+            "t AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS tv "
+            "FROM embeddings), "
+            "d AS (SELECT qid, id, list_inner_product(qv, tv) / "
+            "(sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(tv, tv))) "
+            "AS cos_full FROM q CROSS JOIN t) "
+            "SELECT qid, id, FLOOR(cos_full * 10000.0 + 0.5) / 10000.0 AS cos, rk "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
+            "ORDER BY cos_full DESC, id) AS rk FROM d) WHERE rk <= 10"
+        ),
+        "vector_centroids": (
+            "WITH x AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v, "
+            "generate_subscripts(embedding, 1) AS i FROM embeddings), "
+            "per AS (SELECT label, i, AVG(v) AS av FROM x GROUP BY label, i) "
+            "SELECT label, list(FLOOR(av * 1000000.0 + 0.5) / 1000000.0 ORDER BY i) "
+            "AS centroid FROM per GROUP BY label"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS cnt "
