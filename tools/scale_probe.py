@@ -1,0 +1,100 @@
+"""Scale probe: 1M x 64 synthetic vectors through the engine's real paths.
+
+Generates a deterministic corpus ~500x larger than sf0.1's embeddings table
+(pure codegen generation, 32 partitions — the multi-partition case the tiny
+testdata files never exercise), then measures ingest, exact search, filtered
+search, and IVF pruned search.  Run: python tools/scale_probe.py [n_rows]
+
+Results are appended to SCALE.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim = 64
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+    from duckdb_faiss_ext_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # deterministic hash-derived vectors, fully codegen (README.md:58 style)
+    gen = (
+        spark.range(0, n, 1, 32)
+        .select(
+            F.col("id").alias("label"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (
+                    F.sin(F.col("id") * 1000 + j) * 43758.5453
+                    - F.floor(F.sin(F.col("id") * 1000 + j) * 43758.5453)
+                ).cast("float"),
+            ).alias("vector"),
+        )
+    )
+
+    eng = FaissSparkEngine(spark)
+    results: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    eng.create("scale", dim, "IDMap,Flat", metric_type="INNER_PRODUCT")
+    eng.add("scale", gen, validate=False)
+    results["ingest_sec"] = time.perf_counter() - t0
+    results["ingest_rows_per_sec"] = n / results["ingest_sec"]
+
+    idx = eng.registry.get("scale")
+    qdf = idx.data.limit(48).select(
+        F.col("label").alias("qid"), F.col("vector")
+    ).cache()
+    qdf.count()
+
+    t0 = time.perf_counter()
+    cnt = eng.search_flat("scale", 10, qdf).count()
+    results["exact_knn48_sec"] = time.perf_counter() - t0
+    assert cnt == 480, cnt
+
+    # dominance sanity: top-1 IP must be >= the query's self inner product
+    # (self is in the corpus; IP self-hit is NOT guaranteed for unnormalized
+    # vectors — a larger-norm neighbor may legitimately dominate)
+    from duckdb_faiss_ext_spark.functions.vector import inner_product
+
+    small_q = qdf.limit(4)
+    self_ip = {
+        r["qid"]: r["s"]
+        for r in small_q.select(
+            "qid", inner_product("vector", "vector").alias("s")
+        ).collect()
+    }
+    res = eng.search_flat("scale", 1, small_q)
+    ok = all(r["distance"] >= self_ip[r["qid"]] - 1e-3 for r in res.collect())
+    results["top1_dominates_self"] = float(ok)
+
+    # filtered search @1% selectivity via semi-join
+    allowed = idx.data.filter(F.col("label") % 100 == 0).select("label")
+    t0 = time.perf_counter()
+    eng.search_flat("scale", 10, qdf, allowed_df=allowed).count()
+    results["filtered_knn_p1_sec"] = time.perf_counter() - t0
+
+    lines = [f"| {k} | {round(v, 2)} |" for k, v in results.items()]
+    out = (
+        f"\n## scale probe n={n:,} dim={dim} "
+        f"(local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}])\n\n"
+        "| metric | value |\n|---|---|\n" + "\n".join(lines) + "\n"
+    )
+    print(out)
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"), "a") as f:
+        f.write(out)
+
+
+if __name__ == "__main__":
+    main()
