@@ -486,6 +486,56 @@ def media_features(spark, sf):
     )
 
 
+def similarity_join_topk(spark, sf):
+    """similarity_join (M6): for each left row (vec_id < 8), the 4 nearest
+    right rows by inner product.  Runs the distributed mapInArrow top-k
+    kernel end-to-end in float64 so the actual scale path is oracle-checked
+    (the float32 FAISS-parity twin is knn_engine_ip, rows-only)."""
+    import numpy as np
+
+    from duckdb_faiss_ext_spark.operators.simjoin import similarity_join
+
+    e = _emb(spark, sf)
+    out = similarity_join(
+        e.filter(F.col("vec_id") < 8),
+        e,
+        4,
+        metric="INNER_PRODUCT",
+        left_id="vec_id",
+        left_vec="embedding",
+        right_id="vec_id",
+        right_vec="embedding",
+        dtype=np.float64,
+    )
+    return out.select(
+        F.col("vec_id").alias("qid"),
+        (F.col("rank") + 1).cast("bigint").alias("rk"),
+        F.col("vec_id_right").alias("id"),
+        V.round_half_up("distance", 4).alias("ip"),
+    )
+
+
+def sessionize_events(spark, sf):
+    """Gap-based sessionization of the events stream (30-min gap): batch twin
+    of streaming.sessionize_stream (applyInPandasWithState); identical
+    semantics pinned by tests/test_sessionize.py.  `ts DIV 1000000` = exact
+    integer ns->ms floor (the parquet stores timestamp[ns], which Spark reads
+    as BIGINT nanos and DuckDB as TIMESTAMP)."""
+    from duckdb_faiss_ext_spark.streaming.sessionize import sessionize_batch
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.expr("ts DIV 1000000").alias("ts_ms"), "value"
+    )
+    s = sessionize_batch(ev, gap_seconds=1800)
+    return s.select(
+        "user_id",
+        "session_start_ms",
+        "session_end_ms",
+        "n_events",
+        V.round_half_up("sum_value", 2).alias("sv"),
+    )
+
+
 # ------------------------------------------------- LLM-pipeline: dedup/text
 
 
@@ -645,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_knn": ann_ivf_knn,
         "vector_centroids": vector_centroids,
         "knn_engine_ip": knn_engine_ip,
+        "similarity_join_topk": similarity_join_topk,
+        "sessionize_events": sessionize_events,
         "dedup_exact": dedup_exact,
         "dedup_minhash_sig": dedup_minhash_sig,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -821,6 +873,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT qid, id, FLOOR(cos_full * 10000.0 + 0.5) / 10000.0 AS cos, rk "
             "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
             "ORDER BY cos_full DESC, id) AS rk FROM d) WHERE rk <= 10"
+        ),
+        "similarity_join_topk": (
+            "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 8), "
+            "t AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS tv "
+            "FROM embeddings), "
+            "d AS (SELECT qid, id, list_inner_product(qv, tv) AS ip_full "
+            "FROM q CROSS JOIN t) "
+            "SELECT qid, rk, id, FLOOR(ip_full * 10000.0 + 0.5) / 10000.0 AS ip "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
+            "ORDER BY ip_full DESC, id) AS rk FROM d) WHERE rk <= 4"
+        ),
+        "sessionize_events": (
+            "WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value "
+            "FROM events), "
+            "f AS (SELECT user_id, ts_ms, value, "
+            "CASE WHEN ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id "
+            "ORDER BY ts_ms) > 1800000 THEN 1 ELSE 0 END AS nf FROM ev), "
+            "s AS (SELECT user_id, ts_ms, value, SUM(nf) OVER ("
+            "PARTITION BY user_id ORDER BY ts_ms) AS sid FROM f) "
+            "SELECT user_id, MIN(ts_ms) AS session_start_ms, "
+            "MAX(ts_ms) AS session_end_ms, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sv "
+            "FROM s GROUP BY user_id, sid"
         ),
         "vector_centroids": (
             "WITH x AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v, "

@@ -120,13 +120,18 @@ def is_descending(metric: str) -> bool:
 
 
 def pairwise(
-    q: np.ndarray, x: np.ndarray, metric: str, metric_arg: float = 0.0
+    q: np.ndarray,
+    x: np.ndarray,
+    metric: str,
+    metric_arg: float = 0.0,
+    dtype: type = np.float32,
 ) -> np.ndarray:
-    """(nq, n) score matrix in float32, FAISS conventions."""
+    """(nq, n) score matrix, FAISS conventions.  float32 (FAISS parity) by
+    default; float64 for double-precision oracle-parity paths."""
     kernel, _ = METRICS[resolve_metric(metric)]
-    q = np.ascontiguousarray(q, dtype=np.float32)
-    x = np.ascontiguousarray(x, dtype=np.float32)
-    return kernel(q, x, metric_arg).astype(np.float32, copy=False)
+    q = np.ascontiguousarray(q, dtype=dtype)
+    x = np.ascontiguousarray(x, dtype=dtype)
+    return kernel(q, x, metric_arg).astype(dtype, copy=False)
 
 
 def topk_indices(scores: np.ndarray, k: int, descending: bool) -> tuple[np.ndarray, np.ndarray]:

@@ -25,13 +25,21 @@ def similarity_join(
     left_vec: str = "vector",
     right_id: str = "id",
     right_vec: str = "vector",
+    dtype=None,
 ) -> DataFrame:
-    """(left_id, rank, right_id, distance) — k nearest right rows per left row."""
+    """(left_id, rank, right_id, distance) — k nearest right rows per left row.
+
+    ``dtype`` numpy float type for the distance kernel (default float32,
+    FAISS parity; float64 for the double-precision oracle-checked path)."""
+    import numpy as np
+
     q = left.select(F.col(left_id).alias("qid"), F.col(left_vec).alias("vector"))
     corpus = right.select(
         F.col(right_id).alias("label"), F.col(right_vec).alias("vector")
     )
-    flat = exact_knn_flat(corpus, q, k, metric=metric)
+    flat = exact_knn_flat(
+        corpus, q, k, metric=metric, dtype=dtype if dtype is not None else np.float32
+    )
     return flat.select(
         F.col("qid").alias(left_id),
         "rank",

@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -44,6 +45,14 @@ PARTIAL_SCHEMA = StructType(
     ]
 )
 
+PARTIAL_SCHEMA_F64 = StructType(
+    [
+        StructField("qid", LongType(), False),
+        StructField("label", LongType(), False),
+        StructField("distance", DoubleType(), False),
+    ]
+)
+
 RESULT_ELEM = StructType(
     [
         StructField("rank", IntegerType(), False),
@@ -57,7 +66,7 @@ MAX_QUERY_BATCH = 8192  # queries per broadcast chunk (keeps driver+broadcast bo
 
 
 def collect_queries(
-    queries_df: DataFrame, qid_col: str, vec_col: str
+    queries_df: DataFrame, qid_col: str, vec_col: str, dtype: type = np.float32
 ) -> tuple[np.ndarray, np.ndarray]:
     """Driver-side materialization of the query batch (the small side).
 
@@ -66,7 +75,7 @@ def collect_queries(
     """
     pdf = queries_df.select(qid_col, vec_col).toPandas()
     qids = pdf[qid_col].to_numpy(dtype=np.int64)
-    q = np.asarray(list(pdf[vec_col]), dtype=np.float32)
+    q = np.asarray(list(pdf[vec_col]), dtype=dtype)
     return qids, q
 
 
@@ -81,24 +90,49 @@ def partial_topk(
     vec_col: str = "vector",
     cluster_col: Optional[str] = None,
     probe_mask: Optional[np.ndarray] = None,
+    dtype: type = np.float32,
 ) -> DataFrame:
-    """Per-partition top-k candidates: ≤ nq*k rows per Arrow batch."""
+    """Per-partition top-k candidates: ≤ nq*k rows per Arrow batch.
+
+    Uses ``mapInArrow`` for zero-copy vector decode: the list<float> column's
+    flattened child buffer reshapes straight into a (n, d) matrix — no
+    per-row Python object materialization (which dominated runtime at the
+    1M-row scale probe before this).
+
+    ``dtype`` float32 (default) mirrors FAISS's internal precision; float64
+    is for double-precision parity paths (oracle-checked queries)."""
+    import pyarrow as pa
+
     desc = is_descending(metric)
+    dim = int(q.shape[1])
     spark = corpus_df.sparkSession
-    bq = spark.sparkContext.broadcast((qids, q, probe_mask))
+    bq = spark.sparkContext.broadcast((qids, np.asarray(q, dtype=dtype), probe_mask))
     cols = [label_col, vec_col] + ([cluster_col] if cluster_col else [])
     narrow = corpus_df.select(*cols)
+    pa_dist = pa.float32() if dtype is np.float32 else pa.float64()
+    out_type = pa.schema(
+        [("qid", pa.int64()), ("label", pa.int64()), ("distance", pa_dist)]
+    )
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         qids_, q_, mask_ = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            x = np.asarray(list(pdf[vec_col]), dtype=np.float32)
-            labels = pdf[label_col].to_numpy(dtype=np.int64)
-            scores = pairwise(q_, x, metric, metric_arg)
+            vec_arr = rb.column(1)
+            flat = vec_arr.flatten()
+            values = flat.to_numpy(zero_copy_only=False)
+            if len(values) == n * dim:
+                x = np.ascontiguousarray(values.reshape(n, dim), dtype=dtype)
+            else:  # ragged rows (bad data) — fall back to per-row conversion
+                x = np.asarray(
+                    [np.asarray(v, dtype=dtype) for v in vec_arr.to_pylist()]
+                )
+            labels = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            scores = pairwise(q_, x, metric, metric_arg, dtype=dtype)
             if mask_ is not None and cluster_col is not None:
-                clusters = pdf[cluster_col].to_numpy(dtype=np.int64)
+                clusters = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
                 allowed = mask_[:, clusters]  # (nq, batch)
                 fill = -np.inf if desc else np.inf
                 scores = np.where(allowed, scores, np.float32(fill))
@@ -108,11 +142,17 @@ def partial_topk(
             out_l = labels[idx.ravel()]
             out_s = sc.ravel()
             keep = np.isfinite(out_s)
-            yield pd.DataFrame(
-                {"qid": out_q[keep], "label": out_l[keep], "distance": out_s[keep]}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q[keep], pa.int64()),
+                    pa.array(out_l[keep], pa.int64()),
+                    pa.array(out_s[keep], pa_dist),
+                ],
+                schema=out_type,
             )
 
-    return narrow.mapInPandas(score, schema=PARTIAL_SCHEMA)
+    schema = PARTIAL_SCHEMA if dtype is np.float32 else PARTIAL_SCHEMA_F64
+    return narrow.mapInArrow(score, schema=schema)
 
 
 def merge_topk(partial: DataFrame, k: int, metric: str) -> DataFrame:
@@ -143,13 +183,15 @@ def exact_knn_flat(
     q_vec_col: str = "vector",
     cluster_col: Optional[str] = None,
     probe_mask_for: Optional[callable] = None,
+    dtype: type = np.float32,
 ) -> DataFrame:
     """Flattened result: (qid BIGINT, rank INT, label BIGINT, distance FLOAT)."""
-    qids, q = collect_queries(queries_df, qid_col, q_vec_col)
+    qids, q = collect_queries(queries_df, qid_col, q_vec_col, dtype=dtype)
     if len(qids) == 0:
         spark = corpus_df.sparkSession
+        dist_t = "float" if dtype is np.float32 else "double"
         return spark.createDataFrame(
-            [], "qid bigint, rank int, label bigint, distance float"
+            [], f"qid bigint, rank int, label bigint, distance {dist_t}"
         )
     # chunk the query axis: each chunk is one broadcast + one corpus pass, so
     # an arbitrarily large query batch never exceeds driver/broadcast budgets
@@ -170,6 +212,7 @@ def exact_knn_flat(
                 vec_col=vec_col,
                 cluster_col=cluster_col,
                 probe_mask=mask,
+                dtype=dtype,
             )
         )
     partial = partials[0]

@@ -1,0 +1,95 @@
+import os
+import time
+
+import pytest
+
+from duckdb_faiss_ext_spark.streaming.sessionize import (
+    sessionize_batch,
+    sessionize_stream,
+)
+
+
+@pytest.fixture()
+def events_rows():
+    # user 1: two sessions (gap 10s, events 2s apart); user 2: one session
+    return [
+        (1, 0, 1.0),
+        (1, 2_000, 2.0),
+        (1, 4_000, 3.0),
+        (1, 60_000, 4.0),  # > 10s gap -> new session
+        (1, 61_000, 5.0),
+        (2, 0, 10.0),
+        (2, 1_000, 10.0),
+    ]
+
+
+def test_sessionize_batch_semantics(spark, events_rows):
+    df = spark.createDataFrame(events_rows, "user_id bigint, ts_ms bigint, value double")
+    out = {(r["user_id"], r["session_start_ms"]): r
+           for r in sessionize_batch(df, gap_seconds=10).collect()}
+    assert len(out) == 3
+    s1 = out[(1, 0)]
+    assert s1["session_end_ms"] == 4_000 and s1["n_events"] == 3 and s1["sum_value"] == 6.0
+    s2 = out[(1, 60_000)]
+    assert s2["session_end_ms"] == 61_000 and s2["n_events"] == 2 and s2["sum_value"] == 9.0
+    s3 = out[(2, 0)]
+    assert s3["n_events"] == 2 and s3["sum_value"] == 20.0
+
+
+def test_sessionize_stream_matches_batch(spark, events_rows, tmp_path):
+    """Feed the same events through the stateful streaming operator.  Sessions
+    close two ways: a later event proves the gap passed (in-batch), or the
+    processing-time timeout fires (open tail).  Poll the sink with a deadline —
+    `processAllAvailable()` never settles because state-cleanup batches keep
+    the trigger active indefinitely under ProcessingTimeTimeout."""
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    df = spark.createDataFrame(events_rows, "user_id bigint, ts_ms bigint, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user_id bigint, ts_ms bigint, value double").parquet(src)
+    out = sessionize_stream(stream, gap_seconds=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        expected = {
+            (r["user_id"], r["session_start_ms"]): r
+            for r in sessionize_batch(df, gap_seconds=10).collect()
+        }
+        deadline = time.time() + 120
+        got = {}
+        while time.time() < deadline and len(got) < len(expected):
+            if not q.isActive:  # surfaces the stream's exception, if any
+                raise AssertionError(f"stream died: {q.exception()}")
+            time.sleep(2)
+            got = {
+                (r["user_id"], r["session_start_ms"]): r
+                for r in spark.sql("SELECT * FROM sessions_out").collect()
+            }
+    finally:
+        q.stop()
+    assert set(got) == set(expected)
+    for key, exp in expected.items():
+        g = got[key]
+        assert g["session_end_ms"] == exp["session_end_ms"]
+        assert g["n_events"] == exp["n_events"]
+        assert g["sum_value"] == exp["sum_value"]
+
+
+def test_sessionize_batch_on_real_events(spark, sf_dir):
+    """Real events table: sessions partition the event stream exactly."""
+    from duckdb_faiss_ext_spark.streaming.ingest import events_ts_as_timestamp
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", (F.col("ts") / 1_000_000).cast("bigint").alias("ts_ms"), "value"
+    )
+    sessions = sessionize_batch(ev, gap_seconds=3600)
+    n_events = ev.count()
+    assert sessions.agg(F.sum("n_events")).first()[0] == n_events
+    bad = sessions.filter(F.col("session_end_ms") < F.col("session_start_ms")).count()
+    assert bad == 0
