@@ -291,6 +291,21 @@ def ann_ivf_knn(spark, sf):
     return eng.search_flat("_entry_ivf", 10, q, params={"nprobe": 2})
 
 
+def ann_lsh_knn(spark, sf):
+    """ANN scale path #2: random-hyperplane LSH bucket-join ANN for cosine
+    (approximate candidate set, exact re-ranked distances -> rows-only
+    check; recall vs exact asserted in pytest, measured in bench).  Unlike
+    IVF this needs NO training pass — signatures are data-independent."""
+    from duckdb_faiss_ext_spark.operators.lsh import lsh_ann_cosine
+
+    e = _emb(spark, sf)
+    corpus = e.select(F.col("vec_id").alias("label"), F.col("embedding").alias("vector"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    return lsh_ann_cosine(corpus, q, 10, 64, n_planes=4, n_tables=8)
+
+
 def vector_centroids(spark, sf):
     """Per-label centroid vectors (the IVF-training primitive as a query):
     posexplode -> per-(label, dim) mean -> re-assemble ordered array.
@@ -693,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered": knn_filtered,
         "knn_cosine": knn_cosine,
         "ann_ivf_knn": ann_ivf_knn,
+        "ann_lsh_knn": ann_lsh_knn,
         "vector_centroids": vector_centroids,
         "knn_engine_ip": knn_engine_ip,
         "similarity_join_topk": similarity_join_topk,

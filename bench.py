@@ -126,6 +126,22 @@ def main() -> None:
     }
     queries["ivf_recall_nprobe4"] = round(len(ivf_hits & exact_hits) / len(exact_hits), 4)
 
+    # --- LSH ANN (training-free scale path): bucket-join + recall ----------
+    from duckdb_faiss_ext_spark.operators.lsh import lsh_ann_cosine
+
+    corpus = emb.select(
+        F.col("vec_id").alias("label"), F.col("embedding").alias("vector")
+    )
+    queries["lsh_knn_4x8"] = timed(
+        lambda: lsh_ann_cosine(corpus, qdf48, 10, dim, n_planes=4, n_tables=8).count(),
+        warmup=True,
+    )
+    lsh_hits = {
+        (r["qid"], r["label"])
+        for r in lsh_ann_cosine(corpus, qdf48, 10, dim, n_planes=4, n_tables=8).collect()
+    }
+    queries["lsh_recall_4x8"] = round(len(lsh_hits & exact_hits) / len(exact_hits), 4)
+
     # --- LLM-pipeline ops --------------------------------------------------
     queries["dedup_minhash_lsh"] = timed(
         lambda: entry.dedup_lsh_pairs(spark, sf_dir).count(), warmup=True
@@ -136,7 +152,12 @@ def main() -> None:
         warmup=True,
     )
 
-    non_time_keys = {"ingest_rows_per_sec", "batch_amortization", "ivf_recall_nprobe4"}
+    non_time_keys = {
+        "ingest_rows_per_sec",
+        "batch_amortization",
+        "ivf_recall_nprobe4",
+        "lsh_recall_4x8",
+    }
     total = round(sum(v for k, v in queries.items() if k not in non_time_keys), 4)
     queries = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in queries.items()}
     print(json.dumps({

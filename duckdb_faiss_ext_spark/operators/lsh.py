@@ -1,0 +1,163 @@
+"""Random-hyperplane LSH approximate nearest neighbor — the bucketed scale
+path for cosine similarity (the IVF alternative from SURVEY.md §7 M6).
+
+Reference parity note: the reference's ANN surface is FAISS factory strings
+(HNSW/IVF, src/faiss_extension.cpp:96-121 via faiss::index_factory); this
+operator is the *beyond-reference* LSH variant a 100 TB training-data
+pipeline wants when KMeans training itself is too expensive: signatures are
+data-independent (no training pass), so index build is a single narrow map.
+
+Physical plan (no cross join, no full shuffle of the corpus):
+
+1. ``n_tables`` independent signatures, each from ``n_planes`` random
+   hyperplanes (seeded, so signatures are deterministic and re-computable on
+   read — the "index" can be persisted as plain parquet or rebuilt for free);
+2. corpus rows and query rows hash to (table, bucket) keys; candidates =
+   equi-join on the key — Catalyst plans a shuffle-hash/broadcast join on a
+   key whose cardinality we control via n_planes (expected bucket size =
+   n / 2^n_planes);
+3. exact cosine re-rank of candidates per query, Window top-k — identical
+   tie-break (score desc, label asc) to the exact kernel so results are
+   comparable 1:1 with exact_knn_flat output.
+
+Recall/latency knobs: more tables -> higher recall (union of candidates),
+more planes -> smaller buckets -> faster but lower recall.  The analogue of
+the reference's nprobe/efSearch search-time knobs (faiss_extension.cpp:
+668-727) is (n_tables, n_planes) chosen at signature time.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+__all__ = ["lsh_signatures", "lsh_ann_cosine"]
+
+
+def _planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    """(n_tables, n_planes, dim) float32 hyperplane normals, deterministic."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, table INT, bucket BIGINT) — one row per (input row, table).
+
+    Sign-bit signature: bucket = sum_j (v . plane_j > 0) << j.  Arrow-batched
+    numpy; the (tables*planes, dim) matrix rides a broadcast variable, one
+    matmul per batch covers all tables at once."""
+    import pyarrow as pa
+
+    planes = _planes(dim, n_planes, n_tables, seed)
+    spark = df.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    out_schema = pa.schema(
+        [("id", pa.int64()), ("table", pa.int32()), ("bucket", pa.int64())]
+    )
+
+    def sign(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        pl = bp.value  # (T, P, d)
+        T, P, d = pl.shape
+        flat_planes = pl.reshape(T * P, d)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            values = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            if len(values) == n * d:
+                x = np.ascontiguousarray(values.reshape(n, d), dtype=np.float32)
+            else:
+                x = np.asarray(
+                    [np.asarray(v, dtype=np.float32) for v in rb.column(1).to_pylist()]
+                )
+            bits = (x @ flat_planes.T) > 0  # (n, T*P)
+            bits = bits.reshape(n, T, P)
+            buckets = (bits * weights).sum(axis=2)  # (n, T) int64
+            out_id = np.repeat(ids, T)
+            out_t = np.tile(np.arange(T, dtype=np.int32), n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_t, pa.int32()),
+                    pa.array(buckets.ravel(), pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
+    narrow = df.select(F.col(id_col).cast("bigint"), vec_col)
+    return narrow.mapInArrow(sign, schema="id bigint, table int, bucket bigint")
+
+
+def lsh_ann_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    label_col: str = "label",
+    vec_col: str = "vector",
+    qid_col: str = "qid",
+    q_vec_col: str = "vector",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: (qid, rank, label, distance).
+
+    Candidates = bucket-collision in ANY table (distinct), re-ranked with the
+    exact double-precision cosine — so every returned distance is exact; only
+    the candidate set is approximate (standard LSH contract)."""
+    c_sig = lsh_signatures(
+        corpus, dim, label_col, vec_col, n_planes, n_tables, seed
+    ).withColumnRenamed("id", "label")
+    q_sig = lsh_signatures(
+        queries, dim, qid_col, q_vec_col, n_planes, n_tables, seed
+    ).withColumnRenamed("id", "qid")
+
+    # the query side is tiny: broadcast its signatures so candidate discovery
+    # never shuffles the corpus signature table
+    cand = (
+        c_sig.join(F.broadcast(q_sig), ["table", "bucket"])
+        .select("qid", "label")
+        .distinct()
+    )
+
+    cvec = corpus.select(
+        F.col(label_col).cast("bigint").alias("label"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    qvec = queries.select(
+        F.col(qid_col).cast("bigint").alias("qid"),
+        F.col(q_vec_col).cast("array<double>").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        cand.join(F.broadcast(qvec), "qid")
+        .join(cvec, "label")
+        .withColumn("distance", dot / (norm(F.col("qv")) * norm(F.col("cv"))))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("distance").desc(), F.col("label").asc())
+    return (
+        scored.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+        .filter(F.col("rank") < k)
+        .select("qid", "rank", "label", "distance")
+    )
