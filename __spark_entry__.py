@@ -291,6 +291,35 @@ def ann_ivf_knn(spark, sf):
     return eng.search_flat("_entry_ivf", 10, q, params={"nprobe": 2})
 
 
+def knn_majority_vote(spark, sf):
+    """The reference's classification pipeline (examples/ai.py:45-56): k-NN
+    search, join neighbor labels back, majority vote per query with the
+    per-group-argmax pattern (count desc, label asc tie-break).  End-to-end:
+    search -> UNNEST-join -> GROUP BY -> argmax, all one declarative plan."""
+    e = _emb(spark, sf)
+    t = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("tv"))
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    d = t.crossJoin(F.broadcast(q)).select(
+        "qid", "id", V.inner_product("qv", "tv").alias("ip_full")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("ip_full").desc(), F.col("id"))
+    nn = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    labels = e.select(F.col("vec_id").alias("id"), F.col("label").cast("bigint").alias("nlabel"))
+    votes = (
+        nn.join(F.broadcast(labels), "id")
+        .groupBy("qid", "nlabel")
+        .agg(F.count("*").alias("votes"))
+    )
+    vw = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("nlabel"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("qid", F.col("nlabel").alias("pred"), "votes")
+    )
+
+
 def ann_lsh_knn(spark, sf):
     """ANN scale path #2: random-hyperplane LSH bucket-join ANN for cosine
     (approximate candidate set, exact re-ranked distances -> rows-only
@@ -711,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_knn": ann_lsh_knn,
         "vector_centroids": vector_centroids,
         "knn_engine_ip": knn_engine_ip,
+        "knn_majority_vote": knn_majority_vote,
         "similarity_join_topk": similarity_join_topk,
         "sessionize_events": sessionize_events,
         "dedup_exact": dedup_exact,
@@ -889,6 +919,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT qid, id, FLOOR(cos_full * 10000.0 + 0.5) / 10000.0 AS cos, rk "
             "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
             "ORDER BY cos_full DESC, id) AS rk FROM d) WHERE rk <= 10"
+        ),
+        "knn_majority_vote": (
+            "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 20), "
+            "t AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS tv "
+            "FROM embeddings), "
+            "d AS (SELECT qid, id, list_inner_product(qv, tv) AS ip_full "
+            "FROM q CROSS JOIN t), "
+            "nn AS (SELECT qid, id FROM (SELECT *, ROW_NUMBER() OVER ("
+            "PARTITION BY qid ORDER BY ip_full DESC, id) AS rk FROM d) "
+            "WHERE rk <= 5), "
+            "v AS (SELECT nn.qid, CAST(e.label AS BIGINT) AS nlabel, "
+            "CAST(COUNT(*) AS BIGINT) AS votes FROM nn "
+            "JOIN embeddings e ON nn.id = e.vec_id GROUP BY nn.qid, e.label) "
+            "SELECT qid, nlabel AS pred, votes FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
+            "ORDER BY votes DESC, nlabel) AS vr FROM v) WHERE vr = 1"
         ),
         "similarity_join_topk": (
             "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "

@@ -246,7 +246,13 @@ class FaissSparkEngine:
             return pd.Series(ids[:, 0].astype(np.int32))
 
         assign_udf = F.pandas_udf(assign, "int")
-        return vecs.withColumn("cluster_id", assign_udf(F.col("vector")))
+        assigned = vecs.withColumn("cluster_id", assign_udf(F.col("vector")))
+        # co-locate clusters: one ingest-time shuffle so nprobe searches'
+        # cluster_id IN (...) pre-filter skips whole partitions instead of
+        # sifting every partition for matching rows (at real scale, paired
+        # with cluster-partitioned parquet in save(), this becomes directory-
+        # level partition pruning on load)
+        return assigned.repartition("cluster_id")
 
     # ---------------------------------------------------------------- search
 
@@ -378,7 +384,12 @@ class FaissSparkEngine:
         idx = self.registry.get(name)
         os.makedirs(path, exist_ok=True)
         if idx.data is not None:
-            idx.data.write.mode("overwrite").parquet(os.path.join(path, "data.parquet"))
+            writer = idx.data.write.mode("overwrite")
+            if "cluster_id" in idx.data.columns:
+                # cluster-partitioned layout: loads of an IVF index prune
+                # non-probed clusters at the directory level
+                writer = writer.partitionBy("cluster_id")
+            writer.parquet(os.path.join(path, "data.parquet"))
         meta = {
             "name": idx.name,
             "dim": idx.dim,

@@ -85,6 +85,17 @@ def _jensenshannon(q, x, arg):
     return 0.5 * (t1 + t2).sum(axis=2)
 
 
+def _cosine(q, x, arg):
+    # beyond-reference metric (FAISS expects normalize-then-IP; training-data
+    # pipelines want cosine directly).  Norms in float64 for stability.
+    qd = q.astype(np.float64)
+    xd = x.astype(np.float64)
+    qn = np.linalg.norm(qd, axis=1)[:, None]
+    xn = np.linalg.norm(xd, axis=1)[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(qn * xn > 0, (qd @ xd.T) / (qn * xn), 0.0)
+
+
 def _jaccard(q, x, arg):
     num = np.minimum(q[:, None, :], x[None, :, :]).sum(axis=2)
     den = np.maximum(q[:, None, :], x[None, :, :]).sum(axis=2)
@@ -104,6 +115,9 @@ METRICS: dict[str, tuple] = {
     "BrayCurtis": (_braycurtis, False),
     "JensenShannon": (_jensenshannon, False),
     "Jaccard": (_jaccard, True),
+    # beyond the reference's table (faiss_extension.cpp:58-68): direct cosine,
+    # used by the LSH ANN path and cosine near-dup ops
+    "COSINE": (_cosine, True),
 }
 
 

@@ -16,9 +16,10 @@ Physical plan (no cross join, no full shuffle of the corpus):
    equi-join on the key — Catalyst plans a shuffle-hash/broadcast join on a
    key whose cardinality we control via n_planes (expected bucket size =
    n / 2^n_planes);
-3. exact cosine re-rank of candidates per query, Window top-k — identical
-   tie-break (score desc, label asc) to the exact kernel so results are
-   comparable 1:1 with exact_knn_flat output.
+3. exact cosine re-rank: the corpus is restricted to the union of candidate
+   labels via a broadcast semi-join (corpus never shuffles), then the exact
+   top-k kernel runs over the survivors — identical tie-break (score desc,
+   label asc), so results are comparable 1:1 with exact_knn_flat output.
 
 Recall/latency knobs: more tables -> higher recall (union of candidates),
 more planes -> smaller buckets -> faster but lower recall.  The analogue of
@@ -32,7 +33,9 @@ from typing import Iterator
 
 import numpy as np
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
+
+from duckdb_faiss_ext_spark.operators.topk import exact_knn_flat
 
 __all__ = ["lsh_signatures", "lsh_ann_cosine"]
 
@@ -128,36 +131,26 @@ def lsh_ann_cosine(
 
     # the query side is tiny: broadcast its signatures so candidate discovery
     # never shuffles the corpus signature table
-    cand = (
+    cand_labels = (
         c_sig.join(F.broadcast(q_sig), ["table", "bucket"])
-        .select("qid", "label")
+        .select("label")
         .distinct()
     )
 
-    cvec = corpus.select(
+    # re-rank = exact top-k kernel over the corpus RESTRICTED to the union of
+    # all queries' candidates.  The restriction is a broadcast left-semi join,
+    # so the corpus (the 100 TB side) is never shuffled — its vectors stream
+    # through the JVM filter straight into the Arrow kernel.  Using the union
+    # (instead of per-(qid,label) pair masking) only ADDS candidates a bucket
+    # collision found for a different query: distances stay exact, recall can
+    # only improve, and the plan loses a 500 MB/1M-row vector shuffle that
+    # dominated the first version of this operator at the scale probe.
+    filtered = corpus.select(
         F.col(label_col).cast("bigint").alias("label"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    )
-    qvec = queries.select(
+        F.col(vec_col).alias("vector"),
+    ).join(F.broadcast(cand_labels), "label", "left_semi")
+    q = queries.select(
         F.col(qid_col).cast("bigint").alias("qid"),
-        F.col(q_vec_col).cast("array<double>").alias("qv"),
+        F.col(q_vec_col).alias("vector"),
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    scored = (
-        cand.join(F.broadcast(qvec), "qid")
-        .join(cvec, "label")
-        .withColumn("distance", dot / (norm(F.col("qv")) * norm(F.col("cv"))))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("distance").desc(), F.col("label").asc())
-    return (
-        scored.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
-        .filter(F.col("rank") < k)
-        .select("qid", "rank", "label", "distance")
-    )
+    return exact_knn_flat(filtered, q, k, metric="COSINE", dtype=np.float64)

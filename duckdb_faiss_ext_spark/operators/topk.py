@@ -200,9 +200,17 @@ def exact_knn_flat(
     for lo in range(0, len(qids), MAX_QUERY_BATCH):
         cq, cqids = q[lo : lo + MAX_QUERY_BATCH], qids[lo : lo + MAX_QUERY_BATCH]
         mask = probe_mask_for(cqids, cq) if probe_mask_for is not None else None
+        chunk_corpus = corpus_df
+        if mask is not None and cluster_col is not None:
+            # JVM-side scan reduction: rows in clusters no query probes never
+            # reach the Python kernel.  On cluster-partitioned storage this
+            # IN-filter becomes partition/row-group pruning — the actual IVF
+            # scale win (the per-query mask below only avoids arithmetic).
+            probed = [int(c) for c in np.where(mask.any(axis=0))[0]]
+            chunk_corpus = corpus_df.filter(F.col(cluster_col).isin(probed))
         partials.append(
             partial_topk(
-                corpus_df,
+                chunk_corpus,
                 cqids,
                 cq,
                 k,

@@ -12,7 +12,8 @@ from duckdb_faiss_ext_spark.metrics import (
 
 
 def test_metric_table_matches_reference():
-    # faiss_extension.cpp:58-68 — the 9 supported metric names
+    # faiss_extension.cpp:58-68 — the 9 supported metric names must all be
+    # present; COSINE is a documented beyond-reference addition
     assert set(METRICS) == {
         "INNER_PRODUCT",
         "L2",
@@ -23,10 +24,22 @@ def test_metric_table_matches_reference():
         "BrayCurtis",
         "JensenShannon",
         "Jaccard",
+        "COSINE",
     }
     assert resolve_metric(None) == "INNER_PRODUCT"  # default, :105
     assert is_descending("INNER_PRODUCT") and is_descending("Jaccard")
+    assert is_descending("COSINE")
     assert not is_descending("L2")
+
+
+def test_cosine_kernel():
+    q = np.array([[1.0, 0.0], [1.0, 1.0]], dtype=np.float32)
+    x = np.array([[2.0, 0.0], [0.0, 3.0], [0.0, 0.0]], dtype=np.float32)
+    s = pairwise(q, x, "COSINE", dtype=np.float64)
+    assert abs(s[0, 0] - 1.0) < 1e-12  # parallel
+    assert abs(s[0, 1]) < 1e-12  # orthogonal
+    assert s[0, 2] == 0.0  # zero vector -> defined as 0
+    assert abs(s[1, 1] - np.sqrt(0.5)) < 1e-12
 
 
 def test_unknown_metric_raises():

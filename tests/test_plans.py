@@ -73,3 +73,28 @@ def test_filtered_search_is_semi_join(spark, sf_dir):
     plan = _plan(flat)
     assert "LeftSemi" in plan
     eng.destroy("plan_idx")
+
+
+def test_lsh_ann_bucket_join_not_cartesian(spark, sf_dir):
+    """LSH candidate discovery must be an equi-join on (table, bucket) with
+    the tiny query side broadcast — never a cartesian product."""
+    from duckdb_faiss_ext_spark.operators.lsh import lsh_ann_cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("label"), F.col("embedding").alias("vector"))
+    q = emb.limit(4).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("vector"))
+    plan = _plan(lsh_ann_cosine(corpus, q, 5, 64))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sessionize_partial_aggregation(spark, sf_dir):
+    """Session aggregation must map-side combine: the post-window shuffle
+    carries one partial row per (user, session), not one per event."""
+    from duckdb_faiss_ext_spark.streaming.sessionize import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr("ts DIV 1000000").alias("ts_ms"), "value"
+    )
+    plan = _plan(sessionize_batch(ev, gap_seconds=1800))
+    assert plan.count("HashAggregate") >= 2

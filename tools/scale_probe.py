@@ -88,6 +88,26 @@ def main() -> None:
     eng.search_flat("scale", 10, qdf, allowed_df=allowed).count()
     results["filtered_knn_p1_sec"] = time.perf_counter() - t0
 
+    # IVF pruned search: train on a sample, nprobe=4/32 clusters — the path
+    # that replaces full scans once the corpus outgrows one pass
+    t0 = time.perf_counter()
+    eng.create("scale_ivf", dim, "IDMap,IVF32,Flat", metric_type="INNER_PRODUCT")
+    eng.add("scale_ivf", idx.data.select("label", "vector"), validate=False)
+    results["ivf32_build_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    eng.search_flat("scale_ivf", 10, qdf, params={"nprobe": 4}).count()
+    results["ivf_knn48_nprobe4_sec"] = time.perf_counter() - t0
+
+    # LSH bucket-join ANN: training-free; candidates via (table, bucket) join
+    from duckdb_faiss_ext_spark.operators.lsh import lsh_ann_cosine
+
+    lsh_q = qdf.limit(8)
+    t0 = time.perf_counter()
+    lsh_ann_cosine(
+        idx.data, lsh_q, 10, dim, n_planes=10, n_tables=4
+    ).count()  # 10 planes -> ~n/1024 rows per bucket
+    results["lsh_knn8_sec"] = time.perf_counter() - t0
+
     lines = [f"| {k} | {round(v, 2)} |" for k, v in results.items()]
     out = (
         f"\n## scale probe n={n:,} dim={dim} "
