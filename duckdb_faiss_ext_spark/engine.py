@@ -218,7 +218,15 @@ class FaissSparkEngine:
             from pyspark.ml.clustering import KMeans
             from pyspark.ml.functions import array_to_vector
 
-            ml_df = vec_df.select(
+            # FAISS subsamples training to ~256 points per centroid
+            # (Clustering::max_points_per_centroid); mirror that so training
+            # cost is O(nlist), not O(corpus) — at the 4M probe this cut the
+            # IVF32 build from ~80 s of KMeans to a constant ~8k-point fit
+            cap = 256 * nlist
+            sample = vec_df
+            if n > cap:
+                sample = vec_df.sample(fraction=min(1.0, cap * 1.2 / n), seed=42).limit(cap)
+            ml_df = sample.select(
                 array_to_vector(F.col("vector").cast("array<double>")).alias("features")
             )
             km = KMeans(k=nlist, seed=42, maxIter=20, featuresCol="features")
@@ -247,12 +255,16 @@ class FaissSparkEngine:
 
         assign_udf = F.pandas_udf(assign, "int")
         assigned = vecs.withColumn("cluster_id", assign_udf(F.col("vector")))
-        # co-locate clusters: one ingest-time shuffle so nprobe searches'
-        # cluster_id IN (...) pre-filter skips whole partitions instead of
-        # sifting every partition for matching rows (at real scale, paired
-        # with cluster-partitioned parquet in save(), this becomes directory-
-        # level partition pruning on load)
-        return assigned.repartition("cluster_id")
+        # co-locate clusters with RANGE partitioning on (cluster_id, label):
+        # cluster runs stay contiguous (so the nprobe pre-filter skips cheap,
+        # and save()'s cluster-partitioned parquet prunes on load) while a
+        # big cluster splits across several partitions.  Hash-partitioning on
+        # cluster_id alone skewed catastrophically at the 4M probe — KMeans
+        # clusters are unequal and 32 ids hashed into 32 partitions collided,
+        # leaving ONE partition with 53% of all rows (search time = that
+        # partition's single-threaded scan).
+        n_parts = max(assigned.rdd.getNumPartitions(), 1)
+        return assigned.repartitionByRange(n_parts, "cluster_id", "label")
 
     # ---------------------------------------------------------------- search
 

@@ -148,20 +148,40 @@ def pairwise(
     return kernel(q, x, metric_arg).astype(dtype, copy=False)
 
 
+def _sortable_u32(v32: np.ndarray) -> np.ndarray:
+    """IEEE float32 -> uint32 preserving total order (ascending)."""
+    u = v32.view(np.uint32)
+    return np.where(u >> 31 == 1, ~u, u | np.uint32(0x80000000))
+
+
 def topk_indices(scores: np.ndarray, k: int, descending: bool) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k (indices, scores), ties broken by smaller index —
     matching FAISS's internal-id tie-break (SURVEY.md §7 known-hard #5).
 
-    Full stable argsort per row: ties break by smaller index EXACTLY (an
-    argpartition pre-cut would pick arbitrary candidates among ties that
-    straddle the k boundary — found by hypothesis).  The sort is O(n log n)
-    per row but batches are Arrow-bounded (~10k rows), so the score matmul
-    dominates; the reference's single batched call is searchIntoVector,
-    faiss_extension.cpp:631.
+    float32 fast path: pack (sortable-score, index) into one uint64 key, then
+    argpartition + small sort — O(n + k log k) per row with the EXACT same
+    tie-break as a stable sort (keys are unique, so the boundary-tie
+    ambiguity that rules out a plain argpartition cannot occur).  A full
+    stable argsort here was the dominant per-batch cost at the 4M probe
+    (285 ms of 300 ms).  -0.0 is normalized to +0.0 first so signed zeros
+    stay ties (as float comparison treats them) instead of ordering by sign
+    bit.  Other dtypes (the float64 oracle-parity path) keep the stable sort.
     """
     n = scores.shape[1]
-    keys = -scores if descending else scores
     kk = min(k, n)
     rows = np.arange(scores.shape[0])[:, None]
+    if scores.dtype == np.float32 and n > 4 * kk and n < (1 << 32):
+        s = np.ascontiguousarray(scores + np.float32(0.0))  # -0.0 -> +0.0
+        key32 = _sortable_u32(s)
+        if descending:
+            key32 = ~key32
+        key = (key32.astype(np.uint64) << np.uint64(32)) | np.arange(
+            n, dtype=np.uint64
+        )[None, :]
+        part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        order = np.argsort(key[rows, part], axis=1)
+        idx = part[rows, order]
+        return idx, scores[rows, idx]
+    keys = -scores if descending else scores
     idx = np.argsort(keys, axis=1, kind="stable")[:, :kk]
     return idx, scores[rows, idx]

@@ -116,15 +116,24 @@ def lsh_ann_cosine(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    corpus_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: (qid, rank, label, distance).
 
     Candidates = bucket-collision in ANY table (distinct), re-ranked with the
     exact double-precision cosine — so every returned distance is exact; only
-    the candidate set is approximate (standard LSH contract)."""
-    c_sig = lsh_signatures(
-        corpus, dim, label_col, vec_col, n_planes, n_tables, seed
-    ).withColumnRenamed("id", "label")
+    the candidate set is approximate (standard LSH contract).
+
+    ``corpus_sig``: pass `lsh_signatures(corpus, ...)` (cached/persisted) to
+    amortize the signature build across searches — the signature table IS the
+    LSH index; rebuilding it per query batch is the dominant cost at the 4M
+    probe.  Must have been built with the same (n_planes, n_tables, seed)."""
+    if corpus_sig is not None:
+        c_sig = corpus_sig.withColumnRenamed("id", "label")
+    else:
+        c_sig = lsh_signatures(
+            corpus, dim, label_col, vec_col, n_planes, n_tables, seed
+        ).withColumnRenamed("id", "label")
     q_sig = lsh_signatures(
         queries, dim, qid_col, q_vec_col, n_planes, n_tables, seed
     ).withColumnRenamed("id", "qid")

@@ -29,15 +29,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Arrow for every pandas_udf / mapInPandas crossing.
+        # Arrow for every pandas_udf / mapInPandas crossing.  64k-row batches:
+        # per-batch overhead (IPC framing, numpy reshape, top-k call) was the
+        # dominant cost at the 4M-row probe with the 10k default (10.1 s ->
+        # 3.4 s warm exact search); 64k x 64 dims x 4 B ~ 17 MB per batch
+        # keeps well under executor memory at any realistic dim.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else int(cpus)),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM IS the executor — size its heap for the
+        # cached corpus + per-thread Arrow buffers (32 threads), or multi-GB
+        # caches GC-thrash (the 4M probe degraded 3-10x run-over-run at 8g)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # driver testdata events.ts is TIMESTAMP(NANOS); Spark reads it as

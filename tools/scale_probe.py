@@ -94,18 +94,31 @@ def main() -> None:
     eng.create("scale_ivf", dim, "IDMap,IVF32,Flat", metric_type="INNER_PRODUCT")
     eng.add("scale_ivf", idx.data.select("label", "vector"), validate=False)
     results["ivf32_build_sec"] = time.perf_counter() - t0
+    eng.search_flat("scale_ivf", 10, qdf, params={"nprobe": 4}).count()  # warm
     t0 = time.perf_counter()
     eng.search_flat("scale_ivf", 10, qdf, params={"nprobe": 4}).count()
     results["ivf_knn48_nprobe4_sec"] = time.perf_counter() - t0
 
-    # LSH bucket-join ANN: training-free; candidates via (table, bucket) join
-    from duckdb_faiss_ext_spark.operators.lsh import lsh_ann_cosine
+    # LSH bucket-join ANN: training-free; candidates via (table, bucket) join.
+    # The signature table is the index — built once, cached, searched many.
+    from duckdb_faiss_ext_spark.operators.lsh import lsh_ann_cosine, lsh_signatures
 
     lsh_q = qdf.limit(8)
     t0 = time.perf_counter()
-    lsh_ann_cosine(
-        idx.data, lsh_q, 10, dim, n_planes=10, n_tables=4
-    ).count()  # 10 planes -> ~n/1024 rows per bucket
+    sig = lsh_signatures(
+        idx.data, dim, "label", "vector", n_planes=10, n_tables=4
+    ).persist()  # 10 planes -> ~n/1024 rows per bucket
+    sig.count()
+    results["lsh_sig_build_sec"] = time.perf_counter() - t0
+
+    def lsh_run():
+        lsh_ann_cosine(
+            idx.data, lsh_q, 10, dim, n_planes=10, n_tables=4, corpus_sig=sig
+        ).count()
+
+    lsh_run()  # warm
+    t0 = time.perf_counter()
+    lsh_run()
     results["lsh_knn8_sec"] = time.perf_counter() - t0
 
     lines = [f"| {k} | {round(v, 2)} |" for k, v in results.items()]
