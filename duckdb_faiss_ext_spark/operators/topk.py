@@ -196,10 +196,26 @@ def exact_knn_flat(
     # chunk the query axis: each chunk is one broadcast + one corpus pass, so
     # an arbitrarily large query batch never exceeds driver/broadcast budgets
     # (the corpus side remains streaming-only regardless)
+    full_mask = None
+    if probe_mask_for is not None and len(qids) <= 65536:
+        # bound: nlist is unknown here, so cap nq such that even a 2048-list
+        # index keeps the (nq, nlist) bool mask ~134 MB driver-side; beyond
+        # that fall back to per-chunk masks (no global query grouping)
+        full_mask = probe_mask_for(qids, q)
+        if len(qids) > 1:
+            # group queries by their first probed cluster so each chunk's
+            # cluster-union (the JVM pre-filter's IN-list) stays tight; an
+            # unsorted diverse batch probes ~every cluster per chunk and the
+            # pre-filter degenerates to a full scan
+            order = np.argsort(np.argmax(full_mask, axis=1), kind="stable")
+            qids, q, full_mask = qids[order], q[order], full_mask[order]
     partials = []
     for lo in range(0, len(qids), MAX_QUERY_BATCH):
         cq, cqids = q[lo : lo + MAX_QUERY_BATCH], qids[lo : lo + MAX_QUERY_BATCH]
-        mask = probe_mask_for(cqids, cq) if probe_mask_for is not None else None
+        if full_mask is not None:
+            mask = full_mask[lo : lo + MAX_QUERY_BATCH]
+        else:
+            mask = probe_mask_for(cqids, cq) if probe_mask_for is not None else None
         chunk_corpus = corpus_df
         if mask is not None and cluster_col is not None:
             # JVM-side scan reduction: rows in clusters no query probes never

@@ -4,10 +4,8 @@ plan (resilient to cosmetic plan-format changes)."""
 
 import pyspark.sql.functions as F
 
-
-def _plan(df) -> str:
-    jvm = df.sparkSession._jvm
-    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+from duckdb_faiss_ext_spark.plans import explain_str as _plan
+from duckdb_faiss_ext_spark.plans import scan_summary
 
 
 def test_scan_pushdown_and_pruning(spark, sf_dir):
@@ -98,3 +96,13 @@ def test_sessionize_partial_aggregation(spark, sf_dir):
     )
     plan = _plan(sessionize_batch(ev, gap_seconds=1800))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_scan_summary_structure(spark, sf_dir):
+    """plans.scan_summary surfaces pushdown info per parquet scan."""
+    import __spark_entry__ as e
+
+    scans = scan_summary(e.q01_scan_filter(spark, sf_dir))
+    assert len(scans) == 1
+    assert "lineitem" in scans[0]["location"]
+    assert "l_quantity" in (scans[0]["pushed_filters"] or "")
