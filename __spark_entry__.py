@@ -24,6 +24,12 @@ from duckdb_faiss_ext_spark.functions import vector as V
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark 4 refuses it unless
+        # this (runtime-settable) conf maps nanos to BIGINT.  The engine's
+        # own get_spark() sets it, but the driver's harness session may not —
+        # set it here so every events query is session-agnostic.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
