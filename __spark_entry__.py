@@ -500,8 +500,11 @@ def q21_time_window(spark, sf):
 
     ev = events_ts_as_timestamp(_t(spark, sf, "events"))
     out = windowed_event_counts(ev, window="1 hour", watermark="2 hours")
+    # window_start as epoch seconds: timestamp VALUES render through the
+    # session timezone on collect, so a non-UTC harness session would
+    # hash-mismatch the oracle; the underlying instant is tz-independent
     return out.select(
-        "window_start",
+        F.unix_timestamp("window_start").alias("ws"),
         "event_type",
         "cnt",
         V.round_half_up("sum_value", 2).alias("sv"),
@@ -870,8 +873,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
         ),
         "q21_time_window": (
-            "SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) "
-            "AS window_start, event_type, COUNT(*) AS cnt, "
+            "SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', "
+            "CAST(ts AS TIMESTAMP))) AS BIGINT) "
+            "AS ws, event_type, COUNT(*) AS cnt, "
             "FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sv "
             "FROM events GROUP BY 1, 2"
         ),
