@@ -33,6 +33,9 @@ def load_tables(
     """Load every driver-generated parquet table; optionally register temp
     views so Spark SQL sees the same names the DuckDB oracle does."""
     out: dict[str, DataFrame] = {}
+    # events.ts is parquet TIMESTAMP(NANOS): Spark 4 needs this runtime conf
+    # to read it (as BIGINT nanos) on sessions not built by get_spark()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for name in TPCH_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
