@@ -143,6 +143,15 @@ def main() -> None:
     queries["lsh_recall_4x8"] = round(len(lsh_hits & exact_hits) / len(exact_hits), 4)
 
     # --- LLM-pipeline ops --------------------------------------------------
+    queries["sessionize_events"] = timed(
+        lambda: entry.sessionize_events(spark, sf_dir).count(), warmup=True
+    )
+    queries["knn_majority_vote"] = timed(
+        lambda: entry.knn_majority_vote(spark, sf_dir).count(), warmup=True
+    )
+    queries["similarity_join_f64"] = timed(
+        lambda: entry.similarity_join_topk(spark, sf_dir).count(), warmup=True
+    )
     queries["dedup_minhash_lsh"] = timed(
         lambda: entry.dedup_lsh_pairs(spark, sf_dir).count(), warmup=True
     )

@@ -29,7 +29,7 @@ the reference's nprobe/efSearch search-time knobs (faiss_extension.cpp:
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pyspark.sql.functions as F
@@ -46,6 +46,14 @@ def _planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
 
 
+def corpus_mean(df: DataFrame, dim: int, vec_col: str = "vector") -> np.ndarray:
+    """Per-dimension mean in one codegen pass (no explode)."""
+    row = df.agg(
+        *[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)]
+    ).first()
+    return np.array([row[i] or 0.0 for i in range(dim)], dtype=np.float32)
+
+
 def lsh_signatures(
     df: DataFrame,
     dim: int,
@@ -54,24 +62,34 @@ def lsh_signatures(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    center: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """(id, table INT, bucket BIGINT) — one row per (input row, table).
 
-    Sign-bit signature: bucket = sum_j (v . plane_j > 0) << j.  Arrow-batched
-    numpy; the (tables*planes, dim) matrix rides a broadcast variable, one
-    matmul per batch covers all tables at once."""
+    Sign-bit signature: bucket = sum_j ((v - center) . plane_j > 0) << j.
+    Arrow-batched numpy; the (tables*planes, dim) matrix rides a broadcast
+    variable, one matmul per batch covers all tables at once.
+
+    ``center``: hyperplanes pass through this point instead of the origin.
+    For a corpus confined to one orthant (e.g. all-positive features), origin
+    hyperplanes barely separate anything — at the 16M probe the candidate set
+    was 83% of the corpus, i.e. the bucketing had collapsed.  Centering on
+    the corpus mean (``corpus_mean``) restores balanced buckets; re-ranking
+    still uses the TRUE cosine, so centering only shapes the candidate set."""
     import pyarrow as pa
 
     planes = _planes(dim, n_planes, n_tables, seed)
     spark = df.sparkSession
-    bp = spark.sparkContext.broadcast(planes)
+    bp = spark.sparkContext.broadcast(
+        (planes, None if center is None else np.asarray(center, dtype=np.float32))
+    )
     weights = (1 << np.arange(n_planes, dtype=np.int64))
     out_schema = pa.schema(
         [("id", pa.int64()), ("table", pa.int32()), ("bucket", pa.int64())]
     )
 
     def sign(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
-        pl = bp.value  # (T, P, d)
+        pl, ctr = bp.value  # (T, P, d), optional (d,)
         T, P, d = pl.shape
         flat_planes = pl.reshape(T * P, d)
         for rb in batches:
@@ -86,6 +104,8 @@ def lsh_signatures(
                 x = np.asarray(
                     [np.asarray(v, dtype=np.float32) for v in rb.column(1).to_pylist()]
                 )
+            if ctr is not None:
+                x = x - ctr[None, :]
             bits = (x @ flat_planes.T) > 0  # (n, T*P)
             bits = bits.reshape(n, T, P)
             buckets = (bits * weights).sum(axis=2)  # (n, T) int64
@@ -117,6 +137,7 @@ def lsh_ann_cosine(
     n_tables: int = 4,
     seed: int = 42,
     corpus_sig: DataFrame | None = None,
+    center: "bool | np.ndarray | None" = True,
 ) -> DataFrame:
     """Approximate cosine top-k: (qid, rank, label, distance).
 
@@ -127,15 +148,27 @@ def lsh_ann_cosine(
     ``corpus_sig``: pass `lsh_signatures(corpus, ...)` (cached/persisted) to
     amortize the signature build across searches — the signature table IS the
     LSH index; rebuilding it per query batch is the dominant cost at the 4M
-    probe.  Must have been built with the same (n_planes, n_tables, seed)."""
+    probe.  Must have been built with the same (n_planes, n_tables, seed,
+    center).
+
+    ``center``: True (default) buckets around the corpus mean (one codegen
+    aggregation); an ndarray uses that point (pass the SAME one the cached
+    corpus_sig was built with); None/False buckets around the origin."""
+    ctr: Optional[np.ndarray]
+    if center is True:
+        ctr = corpus_mean(corpus, dim, vec_col)
+    elif center is None or center is False:
+        ctr = None
+    else:
+        ctr = np.asarray(center, dtype=np.float32)
     if corpus_sig is not None:
         c_sig = corpus_sig.withColumnRenamed("id", "label")
     else:
         c_sig = lsh_signatures(
-            corpus, dim, label_col, vec_col, n_planes, n_tables, seed
+            corpus, dim, label_col, vec_col, n_planes, n_tables, seed, center=ctr
         ).withColumnRenamed("id", "label")
     q_sig = lsh_signatures(
-        queries, dim, qid_col, q_vec_col, n_planes, n_tables, seed
+        queries, dim, qid_col, q_vec_col, n_planes, n_tables, seed, center=ctr
     ).withColumnRenamed("id", "qid")
 
     # the query side is tiny: broadcast its signatures so candidate discovery

@@ -63,3 +63,24 @@ def test_minhash_estimator_identity(words):
     shuffled = list(reversed(words)) + words  # reorder + duplicate
     for seed in range(3):
         assert sig(words, seed) == sig(shuffled, seed)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    arrays(
+        np.float32,
+        (3, 128),
+        elements=st.sampled_from(
+            [-np.inf, -1.5, -0.0, 0.0, 0.25, 0.25, 2.0, np.inf]
+        ),
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_topk_fast_path_tie_and_inf_parity(scores, k):
+    """The composite-key argpartition fast path (n > 4k triggers it at
+    n=128) must equal the stable argsort on tie-heavy input including
+    +/-inf and signed zeros."""
+    for desc in (True, False):
+        idx, sc = topk_indices(scores, k, desc)
+        ref = np.argsort(-scores if desc else scores, axis=1, kind="stable")[:, :k]
+        assert idx.tolist() == ref.tolist()

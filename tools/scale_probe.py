@@ -101,19 +101,27 @@ def main() -> None:
 
     # LSH bucket-join ANN: training-free; candidates via (table, bucket) join.
     # The signature table is the index — built once, cached, searched many.
-    from duckdb_faiss_ext_spark.operators.lsh import lsh_ann_cosine, lsh_signatures
+    # Buckets center on the corpus mean: this corpus lives entirely in the
+    # positive orthant, where origin hyperplanes separate nothing.
+    from duckdb_faiss_ext_spark.operators.lsh import (
+        corpus_mean,
+        lsh_ann_cosine,
+        lsh_signatures,
+    )
 
     lsh_q = qdf.limit(8)
     t0 = time.perf_counter()
+    ctr = corpus_mean(idx.data, dim)
     sig = lsh_signatures(
-        idx.data, dim, "label", "vector", n_planes=10, n_tables=4
+        idx.data, dim, "label", "vector", n_planes=10, n_tables=4, center=ctr
     ).persist()  # 10 planes -> ~n/1024 rows per bucket
     sig.count()
     results["lsh_sig_build_sec"] = time.perf_counter() - t0
 
     def lsh_run():
         lsh_ann_cosine(
-            idx.data, lsh_q, 10, dim, n_planes=10, n_tables=4, corpus_sig=sig
+            idx.data, lsh_q, 10, dim, n_planes=10, n_tables=4,
+            corpus_sig=sig, center=ctr,
         ).count()
 
     lsh_run()  # warm
