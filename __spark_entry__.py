@@ -476,6 +476,49 @@ def q30_rollup(spark, sf):
     )
 
 
+def q31_in_subquery(spark, sf):
+    """IN-subquery (semi-join form of the reference's filtered selection)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation").filter(F.col("n_regionkey") == 1)
+    return c.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"))),
+        "c_nationkey",
+        "left_semi",
+    ).select("c_custkey", "c_nationkey")
+
+
+def q32_case_agg(spark, sf):
+    """Conditional aggregation (CASE WHEN inside SUM)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("big"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def q33_string_ops(spark, sf):
+    """String predicates + functions (LIKE / UPPER / LENGTH)."""
+    p = _t(spark, sf, "part")
+    return p.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey",
+        F.upper("p_name").alias("un"),
+        F.length("p_name").cast("bigint").alias("ln"),
+    )
+
+
+def q34_substr_replace(spark, sf):
+    """SUBSTR / REPLACE / CONCAT over documents text."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 20).alias("head20"),
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("tag"),
+        F.regexp_replace(F.substring("text", 1, 40), " ", "_").alias("head40u"),
+    )
+
+
 def q20_sample(spark, sf):
     """Seeded exact-size reservoir-style sample (ai.py:9 'USING SAMPLE 500
     (reservoir, 42)').  Spark's .sample is Bernoulli (wrong shape), so the
@@ -738,6 +781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_union_all": q28_union_all,
         "q29_anti_join": q29_anti_join,
         "q30_rollup": q30_rollup,
+        "q31_in_subquery": q31_in_subquery,
+        "q32_case_agg": q32_case_agg,
+        "q33_string_ops": q33_string_ops,
+        "q34_substr_replace": q34_substr_replace,
         "q21_time_window": q21_time_window,
         "q22_lag_window": q22_lag_window,
         "media_features": media_features,
@@ -871,6 +918,26 @@ def oracle_sql() -> dict[str, str]:
         "q30_rollup": (
             "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt "
             "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+        ),
+        "q31_in_subquery": (
+            "SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey IN "
+            "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1)"
+        ),
+        "q32_case_agg": (
+            "SELECT o_orderpriority, "
+            "CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS big, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY o_orderpriority"
+        ),
+        "q33_string_ops": (
+            "SELECT p_partkey, UPPER(p_name) AS un, "
+            "CAST(LENGTH(p_name) AS BIGINT) AS ln "
+            "FROM part WHERE p_name LIKE '%red%'"
+        ),
+        "q34_substr_replace": (
+            "SELECT doc_id, SUBSTR(text, 1, 20) AS head20, "
+            "CONCAT('doc:', CAST(doc_id AS VARCHAR)) AS tag, "
+            "REPLACE(SUBSTR(text, 1, 40), ' ', '_') AS head40u "
+            "FROM documents"
         ),
         "q21_time_window": (
             "SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', "
