@@ -159,7 +159,6 @@ class FaissSparkEngine:
             self._validate_dim(idx, vecs)
         if not labeled:
             vecs = self._with_auto_ids(vecs, idx.count)
-        n_new = vecs.count()
         if idx.needs_training:
             combined = vecs if idx.data is None else idx.data.select("label", "vector").unionByName(vecs)
             self._train_kmeans(idx, combined.select("vector"))
@@ -171,14 +170,16 @@ class FaissSparkEngine:
             vecs = self._assign_clusters(idx, vecs)
         new_data = vecs if base is None else base.unionByName(vecs)
         new_data = new_data.persist()
-        new_data.count()  # materialize so later searches don't recompute lineage
+        # one materialization serves both caching and bookkeeping — a separate
+        # pre-persist count() re-ran the whole input lineage (2x ingest cost)
+        total = new_data.count()
         if base is not None:
             try:
                 base.unpersist()
             except Exception:
                 pass
         idx.data = new_data
-        idx.count += n_new
+        idx.count = total
 
     def manual_train(self, name: str, df: DataFrame) -> None:
         """faiss_manual_train (:314-415): train once; later adds skip
