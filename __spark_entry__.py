@@ -632,6 +632,25 @@ def sessionize_events(spark, sf):
     )
 
 
+def sessionize_native_q(spark, sf):
+    """Catalyst-native gap sessionization (F.session_window) — the built-in
+    session operator, same 30-min gap and same oracle as sessionize_events:
+    two independent Spark implementations checked against one SQL truth."""
+    from duckdb_faiss_ext_spark.streaming.sessionize import sessionize_native
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.expr("ts DIV 1000000").alias("ts_ms"), "value"
+    )
+    s = sessionize_native(ev, gap_seconds=1800)
+    return s.select(
+        "user_id",
+        "session_start_ms",
+        "session_end_ms",
+        "n_events",
+        V.round_half_up("sum_value", 2).alias("sv"),
+    )
+
+
 # ------------------------------------------------- LLM-pipeline: dedup/text
 
 
@@ -799,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_majority_vote": knn_majority_vote,
         "similarity_join_topk": similarity_join_topk,
         "sessionize_events": sessionize_events,
+        "sessionize_native": sessionize_native_q,
         "dedup_exact": dedup_exact,
         "dedup_minhash_sig": dedup_minhash_sig,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1026,6 +1046,19 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ip_full DESC, id) AS rk FROM d) WHERE rk <= 4"
         ),
         "sessionize_events": (
+            "WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value "
+            "FROM events), "
+            "f AS (SELECT user_id, ts_ms, value, "
+            "CASE WHEN ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id "
+            "ORDER BY ts_ms) > 1800000 THEN 1 ELSE 0 END AS nf FROM ev), "
+            "s AS (SELECT user_id, ts_ms, value, SUM(nf) OVER ("
+            "PARTITION BY user_id ORDER BY ts_ms) AS sid FROM f) "
+            "SELECT user_id, MIN(ts_ms) AS session_start_ms, "
+            "MAX(ts_ms) AS session_end_ms, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sv "
+            "FROM s GROUP BY user_id, sid"
+        ),
+        "sessionize_native": (
             "WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value "
             "FROM events), "
             "f AS (SELECT user_id, ts_ms, value, "

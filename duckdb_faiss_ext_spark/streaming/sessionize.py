@@ -109,6 +109,39 @@ def sessionize_stream(
     )
 
 
+def sessionize_native(
+    events: DataFrame, gap_seconds: int = 300, ts_ms_col: str = "ts_ms"
+) -> DataFrame:
+    """Catalyst-native sessionization via ``F.session_window`` — the built-in
+    gap-session operator (works on batch AND streaming DataFrames; streams
+    add ``withWatermark`` upstream and Spark manages session state/merging
+    natively, no Python state function).
+
+    Output schema matches ``sessionize_batch`` exactly (epoch-ms bounds, not
+    timestamps, so results hash identically under any session timezone);
+    tests pin equivalence between the two implementations row-for-row.
+    """
+    ev = events.withColumn("_ts", F.timestamp_millis(F.col(ts_ms_col)))
+    # boundary parity verified empirically: session_window merges when
+    # diff <= gap (inclusive window-adjacency), identical to the batch twin's
+    # "diff > gap splits" — no off-by-one adjustment needed
+    return (
+        ev.groupBy(
+            F.session_window("_ts", f"{gap_seconds} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.min(ts_ms_col).alias("session_start_ms"),
+            F.max(ts_ms_col).alias("session_end_ms"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start_ms", "session_end_ms", "n_events", "sum_value"
+        )
+    )
+
+
 def sessionize_batch(
     events: DataFrame, gap_seconds: int = 300, ts_ms_col: str = "ts_ms"
 ) -> DataFrame:

@@ -93,3 +93,40 @@ def test_sessionize_batch_on_real_events(spark, sf_dir):
     assert sessions.agg(F.sum("n_events")).first()[0] == n_events
     bad = sessions.filter(F.col("session_end_ms") < F.col("session_start_ms")).count()
     assert bad == 0
+
+
+def test_sessionize_native_equals_batch(spark, sf_dir):
+    """F.session_window (Catalyst-native) must agree row-for-row with the
+    gap-and-islands batch twin on real events, including the diff == gap
+    boundary (session_window adjacency is inclusive, matching `> gap` splits)."""
+    import pyspark.sql.functions as F
+
+    from duckdb_faiss_ext_spark.streaming.sessionize import sessionize_native
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr("ts DIV 1000000").alias("ts_ms"), "value"
+    )
+    a = sessionize_batch(ev, gap_seconds=1800)
+    b = sessionize_native(ev, gap_seconds=1800)
+    cols = ["user_id", "session_start_ms", "session_end_ms", "n_events"]
+    assert a.select(cols).subtract(b.select(cols)).count() == 0
+    assert b.select(cols).subtract(a.select(cols)).count() == 0
+    assert a.count() == b.count()
+
+
+def test_sessionize_native_boundary_exact_gap(spark):
+    """diff == gap stays one session in both implementations."""
+    import pyspark.sql.functions as F
+
+    from duckdb_faiss_ext_spark.streaming.sessionize import sessionize_native
+
+    # diffs: 10_000 (== gap, same session) then 10_001 (> gap, splits)
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 10_000, 1.0), (1, 20_001, 1.0)],
+        "user_id bigint, ts_ms bigint, value double",
+    )
+    a = {(r["session_start_ms"], r["n_events"])
+         for r in sessionize_batch(df, gap_seconds=10).collect()}
+    b = {(r["session_start_ms"], r["n_events"])
+         for r in sessionize_native(df, gap_seconds=10).collect()}
+    assert a == b == {(0, 2), (20_001, 1)}
