@@ -341,6 +341,24 @@ def ann_lsh_knn(spark, sf):
     return lsh_ann_cosine(corpus, q, 10, 64, n_planes=4, n_tables=8)
 
 
+def ann_pq_knn(spark, sf):
+    """ANN scale path #3: product quantization + asymmetric-distance search
+    (the ',PQn' half of the reference's factory surface, re-expressed
+    Spark-first: 8x8 codebooks compress 64xfloat32 to 8 bytes, 32x; scoring
+    is (m, 256) table lookups).  Approximate -> rows-only check; recall and
+    ADC-vs-true-L2 error are pinned in tests/test_pq.py."""
+    from duckdb_faiss_ext_spark.operators.pq import pq_encode, pq_search, pq_train
+
+    e = _emb(spark, sf)
+    corpus = e.select(F.col("vec_id").alias("label"), F.col("embedding").alias("vector"))
+    books = pq_train(corpus, dim=64, m=8, sample=512)
+    codes = pq_encode(corpus, books)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    return pq_search(codes, q, books, 10, metric="L2")
+
+
 def vector_centroids(spark, sf):
     """Per-label centroid vectors (the IVF-training primitive as a query):
     posexplode -> per-(label, dim) mean -> re-assemble ordered array.
@@ -813,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": knn_cosine,
         "ann_ivf_knn": ann_ivf_knn,
         "ann_lsh_knn": ann_lsh_knn,
+        "ann_pq_knn": ann_pq_knn,
         "vector_centroids": vector_centroids,
         "knn_engine_ip": knn_engine_ip,
         "knn_majority_vote": knn_majority_vote,
