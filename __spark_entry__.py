@@ -163,13 +163,32 @@ def q13_values(spark, sf):
     )
 
 
+def _arr_canon(arr_col, scale: int = 10000):
+    """Hash-stable serialization of a double array: each element rounded
+    half-up at `scale` and rendered as an integer string, comma-joined.
+    The driver's canonicalizer sorts result columns with pandas, which cannot
+    hash list cells (r01: 'unhashable type: list'); integer-string encoding is
+    bitwise identical on Spark and DuckDB (same FLOOR(x*s+0.5) on both sides),
+    unlike engine-native float->string rendering."""
+    return F.array_join(
+        F.transform(
+            arr_col,
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+        ),
+        ",",
+    )
+
+
 def q14_array_construct(spark, sf):
-    # Q14 array construct (faiss.test:11 list_value) — elements double both sides
+    # Q14 array construct (faiss.test:11 list_value) — elements double both
+    # sides, serialized canonically (see _arr_canon)
     li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 100)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.array("l_quantity", "l_discount", "l_tax").alias("arr"),
+        _arr_canon(F.array("l_quantity", "l_discount", "l_tax")).alias("arr"),
     )
 
 
@@ -262,25 +281,6 @@ def knn_filtered(spark, sf):
     )
 
 
-def knn_cosine(spark, sf):
-    """Brute-force cosine top-k (the near-dup/similarity-search baseline):
-    same broadcast-queries plan as knn_ip with normalized scores."""
-    e = _emb(spark, sf)
-    t = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("tv"))
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
-    d = t.crossJoin(F.broadcast(q)).select(
-        "qid", "id", V.cosine_similarity("qv", "tv").alias("cos_full")
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos_full").desc(), F.col("id"))
-    return (
-        d.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 10)
-        .select("qid", "id", V.round_half_up("cos_full", 4).alias("cos"), "rk")
-    )
-
-
 def ann_ivf_knn(spark, sf):
     """ANN scale path: IVF(8) with nprobe=2 cluster pruning through the
     engine (approximate by design -> rows-only check; recall vs exact is
@@ -341,22 +341,23 @@ def ann_lsh_knn(spark, sf):
     return lsh_ann_cosine(corpus, q, 10, 64, n_planes=4, n_tables=8)
 
 
-def ann_pq_knn(spark, sf):
-    """ANN scale path #3: product quantization + asymmetric-distance search
-    (the ',PQn' half of the reference's factory surface, re-expressed
-    Spark-first: 8x8 codebooks compress 64xfloat32 to 8 bytes, 32x; scoring
-    is (m, 256) table lookups).  Approximate -> rows-only check; recall and
-    ADC-vs-true-L2 error are pinned in tests/test_pq.py."""
-    from duckdb_faiss_ext_spark.operators.pq import pq_encode, pq_search, pq_train
+def ann_ivfpq_knn(spark, sf):
+    """ANN scale path #3: IVF + PQ through the engine factory — the
+    reference's 'IVFn,PQm' index strings (faiss::index_factory surface,
+    faiss_extension.cpp:112; Makefile:105) re-expressed Spark-first: KMeans
+    coarse quantizer prunes to nprobe clusters, rows store 8-byte PQ codes
+    (32x compression), scoring is ADC lookup tables.  Approximate ->
+    rows-only check; recall and compression pinned in tests/test_pq.py."""
+    from duckdb_faiss_ext_spark import FaissSparkEngine
 
     e = _emb(spark, sf)
-    corpus = e.select(F.col("vec_id").alias("label"), F.col("embedding").alias("vector"))
-    books = pq_train(corpus, dim=64, m=8, sample=512)
-    codes = pq_encode(corpus, books)
+    eng = FaissSparkEngine(spark)
+    eng.create("_entry_ivfpq", 64, "IDMap,IVF8,PQ8", metric_type="L2")
+    eng.add("_entry_ivfpq", e.select("vec_id", "embedding"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
     )
-    return pq_search(codes, q, books, 10, metric="L2")
+    return eng.search_flat("_entry_ivfpq", 10, q, params={"nprobe": 4})
 
 
 def vector_centroids(spark, sf):
@@ -376,37 +377,19 @@ def vector_centroids(spark, sf):
                 F.array_sort(F.collect_list(F.struct("i", "av"))), lambda s: s["av"]
             ).alias("centroid_raw")
         )
-        .select(
-            "label",
-            F.transform("centroid_raw", lambda x: V.round_half_up(x, 6)).alias("centroid"),
-        )
+        .select("label", _arr_canon(F.col("centroid_raw"), 1000000).alias("centroid"))
     )
-
-
-def knn_engine_ip(spark, sf):
-    """The engine's float32 Arrow/numpy fast path (FaissSparkEngine.search) —
-    FAISS-parity float32 math, so no double-precision SQL oracle; the driver
-    records a rows-only check and pytest pins numpy goldens."""
-    from duckdb_faiss_ext_spark import FaissSparkEngine
-
-    e = _emb(spark, sf)
-    eng = FaissSparkEngine(spark)
-    eng.create("_entry_ip", 64, "IDMap,Flat", metric_type="INNER_PRODUCT")
-    eng.add("_entry_ip", e.select("vec_id", "embedding"))
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
-    )
-    return eng.search_flat("_entry_ip", 10, q)
 
 
 def q23_transform_lambda(spark, sf):
-    """Higher-order lambda over arrays (README.md:58 'apply(list, x -> ...)')."""
+    """Higher-order lambda over arrays (README.md:58 'apply(list, x -> ...)');
+    the mapped array is serialized canonically for the hash compare."""
     li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 100)
     arr = F.array("l_quantity", "l_tax")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.transform(arr, lambda x: x * 2 + 1).alias("mapped"),
+        _arr_canon(F.transform(arr, lambda x: x * 2 + 1)).alias("mapped"),
         F.aggregate(arr, F.lit(0.0), lambda a, x: a + x).alias("arr_sum"),
     )
 
@@ -465,17 +448,6 @@ def q27_having_avg(spark, sf):
     )
 
 
-def q28_union_all(spark, sf):
-    """UNION ALL of two projections (bag semantics)."""
-    c = _t(spark, sf, "customer").select(
-        F.col("c_custkey").alias("k"), F.lit("cust").alias("src")
-    )
-    s_ = _t(spark, sf, "supplier").select(
-        F.col("s_suppkey").alias("k"), F.lit("supp").alias("src")
-    )
-    return c.unionByName(s_)
-
-
 def q29_anti_join(spark, sf):
     """Anti-join: customers with no orders (ai.py:10 EXCEPT semantics as the
     join form; Catalyst plans broadcast-anti when the right side is small)."""
@@ -517,36 +489,17 @@ def q32_case_agg(spark, sf):
 
 
 def q33_string_ops(spark, sf):
-    """String predicates + functions (LIKE / UPPER / LENGTH)."""
+    """String surface in one query (the driver caps the contract at 50
+    entries, so the former q33 LIKE/UPPER/LENGTH and q34 SUBSTR/REPLACE/
+    CONCAT merged): every string function the reference's examples exercise."""
     p = _t(spark, sf, "part")
     return p.filter(F.col("p_name").like("%red%")).select(
         "p_partkey",
         F.upper("p_name").alias("un"),
         F.length("p_name").cast("bigint").alias("ln"),
-    )
-
-
-def q34_substr_replace(spark, sf):
-    """SUBSTR / REPLACE / CONCAT over documents text."""
-    d = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        F.substring("text", 1, 20).alias("head20"),
-        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("tag"),
-        F.regexp_replace(F.substring("text", 1, 40), " ", "_").alias("head40u"),
-    )
-
-
-def q20_sample(spark, sf):
-    """Seeded exact-size reservoir-style sample (ai.py:9 'USING SAMPLE 500
-    (reservoir, 42)').  Spark's .sample is Bernoulli (wrong shape), so the
-    engine uses orderBy(rand(seed)).limit(n) — exact size, deterministic per
-    seed.  Seeds aren't portable across engines -> rows-only check."""
-    return (
-        _t(spark, sf, "orders")
-        .orderBy(F.rand(42))
-        .limit(500)
-        .select("o_orderkey", "o_custkey")
+        F.substring("p_name", 1, 12).alias("head12"),
+        F.concat(F.lit("part:"), F.col("p_partkey").cast("string")).alias("tag"),
+        F.regexp_replace("p_name", " ", "_").alias("unders"),
     )
 
 
@@ -792,6 +745,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries — the driver harness records at most 50 CORRECTNESS
+    rows (r01 ran a 55-entry contract and the last 5 dict keys got no row).
+    Pruned/merged vs r01 so nothing falls off the end:
+    - q34 merged into q33 (one string-surface query, same operators);
+    - q28_union_all dropped (UNION ALL is not on the reference surface,
+      SURVEY.md §2.2; exercised in tests/test_sql_surface.py);
+    - q20_sample dropped (rows-only by design; exact-size seeded sampling is
+      pinned in tests/test_sample.py instead);
+    - knn_cosine dropped (COSINE kernel stays oracle-green via dedup_cosine
+      and pytest metric goldens);
+    - knn_engine_ip dropped (the engine float32 search path is exercised by
+      ann_ivf_knn / ann_ivfpq_knn below and numpy-golden-pinned in
+      tests/test_engine.py);
+    - ann_pq_knn replaced by ann_ivfpq_knn (PQ now rides the engine factory).
+    Order: oracled queries first, rows-only (no-oracle) entries last, so a
+    time-budgeted harness still hash-checks everything checkable."""
     return {
         "q01_scan_filter": q01_scan_filter,
         "q02_cast_modulo": q02_cast_modulo,
@@ -809,45 +778,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_array_construct": q14_array_construct,
         "q15_unnest": q15_unnest,
         "q19_events_agg": q19_events_agg,
-        "q20_sample": q20_sample,
+        "q21_time_window": q21_time_window,
+        "q22_lag_window": q22_lag_window,
         "q23_transform_lambda": q23_transform_lambda,
         "q24_multiway_join": q24_multiway_join,
         "q25_distinct_count": q25_distinct_count,
         "q26_date_functions": q26_date_functions,
         "q27_having_avg": q27_having_avg,
-        "q28_union_all": q28_union_all,
         "q29_anti_join": q29_anti_join,
         "q30_rollup": q30_rollup,
         "q31_in_subquery": q31_in_subquery,
         "q32_case_agg": q32_case_agg,
         "q33_string_ops": q33_string_ops,
-        "q34_substr_replace": q34_substr_replace,
-        "q21_time_window": q21_time_window,
-        "q22_lag_window": q22_lag_window,
-        "media_features": media_features,
-        "knn_ip": knn_ip,
-        "knn_l2": knn_l2,
-        "knn_filtered": knn_filtered,
-        "knn_cosine": knn_cosine,
-        "ann_ivf_knn": ann_ivf_knn,
-        "ann_lsh_knn": ann_lsh_knn,
-        "ann_pq_knn": ann_pq_knn,
-        "vector_centroids": vector_centroids,
-        "knn_engine_ip": knn_engine_ip,
-        "knn_majority_vote": knn_majority_vote,
-        "similarity_join_topk": similarity_join_topk,
-        "sessionize_events": sessionize_events,
-        "sessionize_native": sessionize_native_q,
+        # text/dedup contract rows (absent from r01's capped run — keep early)
+        "text_stats": text_stats,
+        "text_quality": text_quality,
+        "text_lang": text_lang,
+        "text_fingerprint": text_fingerprint,
         "dedup_exact": dedup_exact,
         "dedup_minhash_sig": dedup_minhash_sig,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_cosine": dedup_cosine,
+        # vector / pipeline (oracled)
+        "knn_ip": knn_ip,
+        "knn_l2": knn_l2,
+        "knn_filtered": knn_filtered,
+        "knn_majority_vote": knn_majority_vote,
+        "similarity_join_topk": similarity_join_topk,
+        "vector_centroids": vector_centroids,
+        "sessionize_events": sessionize_events,
+        "sessionize_native": sessionize_native_q,
+        # rows-only (no SQL oracle by design) — deliberately last
         "dedup_simhash": dedup_simhash,
-        "text_stats": text_stats,
-        "text_quality": text_quality,
-        "text_lang": text_lang,
-        "text_fingerprint": text_fingerprint,
+        "media_features": media_features,
+        "ann_ivf_knn": ann_ivf_knn,
+        "ann_lsh_knn": ann_lsh_knn,
+        "ann_ivfpq_knn": ann_ivfpq_knn,
     }
 
 
@@ -906,7 +873,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q14_array_construct": (
             "SELECT l_orderkey, l_linenumber, "
-            "[l_quantity, l_discount, l_tax] AS arr "
+            "array_to_string(list_transform([l_quantity, l_discount, l_tax], "
+            "x -> CAST(CAST(FLOOR(x * 10000.0 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS arr "
             "FROM lineitem WHERE l_orderkey < 100"
         ),
         "q15_unnest": (
@@ -919,7 +887,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q23_transform_lambda": (
             "SELECT l_orderkey, l_linenumber, "
-            "list_transform([l_quantity, l_tax], x -> x * 2 + 1) AS mapped, "
+            "array_to_string(list_transform("
+            "list_transform([l_quantity, l_tax], x -> x * 2 + 1), "
+            "x -> CAST(CAST(FLOOR(x * 10000.0 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS mapped, "
             "list_aggregate([l_quantity, l_tax], 'sum') + 0.0 AS arr_sum "
             "FROM lineitem WHERE l_orderkey < 100"
         ),
@@ -946,10 +916,6 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority "
             "HAVING COUNT(*) > 100"
         ),
-        "q28_union_all": (
-            "SELECT c_custkey AS k, 'cust' AS src FROM customer "
-            "UNION ALL SELECT s_suppkey AS k, 'supp' AS src FROM supplier"
-        ),
         "q29_anti_join": (
             "SELECT c_custkey, c_nationkey FROM customer "
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
@@ -969,14 +935,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q33_string_ops": (
             "SELECT p_partkey, UPPER(p_name) AS un, "
-            "CAST(LENGTH(p_name) AS BIGINT) AS ln "
+            "CAST(LENGTH(p_name) AS BIGINT) AS ln, "
+            "SUBSTR(p_name, 1, 12) AS head12, "
+            "CONCAT('part:', CAST(p_partkey AS VARCHAR)) AS tag, "
+            "REPLACE(p_name, ' ', '_') AS unders "
             "FROM part WHERE p_name LIKE '%red%'"
-        ),
-        "q34_substr_replace": (
-            "SELECT doc_id, SUBSTR(text, 1, 20) AS head20, "
-            "CONCAT('doc:', CAST(doc_id AS VARCHAR)) AS tag, "
-            "REPLACE(SUBSTR(text, 1, 40), ' ', '_') AS head40u "
-            "FROM documents"
         ),
         "q21_time_window": (
             "SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', "
@@ -1023,18 +986,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT qid, id, rk FROM ("
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
             "ORDER BY ip_full DESC, id) AS rk FROM d) WHERE rk <= 5"
-        ),
-        "knn_cosine": (
-            "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
-            "FROM embeddings WHERE vec_id < 10), "
-            "t AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS tv "
-            "FROM embeddings), "
-            "d AS (SELECT qid, id, list_inner_product(qv, tv) / "
-            "(sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(tv, tv))) "
-            "AS cos_full FROM q CROSS JOIN t) "
-            "SELECT qid, id, FLOOR(cos_full * 10000.0 + 0.5) / 10000.0 AS cos, rk "
-            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
-            "ORDER BY cos_full DESC, id) AS rk FROM d) WHERE rk <= 10"
         ),
         "knn_majority_vote": (
             "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
@@ -1094,8 +1045,9 @@ def oracle_sql() -> dict[str, str]:
             "WITH x AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v, "
             "generate_subscripts(embedding, 1) AS i FROM embeddings), "
             "per AS (SELECT label, i, AVG(v) AS av FROM x GROUP BY label, i) "
-            "SELECT label, list(FLOOR(av * 1000000.0 + 0.5) / 1000000.0 ORDER BY i) "
-            "AS centroid FROM per GROUP BY label"
+            "SELECT label, array_to_string(list("
+            "CAST(CAST(FLOOR(av * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) "
+            "ORDER BY i), ',') AS centroid FROM per GROUP BY label"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS cnt "
@@ -1204,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
             "i -> md5(array_to_string(ws[i:i+4], ' ')))) AS msfp "
             "FROM w"
         ),
-        # rows-only (no oracle): knn_engine_ip (float32 FAISS-parity path),
-        # dedup_simhash (Spark xxhash64 has no DuckDB twin)
+        # rows-only (no oracle): dedup_simhash (Spark xxhash64 has no DuckDB
+        # twin), media_features (sha256/numpy features), ann_ivf_knn /
+        # ann_lsh_knn / ann_ivfpq_knn (approximate by design)
     }

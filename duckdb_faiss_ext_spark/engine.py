@@ -331,6 +331,27 @@ class FaissSparkEngine:
             probe_mask_for=probe_fn,
         )
 
+    def _pad_no_hit_queries(
+        self, queries_df: DataFrame, lists: DataFrame, k: int, metric: str, qid_col: str
+    ) -> DataFrame:
+        """Left-join results back to the query set and pad queries with ZERO
+        hits to a full k-length list of label=-1 entries — the reference
+        contract is that the result list length is always k (README.md:220,
+        :243/:269), including when a filter eliminated every row."""
+        out = queries_df.select(qid_col).join(
+            lists.withColumnRenamed("qid", qid_col), qid_col, "left"
+        )
+        pad_dist = float("-inf") if topk_ops.is_descending(metric) else float("inf")
+        empty = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("rank"),
+                F.lit(-1).cast("bigint").alias("label"),
+                F.lit(pad_dist).cast("float").alias("distance"),
+            ),
+        )
+        return out.select(qid_col, F.coalesce(F.col("result"), empty).alias("result"))
+
     def search(
         self,
         name: str,
@@ -345,20 +366,7 @@ class FaissSparkEngine:
         idx = self.registry.get(name)
         flat = self.search_flat(name, k, queries_df, params, qid_col, vec_col)
         lists = topk_ops.assemble_lists(flat, k, idx.metric)
-        # left join back so queries with zero hits still appear, fully padded
-        out = queries_df.select(qid_col).join(
-            lists.withColumnRenamed("qid", qid_col), qid_col, "left"
-        )
-        pad_dist = float("-inf") if topk_ops.is_descending(idx.metric) else float("inf")
-        empty = F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda i: F.struct(
-                i.cast("int").alias("rank"),
-                F.lit(-1).cast("bigint").alias("label"),
-                F.lit(pad_dist).cast("float").alias("distance"),
-            ),
-        )
-        return out.select(qid_col, F.coalesce(F.col("result"), empty).alias("result"))
+        return self._pad_no_hit_queries(queries_df, lists, k, idx.metric, qid_col)
 
     def search_filter(
         self,
@@ -377,15 +385,18 @@ class FaissSparkEngine:
         and builds a bitmap selector; Spark needs no reentrancy — the allowed
         set is a DataFrame and the bitmap/set distinction (:974-1022) is a
         physical detail Catalyst's broadcast-semi-join already covers."""
-        allowed = self.spark.sql(f"SELECT {idsel} FROM {table} WHERE {filter_expr}")
+        # CAST to BOOLEAN so both boolean predicates and the reference's 0/1
+        # UTINYINT filter values (faiss_extension.cpp:857, :940-941) are
+        # accepted — Spark's WHERE alone rejects a numeric filter expression
+        allowed = self.spark.sql(
+            f"SELECT {idsel} FROM {table} WHERE CAST(({filter_expr}) AS BOOLEAN)"
+        )
         flat = self.search_flat(
             name, k, queries_df, params, qid_col, vec_col, allowed_df=allowed
         )
         idx = self.registry.get(name)
         lists = topk_ops.assemble_lists(flat, k, idx.metric)
-        return queries_df.select(qid_col).join(
-            lists.withColumnRenamed("qid", qid_col), qid_col, "left"
-        )
+        return self._pad_no_hit_queries(queries_df, lists, k, idx.metric, qid_col)
 
     # faiss_search_filter_set (:974-1022) — same semantics, same plan.
     search_filter_set = search_filter

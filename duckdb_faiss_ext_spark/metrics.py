@@ -170,8 +170,16 @@ def topk_indices(scores: np.ndarray, k: int, descending: bool) -> tuple[np.ndarr
     n = scores.shape[1]
     kk = min(k, n)
     rows = np.arange(scores.shape[0])[:, None]
+    # NaN scores sort WORST in both paths (the bit-inverted fast-path key
+    # would otherwise rank NaN first for descending metrics while the stable
+    # argsort ranks it last — one NaN corpus row could then evict a real
+    # candidate).  Compare on a NaN-normalized copy; return original scores.
+    worst = -np.inf if descending else np.inf
+    cmp = scores
+    if np.isnan(scores).any():
+        cmp = np.where(np.isnan(scores), np.asarray(worst, dtype=scores.dtype), scores)
     if scores.dtype == np.float32 and n > 4 * kk and n < (1 << 32):
-        s = np.ascontiguousarray(scores + np.float32(0.0))  # -0.0 -> +0.0
+        s = np.ascontiguousarray(cmp + np.float32(0.0))  # -0.0 -> +0.0
         key32 = _sortable_u32(s)
         if descending:
             key32 = ~key32
@@ -182,6 +190,6 @@ def topk_indices(scores: np.ndarray, k: int, descending: bool) -> tuple[np.ndarr
         order = np.argsort(key[rows, part], axis=1)
         idx = part[rows, order]
         return idx, scores[rows, idx]
-    keys = -scores if descending else scores
+    keys = -cmp if descending else cmp
     idx = np.argsort(keys, axis=1, kind="stable")[:, :kk]
     return idx, scores[rows, idx]

@@ -61,6 +61,11 @@ def pq_train(
 ) -> np.ndarray:
     """(m, 2^nbits, dim/m) float32 codebooks from a driver-side sample."""
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    if not 1 <= nbits <= 8:
+        # codes are stored as one sub-byte id per subspace; >8 bits would
+        # silently overflow the SMALLINT code column (and defeats the point
+        # of PQ — FAISS's own default is 8)
+        raise ValueError(f"nbits must be in [1, 8], got {nbits}")
     k = 1 << nbits
     sub = dim // m
     n = df.count()
@@ -98,6 +103,13 @@ def pq_encode(
                 continue
             labels = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             values = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            if len(values) != n * dim:
+                bad = next(
+                    (len(v) for v in rb.column(1).to_pylist() if len(v) != dim), "?"
+                )
+                raise ValueError(
+                    f"pq_encode: expected {dim}-dim vectors, found a {bad}-dim row"
+                )
             x = np.ascontiguousarray(values.reshape(n, m, sub), dtype=np.float32)
             codes = np.empty((n, m), dtype=np.int16)
             for j in range(m):

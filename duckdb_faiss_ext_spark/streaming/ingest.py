@@ -59,7 +59,9 @@ def windowed_event_counts(
 def events_ts_as_timestamp(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Driver testdata stores events.ts as TIMESTAMP(NANOS); the session reads
     it as bigint nanos (nanosAsLong).  Convert to a proper timestamp column
-    (microsecond precision) for windowing."""
+    (microsecond precision) for windowing.  Integer DIV, not float division:
+    epoch-ns (~1.7e18) exceeds double's 2^53 exact range, so (ts/1000) could
+    land ±1us off the exact DuckDB cast and shift window boundaries."""
     return events.withColumn(
-        ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        ts_col, F.timestamp_micros(F.expr(f"{ts_col} DIV 1000"))
     )

@@ -164,6 +164,47 @@ def test_train_too_few_points(engine, spark, vectors8):
         engine.manual_train("ivfbig", _vec_df(spark, vectors8[:10]))
 
 
+# ---------------------------------------------------------- filtered search
+
+
+def test_search_filter_zero_hit_padding(engine, spark, vectors8, queries8):
+    """ADVICE r1: a filter matching NO rows must still return a k-length
+    -1-padded list per query (README.md:243/269), exactly like search()."""
+    engine.create("ffpad", 8, "IDMap,Flat")
+    engine.add("ffpad", _vec_df(spark, vectors8[:50], np.arange(50)))
+    spark.createDataFrame(
+        [(int(i),) for i in range(50)], "id bigint"
+    ).createOrReplaceTempView("ffpad_ids")
+    out = engine.search_filter(
+        "ffpad", 3, _query_df(spark, queries8[:2]), "id > 9999", "id", "ffpad_ids"
+    ).collect()
+    assert len(out) == 2
+    for row in out:
+        assert len(row["result"]) == 3
+        assert all(h["label"] == -1 for h in row["result"])
+        assert [h["rank"] for h in row["result"]] == [0, 1, 2]
+
+
+def test_search_filter_numeric_01_filter(engine, spark, vectors8, queries8):
+    """ADVICE r1: the reference treats the filter as a 0/1 UTINYINT expression
+    (faiss_extension.cpp:940-941); a numeric filter must be accepted too."""
+    engine.create("ff01", 8, "IDMap,Flat")
+    engine.add("ff01", _vec_df(spark, vectors8[:100], np.arange(100)))
+    spark.createDataFrame(
+        [(int(i),) for i in range(100)], "id bigint"
+    ).createOrReplaceTempView("ff01_ids")
+    q = _query_df(spark, queries8[:3])
+    num = engine.search_filter("ff01", 5, q, "id % 2", "id", "ff01_ids").collect()
+    boolean = engine.search_filter(
+        "ff01", 5, q, "id % 2 = 1", "id", "ff01_ids"
+    ).collect()
+    as_pairs = lambda rows: {
+        (r["qid"], h["rank"], h["label"]) for r in rows for h in r["result"]
+    }
+    assert as_pairs(num) == as_pairs(boolean)
+    assert all(h["label"] % 2 == 1 for r in num for h in r["result"] if h["label"] >= 0)
+
+
 # ------------------------------------------------------------- persistence
 
 

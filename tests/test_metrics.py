@@ -93,3 +93,29 @@ def test_topk_k_larger_than_n():
     scores = np.array([[3.0, 1.0]], dtype=np.float32)
     idx, sc = topk_indices(scores, 5, descending=True)
     assert idx.shape == (1, 2) and idx.tolist() == [[0, 1]]
+
+
+def test_topk_nan_scores_never_win():
+    """ADVICE r1: NaN scores must sort WORST in both the uint64 fast path
+    (which bit-inverted NaN to the largest descending key) and the stable
+    argsort fallback, so a NaN corpus row can never evict a real candidate."""
+    rng = np.random.default_rng(7)
+    for desc in (True, False):
+        # fast path: float32, n >> 4k
+        s = rng.standard_normal((3, 100)).astype(np.float32)
+        s[:, 10] = np.nan
+        idx, _ = topk_indices(s, 5, desc)
+        assert not (idx == 10).any()
+        # fallback path: float64
+        s64 = s.astype(np.float64)
+        idx64, _ = topk_indices(s64, 5, desc)
+        assert not (idx64 == 10).any()
+        assert np.array_equal(idx, idx64)
+
+
+def test_topk_all_nan_row():
+    s = np.full((1, 50), np.nan, dtype=np.float32)
+    idx, sc = topk_indices(s, 3, True)
+    # k slots are still returned (all NaN); downstream isfinite-drop removes them
+    assert idx.shape == (1, 3)
+    assert np.isnan(sc).all()
