@@ -263,9 +263,11 @@ def knn_filtered(spark, sf):
     """Q18: filtered kNN = semi-join pre-filter then top-k
     (faiss_search_filter semantics, README.md:245; faiss3.test:47)."""
     e = _emb(spark, sf)
+    # no broadcast hint on the allowed set — it's 50% of the corpus here and
+    # would be at any scale; AQE picks the join strategy (VERDICT r1 #2)
     allowed = e.filter(F.col("vec_id") % 2 == 0).select(F.col("vec_id").alias("id"))
     t = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("tv")).join(
-        F.broadcast(allowed), "id", "left_semi"
+        allowed, "id", "left_semi"
     )
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
@@ -312,9 +314,11 @@ def knn_majority_vote(spark, sf):
     )
     w = Window.partitionBy("qid").orderBy(F.col("ip_full").desc(), F.col("id"))
     nn = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    # labels is corpus-sized (vec_id, label for every row) — no broadcast
+    # hint; the nn side is nq*k rows, so AQE broadcasts THAT side instead
     labels = e.select(F.col("vec_id").alias("id"), F.col("label").cast("bigint").alias("nlabel"))
     votes = (
-        nn.join(F.broadcast(labels), "id")
+        nn.join(labels, "id")
         .groupBy("qid", "nlabel")
         .agg(F.count("*").alias("votes"))
     )

@@ -42,6 +42,14 @@ class FaissIndex:
     count: int = 0  # rows added so far (auto-id watermark, AddFinalise :565-573)
     data: Any = None  # DataFrame(label BIGINT, vector ARRAY<FLOAT>[, cluster_id INT])
     centroids: Optional[np.ndarray] = None  # (nlist, dim) float32 for IVF
+    # cached per-add slices (memory mode): add() persists only the NEW batch
+    # and unions lazily — O(batch) work per add instead of re-counting the
+    # whole lineage (VERDICT r1 #4); compacted when the list grows deep
+    slices: list = field(default_factory=list)
+    # disk mode: parquet directory backing the index data; add() appends one
+    # parquet slice (flat lineage, O(batch) per add, corpora larger than the
+    # executor cache).  Set via create(params={'storage_path': ...}).
+    storage_path: Optional[str] = None
 
     @property
     def needs_training(self) -> bool:

@@ -17,7 +17,14 @@ from pyspark.sql.streaming import StreamingQuery
 def stream_add(engine, index_name: str, stream_df: DataFrame, **write_opts) -> StreamingQuery:
     """Micro-batch append into a vector index: each micro-batch runs the
     engine's (batch) add — the Spark-native version of incremental
-    faiss_add (faiss_extension.cpp:475-547, trained fast path)."""
+    faiss_add (faiss_extension.cpp:475-547, trained fast path).
+
+    Per-batch cost is O(batch): add() persists/counts only the new slice.
+    For long-lived streams create the index with
+    ``params={'storage_path': dir}`` — each micro-batch then appends one
+    parquet slice and the index keeps a FLAT lineage (a single scan node)
+    no matter how many batches arrive; memory-mode indexes instead grow a
+    lazy union that is compacted every MAX_SLICES adds."""
 
     def feed(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
