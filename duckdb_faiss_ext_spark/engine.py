@@ -72,6 +72,16 @@ class FaissSparkEngine:
         spec = parse_factory(factory)
         if dim <= 0:
             raise FaissSparkError(f"Index dimension must be positive, got {dim}")
+        if spec.pq_m and dim % spec.pq_m != 0:
+            raise FaissSparkError(
+                f"PQ{spec.pq_m} requires dim divisible by {spec.pq_m}, got {dim}"
+            )
+        if spec.pq_m and metric not in ("L2", "INNER_PRODUCT"):
+            # ADC lookup tables decompose over subspaces only for L2/IP —
+            # same restriction as faiss IndexPQ
+            raise FaissSparkError(
+                f"PQ indexes support L2 and INNER_PRODUCT metrics, got {metric}"
+            )
         idx = FaissIndex(
             name=name,
             dim=dim,
@@ -187,11 +197,20 @@ class FaissSparkEngine:
             # first add of an untrained index retrains on everything seen so
             # far and rebuilds storage (cluster ids exist only after training)
             combined = vecs if idx.data is None else idx.data.select("label", "vector").unionByName(vecs)
-            self._train_kmeans(idx, combined.select("vector"))
+            self._train(idx, combined.select("vector"))
             vecs = combined
             rebuild = True
         if idx.spec.kind == "ivf" and idx.trained:
             vecs = self._assign_clusters(idx, vecs)
+        if idx.codebooks is not None:
+            # PQ factory component: store m-byte codes, not float32 vectors —
+            # 32x smaller scan at m=8/dim=64 (the 100 TB I/O lever).  Encoding
+            # is a narrow mapInArrow; cluster_id rides through so IVF pruning
+            # and partitioned layouts are unchanged.
+            from duckdb_faiss_ext_spark.operators.pq import pq_encode
+
+            keep = ("cluster_id",) if "cluster_id" in vecs.columns else ()
+            vecs = pq_encode(vecs, idx.codebooks, keep_cols=keep)
         if idx.storage_path:
             self._add_disk(idx, vecs, rebuild)
         else:
@@ -243,9 +262,25 @@ class FaissSparkEngine:
         vecs, _ = self._normalize_add_df(idx, df.select(df.columns[-1]))
         self._validate_dim(idx, vecs)
         if idx.spec.needs_training:
-            self._train_kmeans(idx, vecs.select("vector"))
+            self._train(idx, vecs.select("vector"))
         else:
             idx.trained = True  # Flat/HNSW: training is a no-op
+
+    def _train(self, idx: FaissIndex, vec_df: DataFrame) -> None:
+        """Fit every trainable component of the factory spec: the IVF coarse
+        quantizer (MLlib KMeans) and/or the PQ codebooks (sampled per-subspace
+        k-means, operators/pq.py) — faiss trains both inside one
+        Index::train call; same here."""
+        if idx.spec.pq_m:
+            from duckdb_faiss_ext_spark.operators.pq import pq_train
+
+            idx.codebooks = pq_train(
+                vec_df, idx.dim, m=idx.spec.pq_m, nbits=idx.spec.pq_nbits
+            )
+        if idx.spec.kind == "ivf":
+            self._train_kmeans(idx, vec_df)
+        else:
+            idx.trained = True
 
     def _train_kmeans(self, idx: FaissIndex, vec_df: DataFrame) -> None:
         """IVF coarse quantizer via MLlib KMeans (SURVEY.md §7 M3).
@@ -370,6 +405,10 @@ class FaissSparkEngine:
             acol = allowed_df.columns[0]
             allowed = allowed_df.select(F.col(acol).cast("bigint").alias("label"))
             corpus = corpus.join(allowed, "label", "left_semi")
+        if idx.codebooks is not None:
+            return self._pq_search_flat(
+                idx, k, queries_df, params, qid_col, vec_col, corpus
+            )
         cluster_col = None
         probe_fn = None
         if idx.spec.kind == "ivf" and "cluster_id" in corpus.columns:
@@ -388,6 +427,58 @@ class FaissSparkEngine:
             cluster_col=cluster_col,
             probe_mask_for=probe_fn,
         )
+
+    def _pq_search_flat(
+        self,
+        idx: FaissIndex,
+        k: int,
+        queries_df: DataFrame,
+        params: dict,
+        qid_col: str,
+        vec_col: str,
+        corpus: DataFrame,
+    ) -> DataFrame:
+        """ADC search over PQ codes, composed with IVF cluster pruning.
+
+        Query side streams in bounded blocks (same contract as the exact
+        kernel); per chunk the probed-cluster union becomes a JVM IN-filter on
+        ``cluster_id`` — on cluster-partitioned storage that is directory/
+        row-group pruning, so a chunk only scans the codes its queries probe.
+        The union over-scan relative to per-query masking can only ADD
+        candidates (recall never drops); distances are ADC approximations
+        either way (faiss IndexIVFPQ semantics; deviation: codes quantize raw
+        vectors, not residuals — factory.py docstring)."""
+        from duckdb_faiss_ext_spark.operators.pq import pq_search_arrays
+
+        nprobe = int(params.get("nprobe", 1))
+        probe_fn = None
+        if (
+            idx.spec.kind == "ivf"
+            and "cluster_id" in corpus.columns
+            and nprobe < idx.spec.nlist
+        ):
+            probe_fn = self._probe_mask_fn(idx, nprobe)
+        partials = []
+        for qids, q in topk_ops.iter_query_blocks(queries_df, qid_col, vec_col):
+            for lo in range(0, len(qids), topk_ops.MAX_QUERY_BATCH):
+                cqids = qids[lo : lo + topk_ops.MAX_QUERY_BATCH]
+                cq = q[lo : lo + topk_ops.MAX_QUERY_BATCH]
+                codes = corpus
+                if probe_fn is not None:
+                    mask = probe_fn(cqids, cq)
+                    probed = [int(c) for c in np.where(mask.any(axis=0))[0]]
+                    codes = corpus.filter(F.col("cluster_id").isin(probed))
+                partials.append(
+                    pq_search_arrays(codes, cqids, cq, idx.codebooks, k, metric=idx.metric)
+                )
+        if not partials:
+            return self.spark.createDataFrame(
+                [], "qid bigint, rank int, label bigint, distance float"
+            )
+        out = partials[0]
+        for p in partials[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _pad_no_hit_queries(
         self, queries_df: DataFrame, lists: DataFrame, k: int, metric: str, qid_col: str
@@ -484,6 +575,7 @@ class FaissSparkEngine:
             "count": idx.count,
             "has_data": idx.data is not None,
             "centroids": idx.centroids.tolist() if idx.centroids is not None else None,
+            "codebooks": idx.codebooks.tolist() if idx.codebooks is not None else None,
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -507,6 +599,8 @@ class FaissSparkEngine:
         )
         if meta.get("centroids") is not None:
             idx.centroids = np.array(meta["centroids"], dtype=np.float32)
+        if meta.get("codebooks") is not None:
+            idx.codebooks = np.array(meta["codebooks"], dtype=np.float32)
         if meta.get("has_data"):
             idx.data = self.spark.read.parquet(os.path.join(path, "data.parquet")).persist()
         # reference semantics: a loaded index that no longer needs training is

@@ -11,7 +11,13 @@ repo (SURVEY.md §2.1) and map it onto the engine's physical strategies:
                          ignored — documented deviation, SURVEY.md §7)
 - ``IVF<n>``/"IVF<n>_HNSW<m>" -> KMeans(n) coarse quantizer; search prunes to
                          ``nprobe`` nearest clusters (needs training)
-- ``PQ<m>`` suffix    -> accepted, stored full-precision (exact superset)
+- ``PQ<m>[x<b>]`` suffix -> product quantization: vectors stored as m b-bit
+                         code ids (operators/pq.py), searched with ADC lookup
+                         tables; composes with IVF pruning (needs training).
+                         Deviation from faiss IndexIVFPQ: codes quantize RAW
+                         vectors, not per-cluster residuals — simpler, and the
+                         cluster pruning is unchanged; ADC error is pinned in
+                         tests/test_pq.py.
 """
 
 from __future__ import annotations
@@ -29,13 +35,15 @@ class IndexSpec:
     kind: str = "flat"  # flat | hnsw | ivf
     nlist: int = 0  # IVF cluster count
     hnsw_m: int = 0
+    pq_m: int = 0  # PQ subspace count (0 = no PQ, full-precision storage)
+    pq_nbits: int = 8  # bits per PQ code id
     needs_training: bool = False
     extras: list[str] = field(default_factory=list)
 
 
 _IVF_RE = re.compile(r"^IVF(\d+)(?:_HNSW(\d+))?$")
 _HNSW_RE = re.compile(r"^HNSW(\d+)?$")
-_PQ_RE = re.compile(r"^PQ(\d+)(?:x\d+)?$")
+_PQ_RE = re.compile(r"^PQ(\d+)(?:x(\d+))?$")
 
 
 def parse_factory(factory: str) -> IndexSpec:
@@ -60,10 +68,25 @@ def parse_factory(factory: str) -> IndexSpec:
         spec.hnsw_m = int(_HNSW_RE.match(head).group(1) or 32)
     elif head == "Flat":
         spec.kind = "flat"
+    elif _PQ_RE.match(head):
+        # standalone IndexPQ ("PQ8"): flat scan over ADC codes
+        pq = _PQ_RE.match(head)
+        spec.kind = "flat"
+        spec.pq_m = int(pq.group(1))
+        spec.pq_nbits = int(pq.group(2) or 8)
+        spec.needs_training = True
     else:
         raise FaissSparkError(f"Unsupported index factory component: {head!r}")
     for extra in parts[1:]:
-        if extra == "Flat" or _PQ_RE.match(extra) or _HNSW_RE.match(extra):
+        pq = _PQ_RE.match(extra)
+        if pq:
+            spec.pq_m = int(pq.group(1))
+            spec.pq_nbits = int(pq.group(2) or 8)
+            # codebooks are fitted on the first add (same train-in-finalize
+            # flow as IVF, faiss_extension.cpp:583)
+            spec.needs_training = True
+            spec.extras.append(extra)
+        elif extra == "Flat" or _HNSW_RE.match(extra):
             spec.extras.append(extra)
         else:
             raise FaissSparkError(f"Unsupported index factory component: {extra!r}")

@@ -29,7 +29,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["pq_train", "pq_encode", "pq_search"]
+__all__ = ["pq_train", "pq_encode", "pq_search", "pq_search_arrays"]
 
 
 def _kmeans_np(x: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.ndarray:
@@ -82,17 +82,17 @@ def pq_encode(
     codebooks: np.ndarray,
     label_col: str = "label",
     vec_col: str = "vector",
+    keep_cols: tuple = (),
 ) -> DataFrame:
-    """(label BIGINT, code ARRAY<SMALLINT>) — m uint8 code ids per row."""
+    """(label BIGINT, code ARRAY<SMALLINT>[, keep_cols...]) — m uint8 code ids
+    per row.  ``keep_cols`` (e.g. ``cluster_id`` for IVF+PQ) pass through the
+    Arrow batch untouched so partitioning survives encoding."""
     import pyarrow as pa
 
     m, k, sub = codebooks.shape
     dim = m * sub
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
-    out_schema = pa.schema(
-        [("label", pa.int64()), ("code", pa.list_(pa.int16()))]
-    )
 
     def encode(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         cb = bc.value
@@ -119,12 +119,18 @@ def pq_encode(
                 [
                     pa.array(labels, pa.int64()),
                     pa.array(list(codes), pa.list_(pa.int16())),
-                ],
-                schema=out_schema,
+                ]
+                + [rb.column(2 + i) for i in range(len(keep_cols))],
+                names=["label", "code"] + list(keep_cols),
             )
 
-    narrow = df.select(F.col(label_col).cast("bigint"), vec_col)
-    return narrow.mapInArrow(encode, schema="label bigint, code array<smallint>")
+    narrow = df.select(F.col(label_col).cast("bigint"), vec_col, *keep_cols)
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+    return narrow.mapInArrow(
+        encode, schema="label bigint, code array<smallint>" + keep_schema
+    )
 
 
 def pq_search(
@@ -138,6 +144,25 @@ def pq_search(
 ) -> DataFrame:
     """ADC top-k over PQ codes: (qid, rank, label, distance[approx]).
 
+    DataFrame wrapper over :func:`pq_search_arrays` for a known-small query
+    side; the engine's factory path streams bounded query blocks instead."""
+    qpdf = queries.select(qid_col, q_vec_col).toPandas()
+    qids = qpdf[qid_col].to_numpy(dtype=np.int64)
+    q = np.asarray(list(qpdf[q_vec_col]), dtype=np.float32)
+    return pq_search_arrays(codes_df, qids, q, codebooks, k, metric=metric)
+
+
+def pq_search_arrays(
+    codes_df: DataFrame,
+    qids: np.ndarray,
+    q: np.ndarray,
+    codebooks: np.ndarray,
+    k: int,
+    metric: str = "L2",
+) -> DataFrame:
+    """ADC top-k for a driver-resident query block (qids int64, q float32
+    (nq, dim)): (qid, rank, label, distance[approx]).
+
     metric 'L2' (squared, ascending) or 'INNER_PRODUCT' (descending) —
     matching FAISS IndexPQ's METRIC handling."""
     import pyarrow as pa
@@ -145,11 +170,7 @@ def pq_search(
     m, nk, sub = codebooks.shape
     desc = metric == "INNER_PRODUCT"
     spark = codes_df.sparkSession
-    qpdf = queries.select(qid_col, q_vec_col).toPandas()
-    qids = qpdf[qid_col].to_numpy(dtype=np.int64)
-    q = np.asarray(list(qpdf[q_vec_col]), dtype=np.float32).reshape(
-        len(qids), m, sub
-    )
+    q = np.asarray(q, dtype=np.float32).reshape(len(qids), m, sub)
     # per-query (m, nk) lookup tables
     luts = np.empty((len(qids), m, nk), dtype=np.float32)
     for j in range(m):

@@ -42,6 +42,9 @@ class FaissIndex:
     count: int = 0  # rows added so far (auto-id watermark, AddFinalise :565-573)
     data: Any = None  # DataFrame(label BIGINT, vector ARRAY<FLOAT>[, cluster_id INT])
     centroids: Optional[np.ndarray] = None  # (nlist, dim) float32 for IVF
+    # (m, 2^nbits, dim/m) float32 PQ codebooks when the factory has a PQ
+    # component; data then stores `code ARRAY<SMALLINT>` instead of `vector`
+    codebooks: Optional[np.ndarray] = None
     # cached per-add slices (memory mode): add() persists only the NEW batch
     # and unions lazily — O(batch) work per add instead of re-counting the
     # whole lineage (VERDICT r1 #4); compacted when the list grows deep

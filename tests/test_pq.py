@@ -75,3 +75,72 @@ def test_adc_scores_close_to_true_l2(spark, emb, books):
     assert common
     for lab in common:
         assert abs(adc[lab] - true[lab]) < 0.5, (lab, adc[lab], true[lab])
+
+
+# ------------------------------------------------------ engine factory wiring
+
+
+def test_engine_factory_pq_compresses(spark, emb):
+    """'IVFn,PQm' through the engine (VERDICT r1 #6): data stores SMALLINT
+    codes (no float vector column), cluster_id survives encoding, and search
+    routes through ADC with IVF pruning."""
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+
+    eng = FaissSparkEngine(spark)
+    eng.create("fpq", 64, "IDMap,IVF4,PQ8", metric_type="L2")
+    eng.add("fpq", emb.select("label", "vector"))
+    idx = eng.registry.get("fpq")
+    assert idx.codebooks.shape == (8, 256, 8)
+    assert set(idx.data.columns) == {"label", "code", "cluster_id"}
+    assert "vector" not in idx.data.columns  # compressed, not full-precision
+    q = emb.filter(F.col("label") < 10).select(F.col("label").alias("qid"), "vector")
+    res = eng.search_flat("fpq", 10, q, params={"nprobe": 4}).collect()
+    assert len(res) == 100
+    exact = exact_knn_flat(emb, q, 10, metric="L2")
+    e_hits = {(r["qid"], r["label"]) for r in exact.collect()}
+    a_hits = {(r["qid"], r["label"]) for r in res}
+    assert len(a_hits & e_hits) / len(e_hits) >= 0.5
+
+
+def test_engine_factory_pure_pq(spark, emb):
+    """Standalone 'PQ8' (faiss IndexPQ): trains on first add, flat ADC scan,
+    IP self-hit at rank 0 for normalized vectors."""
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+
+    eng = FaissSparkEngine(spark)
+    eng.create("ppq", 64, "IDMap,PQ8", metric_type="INNER_PRODUCT")
+    eng.add("ppq", emb.select("label", "vector"))
+    q = emb.filter(F.col("label") < 20).select(F.col("label").alias("qid"), "vector")
+    res = eng.search_flat("ppq", 1, q).collect()
+    assert sum(1 for r in res if r["label"] == r["qid"]) >= 18
+
+
+def test_engine_pq_save_load_roundtrip(spark, emb, tmp_path):
+    """Codebooks persist in meta.json; a loaded PQ index searches identically."""
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+
+    eng = FaissSparkEngine(spark)
+    eng.create("spq", 64, "IDMap,IVF4,PQ8", metric_type="L2")
+    eng.add("spq", emb.select("label", "vector"))
+    q = emb.filter(F.col("label") < 5).select(F.col("label").alias("qid"), "vector")
+    before = sorted(
+        (r["qid"], r["rank"], r["label"]) for r in eng.search_flat("spq", 5, q, params={"nprobe": 4}).collect()
+    )
+    eng.save("spq", str(tmp_path / "spq"))
+    eng.load("spq2", str(tmp_path / "spq"))
+    after = sorted(
+        (r["qid"], r["rank"], r["label"]) for r in eng.search_flat("spq2", 5, q, params={"nprobe": 4}).collect()
+    )
+    assert before == after
+
+
+def test_engine_pq_rejects_bad_dim_and_metric(spark):
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+    from duckdb_faiss_ext_spark.errors import FaissSparkError
+    import pytest
+
+    eng = FaissSparkEngine(spark)
+    with pytest.raises(FaissSparkError, match="divisible"):
+        eng.create("bad1", 63, "IDMap,PQ8")
+    with pytest.raises(FaissSparkError, match="L2 and INNER_PRODUCT"):
+        eng.create("bad2", 64, "IDMap,PQ8", metric_type="COSINE")
