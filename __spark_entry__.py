@@ -345,6 +345,25 @@ def ann_lsh_knn(spark, sf):
     return lsh_ann_cosine(corpus, q, 10, 64, n_planes=4, n_tables=8)
 
 
+def ann_hnsw_knn(spark, sf):
+    """ANN scale path #4: the reference's HEADLINE index shape — HNSW graph
+    search ('IDMap,HNSW128,Flat', Makefile:105; efSearch plumbing
+    faiss_extension.cpp:691-702) as per-segment navigable-small-world graphs
+    (operators/nsw.py): Malkov-diversified edges + reverse links, multi-entry
+    beam honoring efSearch, bounded nq*k merge.  Approximate -> rows-only
+    check; recall floor and touched-fraction pinned in tests/test_nsw.py."""
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+
+    e = _emb(spark, sf)
+    eng = FaissSparkEngine(spark)
+    eng.create("_entry_hnsw", 64, "IDMap,HNSW32", metric_type="INNER_PRODUCT")
+    eng.add("_entry_hnsw", e.select("vec_id", "embedding"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    return eng.search_flat("_entry_hnsw", 10, q, params={"efSearch": "128"})
+
+
 def ann_ivfpq_knn(spark, sf):
     """ANN scale path #3: IVF + PQ through the engine factory — the
     reference's 'IVFn,PQm' index strings (faiss::index_factory surface,
@@ -819,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_knn": ann_ivf_knn,
         "ann_lsh_knn": ann_lsh_knn,
         "ann_ivfpq_knn": ann_ivfpq_knn,
+        "ann_hnsw_knn": ann_hnsw_knn,
     }
 
 

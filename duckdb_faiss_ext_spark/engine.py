@@ -66,12 +66,18 @@ class FaissSparkEngine:
     ) -> None:
         """faiss_create / faiss_create_params (faiss_extension.cpp:96-164,
         :1035-1040).  `params` mirrors the MAP(VARCHAR,VARCHAR) argument
-        (src/maputils.cpp:10-31); recognized: efConstruction (stored, no-op —
-        HNSW executes as exact scan), nprobe/efSearch defaults."""
+        (src/maputils.cpp:10-31); recognized: nprobe/efSearch search defaults,
+        efConstruction (graph candidate-list width analog),
+        graph_partition_rows (rows per NSW graph segment, default 16384)."""
         metric = resolve_metric(metric_type)
         spec = parse_factory(factory)
         if dim <= 0:
             raise FaissSparkError(f"Index dimension must be positive, got {dim}")
+        if spec.pq_m and spec.kind == "hnsw":
+            raise FaissSparkError(
+                "HNSW over PQ codes is not supported; use IVFn,PQm for "
+                "compressed storage or HNSWm for graph search"
+            )
         if spec.pq_m and dim % spec.pq_m != 0:
             raise FaissSparkError(
                 f"PQ{spec.pq_m} requires dim divisible by {spec.pq_m}, got {dim}"
@@ -211,6 +217,8 @@ class FaissSparkEngine:
 
             keep = ("cluster_id",) if "cluster_id" in vecs.columns else ()
             vecs = pq_encode(vecs, idx.codebooks, keep_cols=keep)
+        elif idx.spec.hnsw_m > 0:
+            vecs = self._build_graph_slice(idx, vecs)
         if idx.storage_path:
             self._add_disk(idx, vecs, rebuild)
         else:
@@ -252,6 +260,47 @@ class FaissSparkEngine:
         vecs.unpersist()
         idx.data = self.spark.read.parquet(data_path)
         idx.count = batch_n if rebuild else idx.count + batch_n
+
+    # rows per NSW graph segment: bounds the O(rows^2) per-partition build
+    # while keeping the beam's touched fraction small (beam evals are ~constant
+    # in segment size, so BIGGER segments touch a SMALLER corpus fraction —
+    # raise via params["graph_partition_rows"] when build time allows)
+    GRAPH_ROWS = 16384
+
+    def _build_graph_slice(self, idx: FaissIndex, vecs: DataFrame) -> DataFrame:
+        """Attach NSW adjacency to the new slice (segment-per-partition model,
+        operators/nsw.py).  Plain HNSW: bound segment sizes first.  IVF_HNSW:
+        one graph per cluster (group_col), so nprobe pruning drops whole
+        graphs and never severs edges — the Spark-native reading of the
+        reference's IVF2048_HNSW128 headline index (Makefile:105)."""
+        from duckdb_faiss_ext_spark.operators.nsw import build_slice_graphs
+
+        ef_c = int(idx.params.get("efConstruction", 0) or 0)
+        cand = max(2 * idx.spec.hnsw_m, ef_c // 2) if ef_c else 0
+        group = None
+        raw = None
+        if idx.spec.kind == "ivf" and "cluster_id" in vecs.columns:
+            group = "cluster_id"
+        else:
+            rows = int(idx.params.get("graph_partition_rows", self.GRAPH_ROWS))
+            raw = vecs.persist()
+            n_parts = max(1, -(-raw.count() // rows))
+            vecs = raw.repartition(n_parts)
+        out = build_slice_graphs(
+            vecs,
+            m=idx.spec.hnsw_m,
+            metric=idx.metric,
+            metric_arg=idx.metric_arg,
+            group_col=group,
+            cand_width=cand,
+        )
+        if raw is not None:
+            # materialize the graphs before dropping the raw slice's cache so
+            # the (expensive) build never recomputes from a cold lineage
+            out = out.persist()
+            out.count()
+            raw.unpersist()
+        return out
 
     def manual_train(self, name: str, df: DataFrame) -> None:
         """faiss_manual_train (:314-415): train once; later adds skip
@@ -394,6 +443,7 @@ class FaissSparkEngine:
             raise FaissSparkError(f"Index {name} is not trained")
         params = {**idx.params, **(params or {})}
         corpus = idx.data
+        has_graph = "neighbors" in corpus.columns
         if allowed_df is not None:
             # filter-during-search semantics: semi-join BEFORE top-k
             # (faiss_search_filter, README.md:245).  NO broadcast hint: at the
@@ -405,8 +455,20 @@ class FaissSparkEngine:
             acol = allowed_df.columns[0]
             allowed = allowed_df.select(F.col(acol).cast("bigint").alias("label"))
             corpus = corpus.join(allowed, "label", "left_semi")
+            if has_graph:
+                # the semi-join shuffles the corpus by label, severing the
+                # partition-aligned graphs — filtered search on a graph index
+                # therefore takes the EXACT filter-during-search path (recall
+                # 1.0 on the surviving rows; FAISS selector-on-HNSW masks are
+                # available at the kernel level, operators/nsw.py beam_search)
+                corpus = corpus.drop("neighbors")
+                has_graph = False
         if idx.codebooks is not None:
             return self._pq_search_flat(
+                idx, k, queries_df, params, qid_col, vec_col, corpus
+            )
+        if has_graph:
+            return self._nsw_search_flat(
                 idx, k, queries_df, params, qid_col, vec_col, corpus
             )
         cluster_col = None
@@ -479,6 +541,90 @@ class FaissSparkEngine:
         for p in partials[1:]:
             out = out.unionByName(p)
         return out
+
+    # default beam width: ef=128 holds recall@10 >= 0.9 on the 16k-row default
+    # segments (tests/test_nsw.py); FAISS's efSearch=16 default assumes one
+    # monolithic million-node graph where beams converge in a deeper hierarchy
+    DEFAULT_EF_SEARCH = 128
+
+    def _nsw_search_flat(
+        self,
+        idx: FaissIndex,
+        k: int,
+        queries_df: DataFrame,
+        params: dict,
+        qid_col: str,
+        vec_col: str,
+        corpus: DataFrame,
+    ) -> DataFrame:
+        """Graph-ANN search (operators/nsw.py): beam per graph segment,
+        honoring ``efSearch``; merge is the same bounded nq*k window rank as
+        the exact kernel.  IVF_HNSW composes coarse routing with beams: per
+        query block the probed-cluster union becomes a JVM IN-filter (same
+        pruning as _pq_search_flat) and each query beams ONLY its own probed
+        clusters (probe_groups)."""
+        from duckdb_faiss_ext_spark.operators.nsw import nsw_topk
+
+        ef = int(params.get("efSearch", self.DEFAULT_EF_SEARCH))
+        nprobe = int(params.get("nprobe", 1))
+        probe_col = None
+        probe_ids_fn = None
+        if (
+            idx.spec.kind == "ivf"
+            and "cluster_id" in corpus.columns
+            and nprobe < idx.spec.nlist
+        ):
+            probe_col = "cluster_id"
+            probe_ids_fn = self._probe_ids_fn(idx, nprobe)
+        partials = []
+        for qids, q in topk_ops.iter_query_blocks(queries_df, qid_col, vec_col):
+            for lo in range(0, len(qids), topk_ops.MAX_QUERY_BATCH):
+                cqids = qids[lo : lo + topk_ops.MAX_QUERY_BATCH]
+                cq = q[lo : lo + topk_ops.MAX_QUERY_BATCH]
+                data = corpus
+                probes = None
+                if probe_ids_fn is not None:
+                    probes = probe_ids_fn(cqids, cq)
+                    probed = [int(c) for c in np.unique(probes)]
+                    data = corpus.filter(F.col("cluster_id").isin(probed))
+                partials.append(
+                    nsw_topk(
+                        data,
+                        cqids,
+                        cq,
+                        k,
+                        ef,
+                        metric=idx.metric,
+                        metric_arg=idx.metric_arg,
+                        probe_col=probe_col,
+                        probe_groups=probes,
+                    )
+                )
+        if not partials:
+            return self.spark.createDataFrame(
+                [], "qid bigint, rank int, label bigint, distance float"
+            )
+        out = partials[0]
+        for p in partials[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _probe_ids_fn(self, idx: FaissIndex, nprobe: int):
+        """(qids, q) -> (nq, nprobe) int64 ids of each query's probed clusters."""
+        cents = idx.centroids
+        metric = idx.metric
+        marg = idx.metric_arg
+
+        def fn(qids: np.ndarray, q: np.ndarray) -> np.ndarray:
+            from duckdb_faiss_ext_spark.metrics import is_descending
+
+            scores = pairwise(q, cents, metric, marg)
+            ids, _ = topk_indices(
+                scores, min(nprobe, cents.shape[0]), is_descending(metric)
+            )
+            return ids.astype(np.int64)
+
+        return fn
 
     def _pad_no_hit_queries(
         self, queries_df: DataFrame, lists: DataFrame, k: int, metric: str, qid_col: str

@@ -6,11 +6,13 @@ repo (SURVEY.md §2.1) and map it onto the engine's physical strategies:
 
 - ``Flat``            -> exact brute-force scan (the semantic ground truth)
 - ``IDMap,...``       -> user-supplied BIGINT labels allowed
-- ``HNSW<m>``         -> accepted, executed as exact scan (recall 1.0 superset
-                         of HNSW's approximate recall; efSearch accepted and
-                         ignored — documented deviation, SURVEY.md §7)
+- ``HNSW<m>``         -> navigable-small-world graph segments (one graph per
+                         bounded partition, operators/nsw.py); search is a
+                         multi-entry beam honoring ``efSearch``
 - ``IVF<n>``/"IVF<n>_HNSW<m>" -> KMeans(n) coarse quantizer; search prunes to
-                         ``nprobe`` nearest clusters (needs training)
+                         ``nprobe`` nearest clusters (needs training).  With
+                         the HNSW component, one graph per cluster and probed
+                         clusters are beam-searched instead of scanned
 - ``PQ<m>[x<b>]`` suffix -> product quantization: vectors stored as m b-bit
                          code ids (operators/pq.py), searched with ADC lookup
                          tables; composes with IVF pruning (needs training).

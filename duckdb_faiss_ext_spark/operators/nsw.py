@@ -1,0 +1,467 @@
+"""Navigable-small-world graph ANN — the engine's HNSW factory realization.
+
+The reference's headline index IS graph-based (``IDMap,HNSW128,Flat``,
+Makefile:105; efSearch plumbing faiss_extension.cpp:691-702).  A monolithic
+HNSW graph is driver-bound, so the Spark-first shape is the one sharded
+deployments (Lucene segments, Elasticsearch/Vespa shards) use: ONE GRAPH PER
+PARTITION, queries fan out to all partitions, per-partition beam results merge
+through the same bounded nq*k window rank as the exact kernel.
+
+- Build (``build_slice_graphs``): per partition, an exact k-NN graph (chunked
+  matmuls — vectorized, no Python insert loop) plus a few random long-range
+  shortcuts for navigability (NSW, Malkov et al. 2014).  Neighbors are stored
+  as LABELS of co-partition rows, so slice unions and cached compaction keep
+  every graph valid.
+- Search (``nsw_topk``): multi-entry greedy beam honoring ``efSearch`` —
+  touches O(ef * degree * path) vectors per partition instead of the whole
+  partition (eval fraction pinned in tests/test_nsw.py).
+- A parquet round-trip may coalesce small files into one read partition
+  (safe: the graph's labels are a subset of the partition) or split a huge
+  file at row-group boundaries (neighbor labels may go missing: the kernel
+  skips unknown labels and recall degrades gracefully — documented trade).
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterator, Optional
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from duckdb_faiss_ext_spark.metrics import is_descending, pairwise
+
+__all__ = ["build_partition_graph", "beam_search", "build_slice_graphs", "nsw_topk"]
+
+
+def _build_scores(q: np.ndarray, x: np.ndarray, metric: str, metric_arg: float) -> np.ndarray:
+    """Pairwise scores for GRAPH CONSTRUCTION only — ranking neighbors, not
+    reporting distances, so L2 may use the fast float32 expansion (the exact
+    search kernel keeps its float64 path; construction tolerates ~1e-6
+    relative error and the f32 matmul is ~3x faster)."""
+    if metric == "L2":
+        qq = np.einsum("ij,ij->i", q, q)[:, None]
+        xx = np.einsum("ij,ij->i", x, x)[None, :]
+        return np.maximum(qq + xx - 2.0 * (q @ x.T), 0.0)
+    return pairwise(q, x, metric, metric_arg)
+
+
+def _topk_build(scores: np.ndarray, k: int, desc: bool):
+    """Lean top-k for construction: argpartition + slice argsort.  The search
+    kernel's ``topk_indices`` pays for bit-exact composite-key tie-breaking
+    (cross-engine determinism); neighbor lists don't need that and the
+    composite keys were 90% of build time."""
+    s = -scores if desc else scores
+    k = min(k, s.shape[1])
+    part = np.argpartition(s, k - 1, axis=1)[:, :k]
+    rows = np.arange(len(s))[:, None]
+    order = np.argsort(s[rows, part], axis=1, kind="stable")
+    ids = part[rows, order]
+    return ids, scores[rows, ids]
+
+
+def _diversify(
+    cand_ids: np.ndarray,
+    cand_d: np.ndarray,
+    x: np.ndarray,
+    m: int,
+    metric: str,
+    metric_arg: float,
+) -> np.ndarray:
+    """Malkov neighbor-selection heuristic, vectorized over a node chunk.
+
+    From each node's sorted candidate list keep c only if c is closer to the
+    node than to every already-kept neighbor (relative-neighborhood pruning) —
+    the edge set that makes greedy graph routing converge (HNSW paper §4,
+    SELECT_NEIGHBORS_HEURISTIC).  Pruned slots are back-filled with the
+    nearest rejected candidates (keepPrunedConnections) so degree stays m."""
+    nc, cw = cand_ids.shape
+    desc = is_descending(metric)
+    # candidate-vs-candidate scores per node: (nc, cw, cw)
+    cx = x[cand_ids.reshape(-1)].reshape(nc, cw, cw and x.shape[1])
+    if metric == "L2":
+        sq = np.einsum("nij,nij->ni", cx, cx)
+        cc = sq[:, :, None] + sq[:, None, :] - 2.0 * np.einsum(
+            "nid,njd->nij", cx, cx
+        )
+        cc = np.maximum(cc, 0.0)
+    elif metric == "INNER_PRODUCT":
+        cc = np.einsum("nid,njd->nij", cx, cx)
+    else:  # generic fallback: loop rows through the public kernel
+        cc = np.stack(
+            [pairwise(cx[i], cx[i], metric, metric_arg) for i in range(nc)]
+        )
+    if desc:  # flip similarities so "smaller = closer" uniformly below
+        cc = -cc
+        cand_d = -cand_d
+    keep = np.zeros((nc, cw), dtype=bool)
+    kept_count = np.zeros(nc, dtype=np.int32)
+    min_kept = np.full((nc, cw), np.inf)  # min over kept of d(c_j, kept)
+    for j in range(cw):
+        ok = (kept_count < m) & (cand_d[:, j] < min_kept[:, j])
+        keep[:, j] = ok
+        kept_count += ok
+        min_kept = np.where(ok[:, None], np.minimum(min_kept, cc[:, j, :]), min_kept)
+    out = np.full((nc, m), -1, dtype=np.int64)
+    for i in range(nc):
+        sel = cand_ids[i, keep[i]][:m]
+        if len(sel) < m:  # back-fill with nearest pruned candidates
+            rest = cand_ids[i, ~keep[i]][: m - len(sel)]
+            sel = np.concatenate([sel, rest])
+        out[i, : len(sel)] = sel
+    return out
+
+
+def build_partition_graph(
+    x: np.ndarray,
+    m: int = 16,
+    n_random: int = 4,
+    metric: str = "L2",
+    metric_arg: float = 0.0,
+    seed: int = 42,
+    chunk: int = 512,
+    cand_width: int = 0,
+    reverse_cap: int = 0,
+) -> np.ndarray:
+    """int32 adjacency (local indices, -1 padded) for one partition.
+
+    Exact candidate lists via chunked pairwise scoring (O(n^2 d) flops, fully
+    vectorized, memory-bounded at chunk*n scores) -> Malkov diversification
+    down to ``m`` edges -> reverse edges (capped at ``reverse_cap``, default
+    m) -> ``n_random`` uniform shortcuts for small-world navigability."""
+    n = len(x)
+    if n <= 1:
+        return np.full((n, 0), -1, dtype=np.int32)
+    desc = is_descending(metric)
+    m_eff = min(m, n - 1)
+    cw = min(cand_width or 2 * m, n - 1)
+    reverse_cap = reverse_cap or m
+    nbrs = np.empty((n, m_eff), dtype=np.int32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        scores = _build_scores(x[lo:hi], x, metric, metric_arg)
+        rows = np.arange(hi - lo)
+        scores[rows, np.arange(lo, hi)] = -np.inf if desc else np.inf
+        ids, d = _topk_build(scores, cw, desc)
+        sel = _diversify(ids, d, x, m_eff, metric, metric_arg)
+        nbrs[lo:hi] = sel[:, :m_eff].astype(np.int32)
+    # reverse edges: if i -> j, add j -> i (capped) — restores in-links the
+    # pruning removed and roughly doubles navigability for the same build cost
+    if reverse_cap > 0:
+        src = np.repeat(np.arange(n, dtype=np.int32), m_eff)
+        dst = nbrs.reshape(-1)
+        ok = dst >= 0
+        order = np.argsort(dst[ok], kind="stable")
+        rs, rd = dst[ok][order], src[ok][order]
+        starts = np.searchsorted(rs, np.arange(n))
+        ends = np.searchsorted(rs, np.arange(n) + 1)
+        counts = np.minimum(ends - starts, reverse_cap)
+        rev = np.full((n, int(counts.max(initial=0))), -1, dtype=np.int32)
+        for i in range(n):
+            c = counts[i]
+            if c:
+                rev[i, :c] = rd[starts[i] : starts[i] + c]
+        nbrs = np.concatenate([nbrs, rev], axis=1)
+    if n_random > 0 and n > m_eff + 1:
+        rng = np.random.default_rng(seed)
+        shortcuts = rng.integers(0, n, size=(n, n_random), dtype=np.int64).astype(
+            np.int32
+        )
+        own = np.arange(n, dtype=np.int32)[:, None]
+        shortcuts = np.where(shortcuts == own, (shortcuts + 1) % n, shortcuts)
+        nbrs = np.concatenate([nbrs, shortcuts], axis=1)
+    return nbrs
+
+
+def _entry_points(n: int, count: int = 4) -> np.ndarray:
+    """Deterministic spread of beam entry points across the partition."""
+    count = min(count, n)
+    return np.unique((np.arange(count) * n) // max(count, 1)).astype(np.int64)
+
+
+def beam_search(
+    x: np.ndarray,
+    nbrs: np.ndarray,
+    q: np.ndarray,
+    k: int,
+    ef: int,
+    metric: str = "L2",
+    metric_arg: float = 0.0,
+    allowed: Optional[np.ndarray] = None,
+    return_stats: bool = False,
+):
+    """Greedy best-first beam over one partition graph for ONE query.
+
+    Returns (indices, scores) of up to k results ordered best-first; with
+    ``return_stats`` also the number of distance evaluations (the fraction-
+    touched metric).  ``allowed`` is a bool mask applied to RESULTS only —
+    disallowed nodes still route the walk (FAISS selector-on-HNSW semantics),
+    so heavy filters do not disconnect the graph."""
+    n = len(x)
+    desc = is_descending(metric)
+    sign = -1.0 if desc else 1.0  # heapq is a min-heap: smaller key = better
+    ef = max(ef, k)
+    entries = _entry_points(n)
+    d0 = pairwise(q[None, :], x[entries], metric, metric_arg)[0]
+    evals = len(entries)
+    visited = np.zeros(n, dtype=bool)
+    visited[entries] = True
+    cand: list = []  # best-first frontier
+    top: list = []  # worst-first (max-heap by key) result beam, size <= ef
+    for i, e in enumerate(entries):
+        key = sign * float(d0[i])
+        heapq.heappush(cand, (key, int(e)))
+        heapq.heappush(top, (-key, int(e)))
+    while cand:
+        key, node = heapq.heappop(cand)
+        if len(top) >= ef and key > -top[0][0]:
+            break  # best frontier candidate is worse than the beam's worst
+        nb = nbrs[node]
+        nb = nb[(nb >= 0) & ~visited[nb.clip(0)]]
+        if len(nb) == 0:
+            continue
+        nb = np.unique(nb)
+        visited[nb] = True
+        d = pairwise(q[None, :], x[nb], metric, metric_arg)[0]
+        evals += len(nb)
+        for j, node2 in enumerate(nb):
+            k2 = sign * float(d[j])
+            if len(top) < ef:
+                heapq.heappush(top, (-k2, int(node2)))
+                heapq.heappush(cand, (k2, int(node2)))
+            elif k2 < -top[0][0]:
+                heapq.heapreplace(top, (-k2, int(node2)))
+                heapq.heappush(cand, (k2, int(node2)))
+    out = sorted(((-nk, idx) for nk, idx in top), key=lambda t: t[0])
+    if allowed is not None:
+        out = [t for t in out if allowed[t[1]]]
+    out = out[:k]
+    idxs = np.array([t[1] for t in out], dtype=np.int64)
+    scores = np.array([sign * t[0] for t in out], dtype=np.float32)
+    if return_stats:
+        return idxs, scores, evals
+    return idxs, scores
+
+
+def build_slice_graphs(
+    df: DataFrame,
+    m: int,
+    n_random: int = 4,
+    metric: str = "L2",
+    metric_arg: float = 0.0,
+    label_col: str = "label",
+    vec_col: str = "vector",
+    group_col: Optional[str] = None,
+    cand_width: int = 0,
+) -> DataFrame:
+    """(label, vector, neighbors ARRAY<BIGINT>[, group]) — NSW graphs.
+
+    Runs at add() time on the NEW slice only (O(slice) incremental builds,
+    the segment model).  With ``group_col`` (IVF cluster ids) one graph is
+    built PER GROUP within each partition, and neighbors never cross groups —
+    so nprobe pruning drops whole graphs, never edges.  The whole partition
+    is accumulated inside one mapInArrow call (the Arrow iterator spans the
+    partition), so partitions must fit executor memory — same envelope the
+    exact kernel already needs for a partition scan."""
+    import pyarrow as pa
+
+    has_group = group_col is not None
+
+    def build(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        labels_parts, vec_parts, grp_parts = [], [], []
+        dim = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            labels_parts.append(
+                rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            if dim is None:
+                first = rb.column(1)[0].as_py()
+                dim = len(first)
+            vec_parts.append(
+                np.ascontiguousarray(flat, dtype=np.float32).reshape(-1, dim)
+            )
+            if has_group:
+                grp_parts.append(
+                    rb.column(2).to_numpy(zero_copy_only=False).astype(np.int32)
+                )
+        if not labels_parts:
+            return
+        labels = np.concatenate(labels_parts)
+        x = np.concatenate(vec_parts)
+        grp = np.concatenate(grp_parts) if has_group else np.zeros(len(labels), np.int32)
+        for g in np.unique(grp):
+            sel = np.where(grp == g)[0]
+            nbrs = build_partition_graph(
+                x[sel], m=m, n_random=n_random, metric=metric,
+                metric_arg=metric_arg, cand_width=cand_width,
+            )
+            gl = labels[sel]
+            nbr_labels = [gl[row[row >= 0]].tolist() for row in nbrs]
+            # graph_seg identifies THIS graph regardless of later physical
+            # layout (union order, cache compaction, parquet coalescing):
+            # label sets of distinct graphs are disjoint, so min(label) is a
+            # unique, layout-independent segment id.  Search beams PER
+            # SEGMENT — a single beam over a partition holding two merged,
+            # mutually-disconnected graphs would terminate before exploring
+            # the second component (even self-hits got lost that way).
+            cols = [
+                pa.array(gl, pa.int64()),
+                pa.array([v.tolist() for v in x[sel]], pa.list_(pa.float32())),
+                pa.array(nbr_labels, pa.list_(pa.int64())),
+                pa.array(np.full(len(sel), gl.min()), pa.int64()),
+            ]
+            names = ["label", "vector", "neighbors", "graph_seg"]
+            if has_group:
+                cols.append(pa.array(np.full(len(sel), g), pa.int32()))
+                names.append(group_col)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    cols = [
+        F.col(label_col).cast("bigint").alias("label"),
+        F.col(vec_col).alias("vector"),
+    ]
+    schema = "label bigint, vector array<float>, neighbors array<bigint>, graph_seg bigint"
+    if has_group:
+        cols.append(F.col(group_col).cast("int").alias(group_col))
+        schema += f", {group_col} int"
+    return df.select(*cols).mapInArrow(build, schema=schema)
+
+
+def nsw_topk(
+    corpus_df: DataFrame,
+    qids: np.ndarray,
+    q: np.ndarray,
+    k: int,
+    ef: int,
+    metric: str = "L2",
+    metric_arg: float = 0.0,
+    probe_col: Optional[str] = None,
+    probe_groups: Optional[np.ndarray] = None,
+    allowed_col: Optional[str] = None,
+) -> DataFrame:
+    """Beam-search graph segments for a driver-resident query block and
+    merge: (qid, rank, label, distance).  Shuffle bounded at nq*k rows per
+    partition — identical merge shape to the exact kernel.
+
+    Beams run PER ``graph_seg`` (each a self-contained graph), never per
+    partition — physical layout (union order, cache compaction, parquet file
+    coalescing) can merge several mutually-disconnected graphs into one read
+    partition, and one beam across components terminates before exploring
+    the later ones.
+
+    With ``probe_col`` (IVF cluster ids) + ``probe_groups`` (nq, nprobe)
+    each query beams only segments of its probed clusters — the IVF_HNSW
+    composition: coarse routing picks the graphs, beams replace exhaustive
+    cluster scans."""
+    import pyarrow as pa
+
+    spark = corpus_df.sparkSession
+    desc = is_descending(metric)
+    bq = spark.sparkContext.broadcast(
+        (
+            np.asarray(qids, dtype=np.int64),
+            np.asarray(q, dtype=np.float32),
+            None if probe_groups is None else np.asarray(probe_groups, dtype=np.int64),
+        )
+    )
+    has_probe = probe_col is not None and probe_groups is not None
+    has_allowed = allowed_col is not None
+    pcol_i = 4
+    acol_i = 4 + int(probe_col is not None)
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        labels_parts, vec_parts, nbr_parts, seg_parts, cl_parts, ok_parts = (
+            [], [], [], [], [], [],
+        )
+        dim = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            labels_parts.append(
+                rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            if dim is None:
+                dim = len(rb.column(1)[0].as_py())
+            vec_parts.append(
+                np.ascontiguousarray(flat, dtype=np.float32).reshape(-1, dim)
+            )
+            nbr_parts.extend(rb.column(2).to_pylist())
+            seg_parts.append(
+                rb.column(3).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            if has_probe:
+                cl_parts.append(
+                    rb.column(pcol_i).to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+            if has_allowed:
+                ok_parts.append(
+                    np.array(rb.column(acol_i).to_pylist(), dtype=object) != None  # noqa: E711
+                )
+        if not labels_parts:
+            return
+        labels = np.concatenate(labels_parts)
+        x = np.concatenate(vec_parts)
+        seg = np.concatenate(seg_parts)
+        clusters = np.concatenate(cl_parts) if has_probe else None
+        ok_all = np.concatenate(ok_parts) if has_allowed else None
+        qids_, q_, probes = bq.value
+        out_q, out_l, out_d = [], [], []
+        for g in np.unique(seg):
+            sel = np.where(seg == g)[0]
+            gx = x[sel]
+            gl = labels[sel]
+            pos = {int(l): i for i, l in enumerate(gl)}
+            deg = max((len(nbr_parts[i]) for i in sel), default=0)
+            nbrs = np.full((len(sel), deg), -1, dtype=np.int32)
+            for i, src in enumerate(sel):
+                # labels -> local indices; labels absent from this graph
+                # (parquet row-group splits) are dropped — graceful degradation
+                loc = [pos[int(l)] for l in nbr_parts[src] if int(l) in pos]
+                nbrs[i, : len(loc)] = loc
+            allowed = ok_all[sel] if has_allowed else None
+            if probes is None or clusters is None:
+                q_sel = range(len(qids_))
+            else:  # a segment belongs to exactly one cluster (per-group build)
+                q_sel = np.where((probes == clusters[sel[0]]).any(axis=1))[0]
+            for qi in q_sel:
+                idxs, scores = beam_search(
+                    gx, nbrs, q_[qi], k, ef, metric, metric_arg, allowed=allowed
+                )
+                out_q.append(np.full(len(idxs), qids_[qi], dtype=np.int64))
+                out_l.append(gl[idxs])
+                out_d.append(scores)
+        if not out_q:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(out_q), pa.int64()),
+                pa.array(np.concatenate(out_l), pa.int64()),
+                pa.array(np.concatenate(out_d), pa.float32()),
+            ],
+            names=["qid", "label", "distance"],
+        )
+
+    cols = (
+        ["label", "vector", "neighbors", "graph_seg"]
+        + ([probe_col] if probe_col is not None else [])
+        + ([allowed_col] if has_allowed else [])
+    )
+    partial = corpus_df.select(*cols).mapInArrow(
+        run, schema="qid bigint, label bigint, distance float"
+    )
+    order = (
+        [F.col("distance").desc(), F.col("label").asc()]
+        if desc
+        else [F.col("distance").asc(), F.col("label").asc()]
+    )
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        partial.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+        .filter(F.col("rank") < k)
+        .select("qid", "rank", "label", "distance")
+    )
