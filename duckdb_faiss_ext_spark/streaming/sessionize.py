@@ -109,6 +109,88 @@ def sessionize_stream(
     )
 
 
+def _sessionize_event_time_fn(gap_ms: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        closed = []
+        if state.hasTimedOut:
+            # the WATERMARK passed last_ms + gap: the session is provably
+            # closed no matter how slowly (or fast) wall-clock batches run
+            if state.exists:
+                start_ms, last_ms, n, sv = state.get
+                closed.append((user_id, start_ms, last_ms, n, sv))
+            state.remove()
+        else:
+            start_ms = None
+            if state.exists:
+                start_ms, last_ms, n, sv = state.get
+            rows = pd.concat(list(pdfs))
+            rows = rows.sort_values("ts_ms")
+            for ts_ms, value in zip(rows["ts_ms"], rows["value"]):
+                ts_ms = int(ts_ms)
+                if start_ms is None:
+                    start_ms, last_ms, n, sv = ts_ms, ts_ms, 1, float(value)
+                elif ts_ms - last_ms > gap_ms:
+                    closed.append((user_id, start_ms, last_ms, n, sv))
+                    start_ms, last_ms, n, sv = ts_ms, ts_ms, 1, float(value)
+                else:
+                    last_ms = max(last_ms, ts_ms)
+                    n += 1
+                    sv += float(value)
+            state.update((start_ms, last_ms, n, sv))
+            # close when the watermark proves no on-time event can extend the
+            # session.  Spark requires a timeout strictly beyond the current
+            # watermark; a session already older than the watermark (late
+            # burst) is clamped to wm+1 so it fires in the very next batch.
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms + gap_ms, wm + 1))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "session_start_ms",
+                    "session_end_ms",
+                    "n_events",
+                    "sum_value",
+                ],
+            )
+
+    return fn
+
+
+def sessionize_stream_event_time(
+    events: DataFrame,
+    gap_seconds: int = 300,
+    ts_ms_col: str = "ts_ms",
+    late_seconds: int = 0,
+) -> DataFrame:
+    """Streaming sessionization closed by EVENT-TIME watermark, not wall
+    clock: a session emits when the watermark (max event time seen minus
+    ``late_seconds``) passes session_end + gap — the correct late-data
+    semantics for replayed/bursty/backfilled streams, where processing-time
+    timeouts close sessions that are still live in event time (or hold open
+    ones hostage to trigger cadence).  Late events beyond ``late_seconds``
+    are dropped by the watermark before reaching the state function.
+
+    Same output contract as ``sessionize_stream``; cross-checked against
+    ``sessionize_batch`` in tests/test_sessionize.py."""
+    ev = events.withColumn("_ts", F.timestamp_millis(F.col(ts_ms_col))).withWatermark(
+        "_ts", f"{late_seconds} seconds"
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_event_time_fn(gap_seconds * 1000),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def sessionize_native(
     events: DataFrame, gap_seconds: int = 300, ts_ms_col: str = "ts_ms"
 ) -> DataFrame:

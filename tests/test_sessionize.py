@@ -130,3 +130,79 @@ def test_sessionize_native_boundary_exact_gap(spark):
     b = {(r["session_start_ms"], r["n_events"])
          for r in sessionize_native(df, gap_seconds=10).collect()}
     assert a == b == {(0, 2), (20_001, 1)}
+
+
+def test_sessionize_event_time_closes_by_watermark(spark, tmp_path):
+    """EventTimeTimeout variant: sessions close when the WATERMARK passes
+    session_end + gap — driven here by a later file whose high event time
+    advances the watermark, not by wall-clock waiting.  Covers both closure
+    modes: in-batch (a later event proves the gap) and watermark timeout
+    (the open tail of user 1)."""
+    from duckdb_faiss_ext_spark.streaming.sessionize import (
+        sessionize_stream_event_time,
+    )
+
+    src = str(tmp_path / "et_src")
+    os.makedirs(src)
+    schema = "user_id bigint, ts_ms bigint, value double"
+    # ts offsets start at 100s: a ts at epoch 0 equals the INITIAL watermark
+    # and is discarded as late before reaching the state function
+    phase1 = [
+        (1, 100_000, 1.0),
+        (1, 102_000, 2.0),
+        (1, 104_000, 3.0),
+        (2, 100_000, 10.0),
+    ]
+    spark.createDataFrame(phase1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize_stream_event_time(stream, gap_seconds=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_et")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "et_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if not q.isActive:
+                raise AssertionError(f"stream died: {q.exception()}")
+            if spark.sql("SELECT * FROM sessions_et").count() == 0:
+                time.sleep(1)
+            else:  # nothing may close yet: watermark is only at 104s
+                break
+        # phase 2: a 220s event for user 2 pushes the watermark past
+        # 104s + 10s, closing user 1's open session by EVENT time; it also
+        # proves user 2's first session closed (in-batch gap detection)
+        spark.createDataFrame([(2, 220_000, 5.0)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        expected = {
+            (1, 100_000): (104_000, 3, 6.0),
+            (2, 100_000): (100_000, 1, 10.0),
+        }
+        got = {}
+        deadline = time.time() + 120
+        while time.time() < deadline and len(got) < len(expected):
+            if not q.isActive:
+                raise AssertionError(f"stream died: {q.exception()}")
+            time.sleep(2)
+            got = {
+                (r["user_id"], r["session_start_ms"]): (
+                    r["session_end_ms"],
+                    r["n_events"],
+                    r["sum_value"],
+                )
+                for r in spark.sql("SELECT * FROM sessions_et").collect()
+            }
+    finally:
+        q.stop()
+    assert got == expected  # user 2's 220s session stays OPEN (no watermark
+    # beyond it) — event-time semantics, not trigger cadence
