@@ -74,7 +74,7 @@ def q04_join_groupby(spark, sf):
 
 
 def q05_agg_multi(spark, sf):
-    # Q05 count/max/min aggregates (ai.py:39,54)
+    # Q05 count/max/min/count-distinct aggregates (ai.py:39,54)
     return (
         _t(spark, sf, "orders")
         .groupBy("o_custkey")
@@ -82,6 +82,7 @@ def q05_agg_multi(spark, sf):
             F.count("*").alias("cnt"),
             F.max("o_totalprice").alias("mx"),
             F.min("o_orderdate").alias("first_dt"),
+            F.countDistinct("o_orderpriority").alias("nprio"),
         )
     )
 
@@ -437,15 +438,6 @@ def q24_multiway_join(spark, sf):
     )
 
 
-def q25_distinct_count(spark, sf):
-    """COUNT(DISTINCT) + plain count per group."""
-    li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("nparts"),
-        F.count("*").alias("cnt"),
-    )
-
-
 def q26_date_functions(spark, sf):
     """Date part extraction + grouping by year/month."""
     o = _t(spark, sf, "orders")
@@ -781,7 +773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - knn_engine_ip dropped (the engine float32 search path is exercised by
       ann_ivf_knn / ann_ivfpq_knn below and numpy-golden-pinned in
       tests/test_engine.py);
-    - ann_pq_knn replaced by ann_ivfpq_knn (PQ now rides the engine factory).
+    - ann_pq_knn replaced by ann_ivfpq_knn (PQ now rides the engine factory);
+    - q25_distinct_count folded into q05 (COUNT(DISTINCT) as a fourth agg)
+      to make room for ann_hnsw_knn.
     Order: oracled queries first, rows-only (no-oracle) entries last, so a
     time-budgeted harness still hash-checks everything checkable."""
     return {
@@ -805,7 +799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_lag_window": q22_lag_window,
         "q23_transform_lambda": q23_transform_lambda,
         "q24_multiway_join": q24_multiway_join,
-        "q25_distinct_count": q25_distinct_count,
         "q26_date_functions": q26_date_functions,
         "q27_having_avg": q27_having_avg,
         "q29_anti_join": q29_anti_join,
@@ -862,7 +855,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q05_agg_multi": (
             "SELECT o_custkey, COUNT(*) AS cnt, MAX(o_totalprice) AS mx, "
-            "MIN(o_orderdate) AS first_dt FROM orders GROUP BY o_custkey"
+            "MIN(o_orderdate) AS first_dt, "
+            "COUNT(DISTINCT o_orderpriority) AS nprio "
+            "FROM orders GROUP BY o_custkey"
         ),
         "q06_argmax": (
             "SELECT o_custkey, MIN(o_orderkey) AS ok FROM orders o "
@@ -924,10 +919,6 @@ def oracle_sql() -> dict[str, str]:
             "JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE c_nationkey < 10 GROUP BY o_orderkey"
-        ),
-        "q25_distinct_count": (
-            "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nparts, "
-            "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag"
         ),
         "q26_date_functions": (
             "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y, "
