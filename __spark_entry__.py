@@ -1069,22 +1069,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY md5(text)"
         ),
         "dedup_minhash_sig": (
+            "WITH h AS (SELECT doc_id, "
+            "list_transform(string_split_regex(trim(text), '\\s+'), "
+            "w -> md5(w)) AS gh FROM documents) "
             "SELECT doc_id, "
             + ", ".join(
-                f"list_min(list_transform(string_split_regex(trim(text), '\\s+'), "
-                f"w -> md5(concat('{i}|', w)))) AS mh_{i}"
+                f"list_min(list_transform(gh, x -> substr(x, {1 + 8 * i}, 8)))"
+                f" AS mh_{i}"
                 for i in range(4)
             )
-            + " FROM documents"
+            + " FROM h"
         ),
         "dedup_lsh_pairs": (
-            "WITH w AS (SELECT doc_id, list_distinct(list_transform("
+            "WITH w AS (SELECT doc_id, list_transform("
             "generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)), "
-            "i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' ')"
-            ")) AS grams FROM documents), "
+            "i -> md5(array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' '))"
+            ") AS gh FROM documents), "
             "sig AS (SELECT doc_id, "
             + ", ".join(
-                f"list_min(list_transform(grams, s -> md5(concat('{i}|', s)))) AS mh_{i}"
+                f"list_min(list_transform(gh, x -> substr(x, {1 + 8 * i}, 8)))"
+                f" AS mh_{i}"
                 for i in range(4)
             )
             + " FROM w), "

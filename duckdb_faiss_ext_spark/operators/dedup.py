@@ -63,17 +63,16 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(w, id_col, "left_semi")
 
 
-def _shingles(text_col: str, n: int):
-    """Word n-gram shingle array (n=1 -> the word set itself)."""
+def _shingles(text_col: str, n: int, distinct: bool = True):
+    """Word n-gram shingle array (n=1 -> the word list itself)."""
     if n <= 1:
         return _words(text_col)
     w = _words(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-        )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
     )
+    return F.array_distinct(grams) if distinct else grams
 
 
 def minhash_signature(
@@ -83,24 +82,32 @@ def minhash_signature(
     num_hashes: int = 4,
     shingle_n: int = 1,
 ) -> DataFrame:
-    """Shingle-set MinHash: sig_i = min over shingles of md5('<i>|' + s).
+    """Shingle-set MinHash: sig_i = min over shingles of the i-th 8-hex-char
+    slice of md5(shingle) — up to 4 independent 32-bit hashes from ONE digest.
 
-    One narrow projection, no shuffle; md5-hex min is a valid uniform min-hash
-    (lexicographic order on hex == order on the 128-bit value).  shingle_n=1
-    hashes the word set; n>=2 hashes word n-grams (the classic
+    One narrow projection, no shuffle; a hex-slice min is a valid uniform
+    min-hash (lexicographic order on equal-length hex == order on the 32-bit
+    value).  Digesting each gram once and slicing is ~num_hashes× cheaper
+    than seeded re-hashing: the md5 + gram-array build dominate at corpus
+    scale, and both stay single-evaluation here (the two-step projection is
+    non-collapsible, so Catalyst computes `_gh` once per row).  No
+    `array_distinct` — the min over a multiset equals the min over its set.
+    shingle_n=1 hashes the word set; n>=2 hashes word n-grams (the classic
     shingle->minhash->band pipeline — far more selective buckets)."""
-    def seeded(i: int):
-        prefix = f"{i}|"
-        # NB: must stay a 1-arg lambda — a 2-arg lambda would be bound by
-        # Spark's transform() as (element, array_index)
-        return lambda w: F.md5(F.concat(F.lit(prefix), w))
-
-    grams = _shingles(text_col, shingle_n)
+    if not 1 <= num_hashes <= 4:
+        raise ValueError("num_hashes must be in [1, 4] (one md5 = 4 slices)")
+    grams = _shingles(text_col, shingle_n, distinct=False)
+    hashed = df.select(F.col(id_col), F.transform(grams, F.md5).alias("_gh"))
     cols = [F.col(id_col)]
     for i in range(num_hashes):
-        sig = F.array_min(F.transform(grams, seeded(i)))
+        lo = 1 + 8 * i
+        # SQL-parsed lambda, NOT the Python DSL: sibling F.transform()
+        # lambdas over the same input column collide on their generated
+        # variable names here (all four columns evaluate to the first
+        # lambda's slice); parser-generated lambdas bind hygienically.
+        sig = F.expr(f"array_min(transform(_gh, x -> substring(x, {lo}, 8)))")
         cols.append(sig.alias(f"mh_{i}"))
-    return df.select(*cols)
+    return hashed.select(*cols)
 
 
 def minhash_lsh_pairs(
