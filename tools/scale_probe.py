@@ -129,6 +129,87 @@ def main() -> None:
     lsh_run()
     results["lsh_knn8_sec"] = time.perf_counter() - t0
 
+    # --- round-2 paths: graph ANN, PQ compression, disk round-trip ---------
+    exact_hits = {
+        (r["qid"], r["label"])
+        for r in eng.search_flat("scale", 10, qdf).collect()
+    }
+
+    t0 = time.perf_counter()
+    eng.create("scale_hnsw", dim, "IDMap,HNSW32", metric_type="INNER_PRODUCT")
+    eng.add("scale_hnsw", idx.data.select("label", "vector"), validate=False)
+    results["hnsw32_build_sec"] = time.perf_counter() - t0
+    eng.search_flat("scale_hnsw", 10, qdf, params={"efSearch": 128}).count()
+    t0 = time.perf_counter()
+    hnsw_hits = {
+        (r["qid"], r["label"])
+        for r in eng.search_flat(
+            "scale_hnsw", 10, qdf, params={"efSearch": 128}
+        ).collect()
+    }
+    results["hnsw_knn48_ef128_sec"] = time.perf_counter() - t0
+    results["hnsw_recall_ef128"] = len(hnsw_hits & exact_hits) / len(exact_hits)
+
+    t0 = time.perf_counter()
+    eng.create("scale_ivfpq", dim, "IDMap,IVF32,PQ8", metric_type="L2")
+    eng.add("scale_ivfpq", idx.data.select("label", "vector"), validate=False)
+    results["ivfpq_build_sec"] = time.perf_counter() - t0
+    eng.search_flat("scale_ivfpq", 10, qdf, params={"nprobe": 4}).count()
+    t0 = time.perf_counter()
+    eng.search_flat("scale_ivfpq", 10, qdf, params={"nprobe": 4}).count()
+    results["ivfpq_knn48_nprobe4_sec"] = time.perf_counter() - t0
+
+    # disk round-trip of the IVF index (cluster-partitioned parquet)
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="scale_idx_")
+    try:
+        t0 = time.perf_counter()
+        eng.save("scale_ivf", d)
+        results["ivf_save_sec"] = time.perf_counter() - t0
+        eng.destroy("scale_ivf")
+        t0 = time.perf_counter()
+        eng.load("scale_ivf", d)
+        eng.search_flat("scale_ivf", 10, qdf, params={"nprobe": 4}).count()
+        results["ivf_load_plus_knn48_sec"] = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # --- dedup at scale: synthetic docs, fully codegen -----------------------
+    # ~40-word docs from a 5000-word vocab; every 10th doc clones doc id/10's
+    # word stream, so LSH has ~ndocs/10 real positives to find.
+    ndocs = max(n // 5, 100_000)
+    seed = F.expr("CASE WHEN id % 10 = 0 THEN id DIV 10 ELSE id END")
+    docs = spark.range(0, ndocs, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(seed * 40 + j), F.lit(5000)),
+                ),
+            ),
+        ).alias("text"),
+    )
+    from duckdb_faiss_ext_spark.operators.dedup import minhash_lsh_pairs
+
+    run_dedup = lambda: minhash_lsh_pairs(  # noqa: E731
+        docs, "doc_id", "text", 4, 2, shingle_n=3
+    ).count()
+    run_dedup()  # warm
+    t0 = time.perf_counter()
+    npairs = run_dedup()
+    results["dedup_lsh_sec"] = time.perf_counter() - t0
+    results["dedup_lsh_docs"] = float(ndocs)
+    results["dedup_lsh_pairs"] = float(npairs)
+
+    # host CPU contention context — without it, cross-probe comparisons on
+    # this shared sandbox are not interpretable
+    results["host_load_1m"] = os.getloadavg()[0]
+
     lines = [f"| {k} | {round(v, 2)} |" for k, v in results.items()]
     out = (
         f"\n## scale probe n={n:,} dim={dim} "
