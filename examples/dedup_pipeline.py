@@ -1,0 +1,101 @@
+"""End-to-end training-data deduplication pipeline over the documents table.
+
+The canonical LLM-corpus cleaning flow, each stage a bounded-cost Spark job:
+
+  1. exact dedup        — md5(text) groupBy, min-id survivor (1 shuffle)
+  2. near-dup candidates — shingle -> MinHash -> banded LSH bucket self-join
+                           (pairs only form inside identical band buckets)
+  3. verification       — exact word-3-gram Jaccard on the LSH candidates
+                           only (never all-pairs)
+  4. semantic near-dup  — embedding cosine via hyperplane-LSH buckets
+  5. survivor selection — drop the larger id of every verified pair
+
+Stage 5 is the single-pass approximation of connected components: a doc is
+dropped if ANY smaller-id near-dup exists.  Chains (a~b, b~c, a!~c) can drop
+c even though its only direct dup b was itself dropped — acceptable for
+corpus cleaning (over-dropping borderline dups), and it avoids an iterative
+CC computation.  At 100 TB every stage stays bucket-bounded: no stage joins
+more than (band-bucket population)^2 rows, and stages 2-4 never shuffle the
+full text column — only ids, signatures, and candidate pairs move.
+
+Run:  python examples/dedup_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from duckdb_faiss_ext_spark.operators.dedup import (
+        cosine_lsh_pairs,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from duckdb_faiss_ext_spark.session import get_spark
+
+    spark = get_spark("dedup-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n0 = docs.count()
+
+    # 1. exact dedup ---------------------------------------------------------
+    docs = exact_dedup(docs, "doc_id", "text").cache()
+    n1 = docs.count()
+
+    # 2+3. MinHash LSH candidates, Jaccard-verified --------------------------
+    cand = minhash_lsh_pairs(docs, "doc_id", "text", 4, 2, shingle_n=3)
+    cand_ids = cand.select("id_a", "id_b").distinct()
+    # verify ONLY the candidate pairs: semi-join the gram pipeline onto the
+    # candidate id set so the exact-Jaccard join never sees non-candidates
+    cand_docs = docs.join(
+        cand_ids.select(F.col("id_a").alias("doc_id"))
+        .union(cand_ids.select("id_b"))
+        .distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    verified = (
+        ngram_jaccard_pairs(cand_docs, "doc_id", "text", n=3, threshold=0.8)
+        .join(cand_ids, ["id_a", "id_b"], "left_semi")
+    )
+
+    # 4. embedding near-dup (cosine > 0.95 via hyperplane-LSH buckets) -------
+    dim = len(emb.select("embedding").first()[0])
+    sem = cosine_lsh_pairs(
+        emb.withColumnRenamed("vec_id", "doc_id"),
+        "doc_id",
+        "embedding",
+        dim,
+        threshold=0.95,
+    ).select(F.col("id_a"), F.col("id_b"))
+
+    # 5. survivor selection --------------------------------------------------
+    drops = (
+        verified.select(F.col("id_b").alias("doc_id"))
+        .union(sem.select(F.col("id_b")))
+        .distinct()
+    )
+    clean = docs.join(drops, "doc_id", "left_anti").cache()
+    n2 = clean.count()
+
+    print(f"input docs:            {n0}")
+    print(f"after exact dedup:     {n1}  (-{n0 - n1})")
+    print(f"lsh candidate pairs:   {cand_ids.count()}")
+    print(f"jaccard-verified:      {verified.count()}")
+    print(f"semantic near-dups:    {sem.count()}")
+    print(f"clean corpus:          {n2}  (-{n1 - n2} near-dups)")
+    assert n2 <= n1 <= n0
+
+
+if __name__ == "__main__":
+    main()
