@@ -36,6 +36,28 @@ def test_minhash_identical_docs_identical_sigs(docs):
     assert len(set(sig[4])) > 1
 
 
+def test_minhash_matches_python_md5_oracle(spark):
+    """Pin the hash family itself: sig_i == min over words of the i-th
+    8-hex-char slice of md5(word), computed independently in Python.  Guards
+    the sibling-transform lambda-binding regression (all four columns
+    silently evaluating the first slice) and any hash-construction drift
+    vs the DuckDB oracle twin."""
+    import hashlib
+
+    texts = {10: "alpha beta gamma", 11: "delta alpha", 12: "zeta"}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(4)]
+        for r in D.minhash_signature(df, "doc_id", "text", 4).collect()
+    }
+    for doc_id, text in texts.items():
+        digests = [hashlib.md5(w.encode()).hexdigest() for w in text.split()]
+        want = [min(d[8 * i: 8 * i + 8] for d in digests) for i in range(4)]
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
 def test_lsh_pairs_catch_exact_dups(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs, "doc_id", "text", 4, 2).collect()}
     assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
