@@ -150,6 +150,29 @@ def main() -> None:
     results["hnsw_knn48_ef128_sec"] = time.perf_counter() - t0
     results["hnsw_recall_ef128"] = len(hnsw_hits & exact_hits) / len(exact_hits)
 
+    # the reference's headline composite shape (IVF2048_HNSW128 analog):
+    # nprobe routes to clusters, a per-cluster NSW graph beams inside each
+    t0 = time.perf_counter()
+    eng.create(
+        "scale_ivfhnsw", dim, "IDMap,IVF32_HNSW32", metric_type="INNER_PRODUCT"
+    )
+    eng.add("scale_ivfhnsw", idx.data.select("label", "vector"), validate=False)
+    results["ivfhnsw_build_sec"] = time.perf_counter() - t0
+    eng.search_flat(
+        "scale_ivfhnsw", 10, qdf, params={"nprobe": 4, "efSearch": 64}
+    ).count()
+    t0 = time.perf_counter()
+    ivfhnsw_hits = {
+        (r["qid"], r["label"])
+        for r in eng.search_flat(
+            "scale_ivfhnsw", 10, qdf, params={"nprobe": 4, "efSearch": 64}
+        ).collect()
+    }
+    results["ivfhnsw_knn48_sec"] = time.perf_counter() - t0
+    results["ivfhnsw_recall_np4_ef64"] = (
+        len(ivfhnsw_hits & exact_hits) / len(exact_hits)
+    )
+
     t0 = time.perf_counter()
     eng.create("scale_ivfpq", dim, "IDMap,IVF32,PQ8", metric_type="L2")
     eng.add("scale_ivfpq", idx.data.select("label", "vector"), validate=False)
