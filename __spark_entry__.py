@@ -554,8 +554,10 @@ def q22_lag_window(spark, sf):
 
 def media_features(spark, sf):
     """Multimodal plumbing: synthesize binary payloads from document text
-    (deterministic), run the Arrow-batched feature extractor.  sha256/numpy
-    features have no SQL twin -> rows-only check; pytest pins determinism."""
+    (deterministic), run the Arrow-batched feature extractor.  The metadata
+    columns (byte length, sha256 hex) have an exact DuckDB twin — the
+    oracle hash-checks the extractor end-to-end; the numpy feature vector
+    (no SQL twin) is pinned by pytest determinism tests instead."""
     from duckdb_faiss_ext_spark.operators.multimodal import extract_features
 
     d = _t(spark, sf, "documents").select(
@@ -825,9 +827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_centroids": vector_centroids,
         "sessionize_events": sessionize_events,
         "sessionize_native": sessionize_native_q,
+        "media_features": media_features,
         # rows-only (no SQL oracle by design) — deliberately last
         "dedup_simhash": dedup_simhash,
-        "media_features": media_features,
         "ann_ivf_knn": ann_ivf_knn,
         "ann_lsh_knn": ann_lsh_knn,
         "ann_ivfpq_knn": ann_ivfpq_knn,
@@ -1175,7 +1177,15 @@ def oracle_sql() -> dict[str, str]:
             "i -> md5(array_to_string(ws[i:i+4], ' ')))) AS msfp "
             "FROM w"
         ),
+        # the selected feature columns (byte length + sha256 hex) ARE
+        # SQL-expressible even though the numpy feature vector is not —
+        # the oracle checks the Arrow-batched extractor's metadata output
+        "media_features": (
+            "SELECT doc_id AS media_id, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "sha256(text) AS content_hash FROM documents"
+        ),
         # rows-only (no oracle): dedup_simhash (Spark xxhash64 has no DuckDB
-        # twin), media_features (sha256/numpy features), ann_ivf_knn /
-        # ann_lsh_knn / ann_ivfpq_knn (approximate by design)
+        # twin), ann_ivf_knn / ann_lsh_knn / ann_ivfpq_knn / ann_hnsw_knn
+        # (approximate by design)
     }
