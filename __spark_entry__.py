@@ -686,11 +686,13 @@ def dedup_cosine(spark, sf):
 
 
 def dedup_simhash(spark, sf):
-    """64-bit SimHash fingerprints (xxhash64, JVM-side) — no DuckDB twin for
-    Spark's xxhash64 seed/spec, so rows-only check; pytest pins semantics."""
-    from duckdb_faiss_ext_spark.operators.dedup import simhash64
+    """SimHash fingerprints, oracle-portable construction: bit j = sign of
+    the ±1 sum over words by the high bit of md5 hex nibble j — exactly
+    replicable in DuckDB SQL, so the fingerprint hash-checks cross-engine.
+    The scale path (simhash64: xxhash64, 64-bit) keeps pytest pinning."""
+    from duckdb_faiss_ext_spark.operators.dedup import simhash32_md5
 
-    return simhash64(_t(spark, sf, "documents"), "doc_id", "text")
+    return simhash32_md5(_t(spark, sf, "documents"), "doc_id", "text")
 
 
 def text_stats(spark, sf):
@@ -828,8 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "sessionize_native": sessionize_native_q,
         "media_features": media_features,
-        # rows-only (no SQL oracle by design) — deliberately last
         "dedup_simhash": dedup_simhash,
+        # rows-only (no SQL oracle by design) — deliberately last
         "ann_ivf_knn": ann_ivf_knn,
         "ann_lsh_knn": ann_lsh_knn,
         "ann_ivfpq_knn": ann_ivfpq_knn,
@@ -1185,7 +1187,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "sha256(text) AS content_hash FROM documents"
         ),
-        # rows-only (no oracle): dedup_simhash (Spark xxhash64 has no DuckDB
-        # twin), ann_ivf_knn / ann_lsh_knn / ann_ivfpq_knn / ann_hnsw_knn
-        # (approximate by design)
+        # bit-exact SimHash twin: same md5-nibble-high-bit construction as
+        # operators/dedup.simhash32_md5
+        "dedup_simhash": (
+            "WITH w AS (SELECT doc_id AS _id, "
+            "md5(unnest(string_split_regex(trim(text), '\\s+'))) AS hx "
+            "FROM documents), "
+            "s AS (SELECT _id, "
+            + ", ".join(
+                f"SUM(CASE WHEN strpos('89abcdef', substr(hx, {j + 1}, 1)) > 0 "
+                f"THEN 1 ELSE -1 END) AS b{j}"
+                for j in range(32)
+            )
+            + " FROM w GROUP BY _id) "
+            "SELECT _id AS doc_id, CAST("
+            + " + ".join(
+                f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+                for j in range(32)
+            )
+            + " AS BIGINT) AS simhash FROM s"
+        ),
+        # rows-only (no oracle): ann_ivf_knn / ann_lsh_knn / ann_ivfpq_knn /
+        # ann_hnsw_knn (approximate by design)
     }

@@ -226,6 +226,37 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select(F.col("_id").alias(id_col), fp.alias("simhash"))
 
 
+def simhash32_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Oracle-portable 32-bit SimHash: bit j of the fingerprint is the sign
+    of the sum over words of ±1 by the HIGH BIT of hex nibble j of
+    md5(word).  Identical construction is expressible in ANSI-ish SQL
+    (substr + CASE per nibble), so a second engine can replicate the exact
+    fingerprint — the cross-engine twin of simhash64, which keeps xxhash64
+    (cheaper, JVM-native, but engine-specific) for the scale path.  Same
+    plan shape: explode → one groupBy shuffle, all codegen."""
+    df = _ensure_parallelism(df, id_col)
+    wdf = df.select(
+        F.col(id_col).alias("_id"), F.explode(_words(text_col)).alias("w")
+    ).withColumn("hx", F.md5("w"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.conv(F.substring("hx", j + 1, 1), 16, 10).cast("int") >= 8, 1
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(32)
+    ]
+    sums = wdf.groupBy("_id").agg(*aggs)
+    fp = None
+    for j in range(32):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return sums.select(F.col("_id").alias(id_col), fp.alias("simhash"))
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:

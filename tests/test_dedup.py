@@ -58,6 +58,17 @@ def test_minhash_matches_python_md5_oracle(spark):
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
 
 
+def test_simhash32_md5_invariants(docs):
+    """The oracle-portable SimHash variant: identical docs share the exact
+    fingerprint; a doc with disjoint vocabulary differs; fingerprints stay in
+    unsigned-32 range (built from 32 md5-nibble bits)."""
+    fp = {r["doc_id"]: r["simhash"]
+          for r in D.simhash32_md5(docs, "doc_id", "text").collect()}
+    assert fp[1] == fp[2] == fp[5]
+    assert fp[1] != fp[4]
+    assert all(0 <= v < (1 << 32) for v in fp.values())
+
+
 def test_lsh_pairs_catch_exact_dups(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs, "doc_id", "text", 4, 2).collect()}
     assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
