@@ -117,11 +117,20 @@ def minhash_lsh_pairs(
     num_hashes: int = 4,
     band_size: int = 2,
     shingle_n: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, band) sharing an LSH band.
 
     bands = num_hashes/band_size; band key = md5(concat of its signatures).
-    The self-join is on (band_idx, band_key) — hash-partitioned, no n^2."""
+    The self-join is on (band_idx, band_key) — hash-partitioned, no n^2.
+
+    ``max_bucket`` caps the self-join blowup at corpus scale: a band bucket
+    with m members emits O(m²) pairs, and real corpora have pathological
+    buckets (boilerplate/empty docs sharing a signature band).  Buckets
+    larger than the cap are dropped BEFORE the join — the members still
+    pair through their other, more selective bands, and a group of near-dups
+    bigger than max_bucket is better handled by exact_dedup upstream.  None
+    (default) keeps every bucket — the oracle-parity setting."""
     assert num_hashes % band_size == 0
     df = _ensure_parallelism(df, id_col)
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
@@ -140,6 +149,14 @@ def minhash_lsh_pairs(
     exploded = sig.select(
         F.col(id_col).alias("_id"), F.explode(band_structs).alias("b")
     ).select("_id", "b.band", "b.bkey")
+    if max_bucket is not None:
+        ok = (
+            exploded.groupBy("band", "bkey")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .select("band", "bkey")
+        )
+        exploded = exploded.join(ok, ["band", "bkey"], "left_semi")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

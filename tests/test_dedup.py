@@ -75,6 +75,22 @@ def test_lsh_pairs_catch_exact_dups(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_lsh_max_bucket_caps_blowup(spark):
+    """300 identical boilerplate docs share every band bucket -> O(300²)
+    pairs without the cap.  With max_bucket the mega-buckets drop before the
+    self-join while pairs in small buckets (the real near-dups) survive."""
+    rows = [(i, "common boilerplate text block repeated verbatim") for i in range(300)]
+    rows += [(1000, "a unique document about minhash banding"),
+             (1001, "a unique document about minhash banding")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = D.minhash_lsh_pairs(df, "doc_id", "text", 4, 2)
+    capped = D.minhash_lsh_pairs(df, "doc_id", "text", 4, 2, max_bucket=100)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(1000, 1001)}
+    # sanity: the cap is what removed the blowup, not the data
+    assert uncapped.count() > 300 * 299 / 2
+
+
 def test_ngram_jaccard(docs):
     pairs = {(r["id_a"], r["id_b"]): r["jac"] for r in
              D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1).collect()}
