@@ -63,6 +63,25 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(w, id_col, "left_semi")
 
 
+def _cap_buckets(
+    exploded: DataFrame, keys: list, max_bucket: int | None
+) -> DataFrame:
+    """Drop bucket groups larger than ``max_bucket`` before a bucket
+    self-join — the O(m²)-blowup guard shared by every banded-LSH candidate
+    generator (a bucket with m members emits m² candidate pairs; real
+    corpora have pathological buckets: boilerplate, empty docs, zero
+    vectors).  None = keep everything."""
+    if max_bucket is None:
+        return exploded
+    ok = (
+        exploded.groupBy(*keys)
+        .count()
+        .filter(F.col("count") <= max_bucket)
+        .select(*keys)
+    )
+    return exploded.join(ok, keys, "left_semi")
+
+
 def _shingles(text_col: str, n: int, distinct: bool = True):
     """Word n-gram shingle array (n=1 -> the word list itself)."""
     if n <= 1:
@@ -149,14 +168,7 @@ def minhash_lsh_pairs(
     exploded = sig.select(
         F.col(id_col).alias("_id"), F.explode(band_structs).alias("b")
     ).select("_id", "b.band", "b.bkey")
-    if max_bucket is not None:
-        ok = (
-            exploded.groupBy("band", "bkey")
-            .count()
-            .filter(F.col("count") <= max_bucket)
-            .select("band", "bkey")
-        )
-        exploded = exploded.join(ok, ["band", "bkey"], "left_semi")
+    exploded = _cap_buckets(exploded, ["band", "bkey"], max_bucket)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -275,11 +287,16 @@ def simhash32_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: pairs whose SimHashes differ in <= max_hamming
     bits.  Banded by 16-bit chunks (pigeonhole: <=3 flips over 4 chunks means
-    some chunk is identical) so the join is on chunk value, not n^2."""
+    some chunk is identical) so the join is on chunk value, not n^2.
+    ``max_bucket`` drops oversized chunk buckets (see _cap_buckets)."""
     sh = simhash64(df, id_col, text_col)
     chunks = F.array(
         *[
@@ -295,6 +312,7 @@ def simhash_pairs(
     e = sh.select(
         F.col(id_col).alias("_id"), F.col("simhash"), F.explode(chunks).alias("c")
     ).select("_id", "simhash", "c.chunk", "c.ckey")
+    e = _cap_buckets(e, ["chunk", "ckey"], max_bucket)
     a, b = e.alias("a"), e.alias("b")
     cand = (
         a.join(
@@ -347,6 +365,7 @@ def cosine_lsh_pairs(
     n_planes: int = 16,
     n_bands: int = 4,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH.  Each vector gets n_planes sign
     bits (one broadcast matmul in a pandas_udf); bits are split into bands
@@ -386,6 +405,7 @@ def cosine_lsh_pairs(
     e = sig.select("_id", "_v", F.explode(bands).alias("b")).select(
         "_id", "_v", "b.band", "b.bkey"
     )
+    e = _cap_buckets(e, ["band", "bkey"], max_bucket)
     a, b = e.alias("a"), e.alias("b")
     cand = (
         a.join(
