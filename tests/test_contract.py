@@ -1,0 +1,41 @@
+"""Driver-contract shape guards.
+
+The harness records at most 50 CORRECTNESS rows (r01 ran 55 and silently
+lost the last 5), so the contract must stay EXACTLY 50 entries with the
+rows-only ones last.  These tests fail fast if a future edit grows the dict
+past the cap or orphans an oracle."""
+
+import importlib.util
+import os
+
+spec = importlib.util.spec_from_file_location(
+    "spark_entry",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"),
+)
+entry = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry)
+
+
+def test_exactly_fifty_queries():
+    assert len(entry.queries()) == 50
+
+
+def test_every_oracle_has_a_query():
+    qs, osql = entry.queries(), entry.oracle_sql()
+    assert set(osql) <= set(qs), set(osql) - set(qs)
+
+
+def test_rows_only_entries_are_last():
+    """Time-budgeted harnesses process dict order; hash-checkable queries
+    must come before the rows-only tail."""
+    qs, osql = entry.queries(), entry.oracle_sql()
+    names = list(qs)
+    first_rows_only = next(i for i, n in enumerate(names) if n not in osql)
+    assert all(n not in osql for n in names[first_rows_only:]), (
+        "oracled query found after a rows-only entry"
+    )
+
+
+def test_all_queries_are_callables():
+    assert all(callable(f) for f in entry.queries().values())
+    assert all(isinstance(s, str) and s.strip() for s in entry.oracle_sql().values())
