@@ -150,6 +150,21 @@ def main() -> None:
     }
     queries["hnsw_recall_ef128"] = round(len(hnsw_hits & exact_hits) / len(exact_hits), 4)
 
+    # composite IVF_HNSW (the reference's IVF2048_HNSW128 shape): nprobe
+    # routes to clusters, per-cluster NSW graphs beam inside each
+    t0 = time.perf_counter()
+    eng.create("bench_ivfhnsw", dim, "IDMap,IVF16_HNSW32", metric_type="INNER_PRODUCT")
+    eng.add("bench_ivfhnsw", emb.select("vec_id", "embedding"))
+    queries["ivfhnsw_build_sec"] = round(time.perf_counter() - t0, 4)
+    ivfhnsw_run = lambda: eng.search_flat(  # noqa: E731
+        "bench_ivfhnsw", 10, qdf48, params={"nprobe": 8, "efSearch": 64}
+    )
+    queries["ivfhnsw_knn_np8"] = timed(lambda: ivfhnsw_run().count(), warmup=True)
+    ivfhnsw_hits = {(r["qid"], r["label"]) for r in ivfhnsw_run().collect()}
+    queries["ivfhnsw_recall_np8"] = round(
+        len(ivfhnsw_hits & exact_hits) / len(exact_hits), 4
+    )
+
     # --- LSH ANN (training-free scale path): bucket-join + recall ----------
     # signatures are computed ONCE and cached — the steady-state cost the
     # signatures-as-index design intends (corpus_sig param, operators/lsh.py)
@@ -200,6 +215,7 @@ def main() -> None:
         "ivf_recall_nprobe4",
         "ivf_recall_nprobe16",
         "hnsw_recall_ef128",
+        "ivfhnsw_recall_np8",
         "lsh_recall_4x8",
         "host_load_1m",
     }
