@@ -334,6 +334,78 @@ def simhash_pairs(
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: (id, comp) where
+    comp is the MIN id reachable through any chain of pairs — the exact
+    group structure that single-pass drop-the-larger-id survivor selection
+    only approximates (a~b, b~c chains).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own component and its neighbors' components — converges in
+    O(graph diameter) rounds, and near-dup graphs are shallow (dup groups
+    are cliques or short chains).  Each round is one join + one groupBy on
+    the EDGE table (never n²); `localCheckpoint` truncates the iteration
+    lineage so round N's plan does not replay rounds 1..N-1."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("comp").alias("dst_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 20
+) -> DataFrame:
+    """Keep one doc per connected near-dup group (the min id) plus every doc
+    with no near-dup at all — the exact version of survivor selection."""
+    comp = neardup_components(pairs, max_iter=max_iter)
+    drops = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str,

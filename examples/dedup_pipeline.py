@@ -8,15 +8,15 @@ The canonical LLM-corpus cleaning flow, each stage a bounded-cost Spark job:
   3. verification       — exact word-3-gram Jaccard on the LSH candidates
                            only (never all-pairs)
   4. semantic near-dup  — embedding cosine via hyperplane-LSH buckets
-  5. survivor selection — drop the larger id of every verified pair
+  5. survivor selection — connected components over the verified pair
+                           graph (min-label propagation, O(diameter)
+                           rounds), keep the min id per component
 
-Stage 5 is the single-pass approximation of connected components: a doc is
-dropped if ANY smaller-id near-dup exists.  Chains (a~b, b~c, a!~c) can drop
-c even though its only direct dup b was itself dropped — acceptable for
-corpus cleaning (over-dropping borderline dups), and it avoids an iterative
-CC computation.  At 100 TB every stage stays bucket-bounded: no stage joins
-more than (band-bucket population)^2 rows, and stages 2-4 never shuffle the
-full text column — only ids, signatures, and candidate pairs move.
+Stage 5 follows CHAINS exactly (a~b, b~c groups all three even when a!~c
+directly), unlike single-pass drop-the-larger-id selection.  At 100 TB
+every stage stays bucket-bounded: no stage joins more than (band-bucket
+population)^2 rows, and stages 2-4 never shuffle the full text column —
+only ids, signatures, and candidate pairs move.
 
 Run:  python examples/dedup_pipeline.py [sf_dir]
 """
@@ -37,6 +37,7 @@ def main() -> None:
         cosine_lsh_pairs,
         exact_dedup,
         minhash_lsh_pairs,
+        neardup_survivors,
         ngram_jaccard_pairs,
     )
     from duckdb_faiss_ext_spark.session import get_spark
@@ -79,13 +80,9 @@ def main() -> None:
         threshold=0.95,
     ).select(F.col("id_a"), F.col("id_b"))
 
-    # 5. survivor selection --------------------------------------------------
-    drops = (
-        verified.select(F.col("id_b").alias("doc_id"))
-        .union(sem.select(F.col("id_b")))
-        .distinct()
-    )
-    clean = docs.join(drops, "doc_id", "left_anti").cache()
+    # 5. survivor selection: connected components over ALL near-dup edges ----
+    all_pairs = verified.select("id_a", "id_b").union(sem).distinct()
+    clean = neardup_survivors(docs, all_pairs, "doc_id").cache()
     n2 = clean.count()
 
     print(f"input docs:            {n0}")

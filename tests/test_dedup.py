@@ -91,6 +91,33 @@ def test_lsh_max_bucket_caps_blowup(spark):
     assert uncapped.count() > 300 * 299 / 2
 
 
+def test_neardup_components_chains(spark):
+    """a~b, b~c, plus an isolated pair: components must follow CHAINS (the
+    single-pass approximation cannot), labeling every chain member with the
+    min id of its component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 21)], "id_a int, id_b int"
+    )
+    comp = {r["id"]: r["comp"] for r in D.neardup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20}
+
+
+def test_neardup_survivors_exact(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 9, 20, 21, 50)],
+        "doc_id int, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 21)], "id_a int, id_b int"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in D.neardup_survivors(docs, pairs, "doc_id").collect()
+    )
+    # one survivor per component (1, 20) + the doc with no near-dups (50)
+    assert kept == [1, 20, 50]
+
+
 def test_ngram_jaccard(docs):
     pairs = {(r["id_a"], r["id_b"]): r["jac"] for r in
              D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1).collect()}
