@@ -602,14 +602,15 @@ def similarity_join_topk(spark, sf):
 def sessionize_events(spark, sf):
     """Gap-based sessionization of the events stream (30-min gap): batch twin
     of streaming.sessionize_stream (applyInPandasWithState); identical
-    semantics pinned by tests/test_sessionize.py.  `ts DIV 1000000` = exact
-    integer ns->ms floor (the parquet stores timestamp[ns], which Spark reads
-    as BIGINT nanos and DuckDB as TIMESTAMP)."""
+    semantics pinned by tests/test_sessionize.py.  events_ts_ms normalizes
+    whatever physical ts type the parquet carries (bigint nanos,
+    timestamp[us]/NTZ, timestamp) to exact epoch-ms — see
+    streaming/ingest.py:_ts_micros_sql."""
+    from duckdb_faiss_ext_spark.streaming.ingest import events_ts_ms
     from duckdb_faiss_ext_spark.streaming.sessionize import sessionize_batch
 
-    ev = _t(spark, sf, "events").select(
-        "user_id", F.expr("ts DIV 1000000").alias("ts_ms"), "value"
-    )
+    raw = _t(spark, sf, "events")
+    ev = raw.select("user_id", events_ts_ms(raw).alias("ts_ms"), "value")
     s = sessionize_batch(ev, gap_seconds=1800)
     return s.select(
         "user_id",
@@ -624,11 +625,11 @@ def sessionize_native_q(spark, sf):
     """Catalyst-native gap sessionization (F.session_window) — the built-in
     session operator, same 30-min gap and same oracle as sessionize_events:
     two independent Spark implementations checked against one SQL truth."""
+    from duckdb_faiss_ext_spark.streaming.ingest import events_ts_ms
     from duckdb_faiss_ext_spark.streaming.sessionize import sessionize_native
 
-    ev = _t(spark, sf, "events").select(
-        "user_id", F.expr("ts DIV 1000000").alias("ts_ms"), "value"
-    )
+    raw = _t(spark, sf, "events")
+    ev = raw.select("user_id", events_ts_ms(raw).alias("ts_ms"), "value")
     s = sessionize_native(ev, gap_seconds=1800)
     return s.select(
         "user_id",

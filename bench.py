@@ -15,6 +15,11 @@ Proxies mirrored from BASELINE.md (engine targets table):
 - ingest: rows/s into an index via add (engine add path).
 - relational headliners: q03 join, q05 agg, q07 window from the contract.
 - dedup/text: minhash signature + lsh pairs, quality+lang scan.
+
+Crash tolerance (r2 post-mortem): every section runs under `section()`;
+a failing query records an `errors[name]` entry and the suite CONTINUES —
+one red query can never zero out a bench round again.  The JSON line is
+always printed and rc is 0 whenever at least one measurement landed.
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 import pyspark.sql.functions as F
 
@@ -48,166 +54,218 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    queries: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def section(name):
+        """Run one bench section; on failure record the error and move on."""
+
+        def deco(fn):
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001 — bench must not die
+                errors[name] = f"{type(e).__name__}: {e}"
+                traceback.print_exc(file=sys.stderr)
+
+        return deco
+
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
     n_emb = emb.count()
     dim = len(emb.select("embedding").first()[0])
 
-    queries: dict[str, float] = {}
-
     # --- relational headliners (count() forces full execution) -------------
-    queries["q03_equi_join"] = timed(
-        lambda: entry.q03_equi_join(spark, sf_dir).count(), warmup=True
-    )
-    queries["q05_agg_multi"] = timed(
-        lambda: entry.q05_agg_multi(spark, sf_dir).count(), warmup=True
-    )
-    queries["q07_window_topk"] = timed(
-        lambda: entry.q07_window_topk(spark, sf_dir).count(), warmup=True
-    )
-
-    # --- exact kNN: SQL-expression path and engine float32 path -----------
-    queries["exact_knn_ip"] = timed(
-        lambda: entry.knn_ip(spark, sf_dir).count(), warmup=True
-    )
-
-    eng = FaissSparkEngine(spark)
-    t0 = time.perf_counter()
-    eng.create("bench_ip", dim, "IDMap,Flat", metric_type="INNER_PRODUCT")
-    eng.add("bench_ip", emb.select("vec_id", "embedding"))
-    ingest_sec = time.perf_counter() - t0
-    queries["ingest_rows_per_sec"] = round(n_emb / ingest_sec, 1)
-
-    qdf48 = emb.limit(48).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
-    ).cache()
-    qdf48.count()
-    qdf1 = qdf48.limit(1).cache()
-    qdf1.count()
-
-    queries["exact_knn_engine"] = timed(
-        lambda: eng.search_flat("bench_ip", 10, qdf48).count(), warmup=True
-    )
-    t48 = timed(lambda: eng.search_flat("bench_ip", 10, qdf48).count())
-    t1 = timed(lambda: eng.search_flat("bench_ip", 10, qdf1).count())
-    queries["batch48_sec"] = round(t48, 4)
-    queries["batch1_sec"] = round(t1, 4)
-    queries["batch_amortization"] = round(t48 / max(t1, 1e-9), 3)
-
-    # --- filtered kNN selectivity sweep (sel = vec_id % 100 < p) -----------
-    emb.createOrReplaceTempView("bench_embeddings")
-    for p in (1, 10, 50, 90):
-        queries[f"filtered_knn_p{p}"] = timed(
-            lambda p=p: eng.search_filter(
-                "bench_ip", 10, qdf48, f"vec_id % 100 < {p}", "vec_id",
-                "bench_embeddings",
-            ).count(),
-            warmup=(p == 1),
+    @section("relational")
+    def _relational():
+        queries["q03_equi_join"] = timed(
+            lambda: entry.q03_equi_join(spark, sf_dir).count(), warmup=True
+        )
+        queries["q05_agg_multi"] = timed(
+            lambda: entry.q05_agg_multi(spark, sf_dir).count(), warmup=True
+        )
+        queries["q07_window_topk"] = timed(
+            lambda: entry.q07_window_topk(spark, sf_dir).count(), warmup=True
         )
 
+    # --- exact kNN: SQL-expression path and engine float32 path -----------
+    @section("exact_knn_ip")
+    def _exact_sql():
+        queries["exact_knn_ip"] = timed(
+            lambda: entry.knn_ip(spark, sf_dir).count(), warmup=True
+        )
+
+    eng = FaissSparkEngine(spark)
+    state: dict[str, object] = {}
+
+    @section("engine_exact")
+    def _engine_exact():
+        t0 = time.perf_counter()
+        eng.create("bench_ip", dim, "IDMap,Flat", metric_type="INNER_PRODUCT")
+        eng.add("bench_ip", emb.select("vec_id", "embedding"))
+        ingest_sec = time.perf_counter() - t0
+        queries["ingest_rows_per_sec"] = round(n_emb / ingest_sec, 1)
+
+        qdf48 = emb.limit(48).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+        ).cache()
+        qdf48.count()
+        qdf1 = qdf48.limit(1).cache()
+        qdf1.count()
+        state["qdf48"], state["qdf1"] = qdf48, qdf1
+
+        queries["exact_knn_engine"] = timed(
+            lambda: eng.search_flat("bench_ip", 10, qdf48).count(), warmup=True
+        )
+        t48 = timed(lambda: eng.search_flat("bench_ip", 10, qdf48).count())
+        t1 = timed(lambda: eng.search_flat("bench_ip", 10, qdf1).count())
+        queries["batch48_sec"] = round(t48, 4)
+        queries["batch1_sec"] = round(t1, 4)
+        queries["batch_amortization"] = round(t48 / max(t1, 1e-9), 3)
+        state["exact_hits"] = {
+            (r["qid"], r["label"])
+            for r in eng.search_flat("bench_ip", 10, qdf48).collect()
+        }
+
+    qdf48 = state.get("qdf48")
+    exact_hits = state.get("exact_hits")
+
+    # --- filtered kNN selectivity sweep (sel = vec_id % 100 < p) -----------
+    @section("filtered_knn")
+    def _filtered():
+        emb.createOrReplaceTempView("bench_embeddings")
+        for p in (1, 10, 50, 90):
+            queries[f"filtered_knn_p{p}"] = timed(
+                lambda p=p: eng.search_filter(
+                    "bench_ip", 10, qdf48, f"vec_id % 100 < {p}", "vec_id",
+                    "bench_embeddings",
+                ).count(),
+                warmup=(p == 1),
+            )
+
+    def recall(hits) -> float:
+        return round(len(hits & exact_hits) / len(exact_hits), 4)
+
     # --- IVF (ANN scale path): cluster-pruned search + recall --------------
-    t0 = time.perf_counter()
-    eng.create("bench_ivf", dim, "IDMap,IVF16,Flat", metric_type="INNER_PRODUCT")
-    eng.add("bench_ivf", emb.select("vec_id", "embedding"))
-    queries["ivf_build_sec"] = round(time.perf_counter() - t0, 4)
-    queries["ivf_knn_nprobe4"] = timed(
-        lambda: eng.search_flat("bench_ivf", 10, qdf48, params={"nprobe": 4}).count(),
-        warmup=True,
-    )
-    queries["ivf_knn_nprobe16"] = timed(
-        lambda: eng.search_flat("bench_ivf", 10, qdf48, params={"nprobe": 16}).count()
-    )
-    exact_hits = {
-        (r["qid"], r["label"])
-        for r in eng.search_flat("bench_ip", 10, qdf48).collect()
-    }
-    ivf_hits = {
-        (r["qid"], r["label"])
-        for r in eng.search_flat("bench_ivf", 10, qdf48, params={"nprobe": 4}).collect()
-    }
-    queries["ivf_recall_nprobe4"] = round(len(ivf_hits & exact_hits) / len(exact_hits), 4)
-    ivf16_hits = {
-        (r["qid"], r["label"])
-        for r in eng.search_flat("bench_ivf", 10, qdf48, params={"nprobe": 16}).collect()
-    }
-    queries["ivf_recall_nprobe16"] = round(len(ivf16_hits & exact_hits) / len(exact_hits), 4)
+    @section("ivf")
+    def _ivf():
+        t0 = time.perf_counter()
+        eng.create("bench_ivf", dim, "IDMap,IVF16,Flat", metric_type="INNER_PRODUCT")
+        eng.add("bench_ivf", emb.select("vec_id", "embedding"))
+        queries["ivf_build_sec"] = round(time.perf_counter() - t0, 4)
+        queries["ivf_knn_nprobe4"] = timed(
+            lambda: eng.search_flat("bench_ivf", 10, qdf48, params={"nprobe": 4}).count(),
+            warmup=True,
+        )
+        queries["ivf_knn_nprobe16"] = timed(
+            lambda: eng.search_flat("bench_ivf", 10, qdf48, params={"nprobe": 16}).count()
+        )
+        ivf_hits = {
+            (r["qid"], r["label"])
+            for r in eng.search_flat("bench_ivf", 10, qdf48, params={"nprobe": 4}).collect()
+        }
+        queries["ivf_recall_nprobe4"] = recall(ivf_hits)
+        ivf16_hits = {
+            (r["qid"], r["label"])
+            for r in eng.search_flat("bench_ivf", 10, qdf48, params={"nprobe": 16}).collect()
+        }
+        queries["ivf_recall_nprobe16"] = recall(ivf16_hits)
 
     # --- HNSW graph ANN (the reference's headline index shape) -------------
-    t0 = time.perf_counter()
-    eng.create("bench_hnsw", dim, "IDMap,HNSW32", metric_type="INNER_PRODUCT")
-    eng.add("bench_hnsw", emb.select("vec_id", "embedding"))
-    queries["hnsw_build_sec"] = round(time.perf_counter() - t0, 4)
-    queries["hnsw_knn_ef128"] = timed(
-        lambda: eng.search_flat(
-            "bench_hnsw", 10, qdf48, params={"efSearch": 128}
-        ).count(),
-        warmup=True,
-    )
-    hnsw_hits = {
-        (r["qid"], r["label"])
-        for r in eng.search_flat(
-            "bench_hnsw", 10, qdf48, params={"efSearch": 128}
-        ).collect()
-    }
-    queries["hnsw_recall_ef128"] = round(len(hnsw_hits & exact_hits) / len(exact_hits), 4)
+    @section("hnsw")
+    def _hnsw():
+        t0 = time.perf_counter()
+        eng.create("bench_hnsw", dim, "IDMap,HNSW32", metric_type="INNER_PRODUCT")
+        eng.add("bench_hnsw", emb.select("vec_id", "embedding"))
+        queries["hnsw_build_sec"] = round(time.perf_counter() - t0, 4)
+        queries["hnsw_knn_ef128"] = timed(
+            lambda: eng.search_flat(
+                "bench_hnsw", 10, qdf48, params={"efSearch": 128}
+            ).count(),
+            warmup=True,
+        )
+        hnsw_hits = {
+            (r["qid"], r["label"])
+            for r in eng.search_flat(
+                "bench_hnsw", 10, qdf48, params={"efSearch": 128}
+            ).collect()
+        }
+        queries["hnsw_recall_ef128"] = recall(hnsw_hits)
 
     # composite IVF_HNSW (the reference's IVF2048_HNSW128 shape): nprobe
     # routes to clusters, per-cluster NSW graphs beam inside each
-    t0 = time.perf_counter()
-    eng.create("bench_ivfhnsw", dim, "IDMap,IVF16_HNSW32", metric_type="INNER_PRODUCT")
-    eng.add("bench_ivfhnsw", emb.select("vec_id", "embedding"))
-    queries["ivfhnsw_build_sec"] = round(time.perf_counter() - t0, 4)
-    ivfhnsw_run = lambda: eng.search_flat(  # noqa: E731
-        "bench_ivfhnsw", 10, qdf48, params={"nprobe": 8, "efSearch": 64}
-    )
-    queries["ivfhnsw_knn_np8"] = timed(lambda: ivfhnsw_run().count(), warmup=True)
-    ivfhnsw_hits = {(r["qid"], r["label"]) for r in ivfhnsw_run().collect()}
-    queries["ivfhnsw_recall_np8"] = round(
-        len(ivfhnsw_hits & exact_hits) / len(exact_hits), 4
-    )
+    @section("ivf_hnsw")
+    def _ivfhnsw():
+        t0 = time.perf_counter()
+        eng.create("bench_ivfhnsw", dim, "IDMap,IVF16_HNSW32", metric_type="INNER_PRODUCT")
+        eng.add("bench_ivfhnsw", emb.select("vec_id", "embedding"))
+        queries["ivfhnsw_build_sec"] = round(time.perf_counter() - t0, 4)
+        ivfhnsw_run = lambda: eng.search_flat(  # noqa: E731
+            "bench_ivfhnsw", 10, qdf48, params={"nprobe": 8, "efSearch": 64}
+        )
+        queries["ivfhnsw_knn_np8"] = timed(lambda: ivfhnsw_run().count(), warmup=True)
+        queries["ivfhnsw_recall_np8"] = recall(
+            {(r["qid"], r["label"]) for r in ivfhnsw_run().collect()}
+        )
 
     # --- LSH ANN (training-free scale path): bucket-join + recall ----------
     # signatures are computed ONCE and cached — the steady-state cost the
     # signatures-as-index design intends (corpus_sig param, operators/lsh.py)
-    from duckdb_faiss_ext_spark.operators.lsh import (
-        corpus_mean,
-        lsh_ann_cosine,
-        lsh_signatures,
-    )
+    @section("lsh")
+    def _lsh():
+        from duckdb_faiss_ext_spark.operators.lsh import (
+            corpus_mean,
+            lsh_ann_cosine,
+            lsh_signatures,
+        )
 
-    corpus = emb.select(
-        F.col("vec_id").alias("label"), F.col("embedding").alias("vector")
-    )
-    ctr = corpus_mean(corpus, dim)
-    corpus_sig = lsh_signatures(
-        corpus, dim, id_col="label", n_planes=4, n_tables=8, center=ctr
-    ).cache()
-    corpus_sig.count()
-    run_lsh = lambda: lsh_ann_cosine(  # noqa: E731
-        corpus, qdf48, 10, dim, n_planes=4, n_tables=8,
-        corpus_sig=corpus_sig, center=ctr,
-    )
-    queries["lsh_knn_4x8"] = timed(lambda: run_lsh().count(), warmup=True)
-    lsh_hits = {(r["qid"], r["label"]) for r in run_lsh().collect()}
-    queries["lsh_recall_4x8"] = round(len(lsh_hits & exact_hits) / len(exact_hits), 4)
+        corpus = emb.select(
+            F.col("vec_id").alias("label"), F.col("embedding").alias("vector")
+        )
+        ctr = corpus_mean(corpus, dim)
+        corpus_sig = lsh_signatures(
+            corpus, dim, id_col="label", n_planes=4, n_tables=8, center=ctr
+        ).cache()
+        corpus_sig.count()
+        run_lsh = lambda: lsh_ann_cosine(  # noqa: E731
+            corpus, qdf48, 10, dim, n_planes=4, n_tables=8,
+            corpus_sig=corpus_sig, center=ctr,
+        )
+        queries["lsh_knn_4x8"] = timed(lambda: run_lsh().count(), warmup=True)
+        queries["lsh_recall_4x8"] = recall(
+            {(r["qid"], r["label"]) for r in run_lsh().collect()}
+        )
 
     # --- LLM-pipeline ops --------------------------------------------------
-    queries["sessionize_events"] = timed(
-        lambda: entry.sessionize_events(spark, sf_dir).count(), warmup=True
-    )
-    queries["knn_majority_vote"] = timed(
-        lambda: entry.knn_majority_vote(spark, sf_dir).count(), warmup=True
-    )
-    queries["similarity_join_f64"] = timed(
-        lambda: entry.similarity_join_topk(spark, sf_dir).count(), warmup=True
-    )
-    queries["dedup_minhash_lsh"] = timed(
-        lambda: entry.dedup_lsh_pairs(spark, sf_dir).count(), warmup=True
-    )
-    queries["text_quality_lang"] = timed(
-        lambda: entry.text_quality(spark, sf_dir).count()
-        + entry.text_lang(spark, sf_dir).count(),
-        warmup=True,
-    )
+    @section("sessionize_events")
+    def _sess():
+        queries["sessionize_events"] = timed(
+            lambda: entry.sessionize_events(spark, sf_dir).count(), warmup=True
+        )
+
+    @section("knn_majority_vote")
+    def _mv():
+        queries["knn_majority_vote"] = timed(
+            lambda: entry.knn_majority_vote(spark, sf_dir).count(), warmup=True
+        )
+
+    @section("similarity_join_f64")
+    def _sj():
+        queries["similarity_join_f64"] = timed(
+            lambda: entry.similarity_join_topk(spark, sf_dir).count(), warmup=True
+        )
+
+    @section("dedup_minhash_lsh")
+    def _dd():
+        queries["dedup_minhash_lsh"] = timed(
+            lambda: entry.dedup_lsh_pairs(spark, sf_dir).count(), warmup=True
+        )
+
+    @section("text_quality_lang")
+    def _tq():
+        queries["text_quality_lang"] = timed(
+            lambda: entry.text_quality(spark, sf_dir).count()
+            + entry.text_lang(spark, sf_dir).count(),
+            warmup=True,
+        )
 
     non_time_keys = {
         "ingest_rows_per_sec",
@@ -225,13 +283,18 @@ def main() -> None:
     queries["host_load_1m"] = round(os.getloadavg()[0], 2)
     total = round(sum(v for k, v in queries.items() if k not in non_time_keys), 4)
     queries = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in queries.items()}
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if errors and not queries:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -63,12 +63,53 @@ def windowed_event_counts(
     )
 
 
+def _ts_micros_sql(events: DataFrame, ts_col: str) -> str:
+    """SQL expression yielding epoch MICROSECONDS (bigint) for ``ts_col``,
+    whatever physical type the parquet writer chose.  The driver's testdata
+    has stored events.ts as parquet TIMESTAMP(NANOS) (read as BIGINT nanos
+    under ``nanosAsLong``) in one round and timestamp[us] (read as
+    TIMESTAMP_NTZ) in the next — the engine's contract is to accept any of
+    bigint-nanos / TIMESTAMP_NTZ / TIMESTAMP and normalize identically.
+
+    Integer arithmetic throughout (DIV / timestampdiff), never float
+    division: epoch-ns (~1.7e18) exceeds double's 2^53 exact range and a
+    ±1us wobble shifts window/session boundaries off the DuckDB oracle.
+    The NTZ branch measures from the NTZ epoch literal so no session
+    timezone is ever consulted — matching DuckDB's epoch_us(ts) view of a
+    naive timestamp."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = events.schema[ts_col].dataType
+    if isinstance(dt, LongType):  # TIMESTAMP(NANOS) via nanosAsLong
+        return f"{ts_col} DIV 1000"
+    if isinstance(dt, TimestampNTZType):  # parquet timestamp[us]
+        return (
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        )
+    if isinstance(dt, TimestampType):
+        return f"unix_micros({ts_col})"
+    raise TypeError(
+        f"events.{ts_col} has unsupported dtype {dt}; expected "
+        "bigint (nanos), timestamp_ntz, or timestamp"
+    )
+
+
+def events_ts_micros(events: DataFrame, ts_col: str = "ts"):
+    """Column: epoch microseconds of ``ts_col`` (dtype-adaptive, exact)."""
+    return F.expr(_ts_micros_sql(events, ts_col))
+
+
+def events_ts_ms(events: DataFrame, ts_col: str = "ts"):
+    """Column: epoch milliseconds of ``ts_col`` (dtype-adaptive, exact floor
+    division — the sessionization operators key on ms)."""
+    return F.expr(f"({_ts_micros_sql(events, ts_col)}) DIV 1000")
+
+
 def events_ts_as_timestamp(events: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Driver testdata stores events.ts as TIMESTAMP(NANOS); the session reads
-    it as bigint nanos (nanosAsLong).  Convert to a proper timestamp column
-    (microsecond precision) for windowing.  Integer DIV, not float division:
-    epoch-ns (~1.7e18) exceeds double's 2^53 exact range, so (ts/1000) could
-    land ±1us off the exact DuckDB cast and shift window boundaries."""
+    """Normalize ``ts_col`` to a proper TIMESTAMP column (microsecond
+    precision) for windowing, regardless of the parquet physical type —
+    see ``_ts_micros_sql`` for the accepted dtypes and exactness rules."""
     return events.withColumn(
-        ts_col, F.timestamp_micros(F.expr(f"{ts_col} DIV 1000"))
+        ts_col, F.timestamp_micros(events_ts_micros(events, ts_col))
     )

@@ -63,9 +63,11 @@ def main() -> None:
         )
 
         # 2. event-time sessionization (batch twin of the stateful stream) --
+        from duckdb_faiss_ext_spark.streaming.ingest import events_ts_ms
+
         sessions = sessionize_native(
             events.select(
-                "user_id", F.expr("ts DIV 1000000").alias("ts_ms"), "value"
+                "user_id", events_ts_ms(events).alias("ts_ms"), "value"
             ),
             gap_seconds=30 * 60,
         )

@@ -89,11 +89,11 @@ def test_lsh_ann_bucket_join_not_cartesian(spark, sf_dir):
 def test_sessionize_partial_aggregation(spark, sf_dir):
     """Session aggregation must map-side combine: the post-window shuffle
     carries one partial row per (user, session), not one per event."""
+    from duckdb_faiss_ext_spark.streaming.ingest import events_ts_ms
     from duckdb_faiss_ext_spark.streaming.sessionize import sessionize_batch
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", F.expr("ts DIV 1000000").alias("ts_ms"), "value"
-    )
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select("user_id", events_ts_ms(raw).alias("ts_ms"), "value")
     plan = _plan(sessionize_batch(ev, gap_seconds=1800))
     assert plan.count("HashAggregate") >= 2
 

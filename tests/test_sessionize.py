@@ -82,12 +82,11 @@ def test_sessionize_stream_matches_batch(spark, events_rows, tmp_path):
 
 def test_sessionize_batch_on_real_events(spark, sf_dir):
     """Real events table: sessions partition the event stream exactly."""
-    from duckdb_faiss_ext_spark.streaming.ingest import events_ts_as_timestamp
+    from duckdb_faiss_ext_spark.streaming.ingest import events_ts_ms
     import pyspark.sql.functions as F
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", (F.col("ts") / 1_000_000).cast("bigint").alias("ts_ms"), "value"
-    )
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select("user_id", events_ts_ms(raw).alias("ts_ms"), "value")
     sessions = sessionize_batch(ev, gap_seconds=3600)
     n_events = ev.count()
     assert sessions.agg(F.sum("n_events")).first()[0] == n_events
@@ -99,13 +98,11 @@ def test_sessionize_native_equals_batch(spark, sf_dir):
     """F.session_window (Catalyst-native) must agree row-for-row with the
     gap-and-islands batch twin on real events, including the diff == gap
     boundary (session_window adjacency is inclusive, matching `> gap` splits)."""
-    import pyspark.sql.functions as F
-
+    from duckdb_faiss_ext_spark.streaming.ingest import events_ts_ms
     from duckdb_faiss_ext_spark.streaming.sessionize import sessionize_native
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", F.expr("ts DIV 1000000").alias("ts_ms"), "value"
-    )
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select("user_id", events_ts_ms(raw).alias("ts_ms"), "value")
     a = sessionize_batch(ev, gap_seconds=1800)
     b = sessionize_native(ev, gap_seconds=1800)
     cols = ["user_id", "session_start_ms", "session_end_ms", "n_events"]
