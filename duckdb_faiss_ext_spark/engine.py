@@ -162,16 +162,47 @@ class FaissSparkEngine:
         if bad:
             raise DimensionMismatch(idx.dim, bad[0]["n"])
 
-    def _with_auto_ids(self, df: DataFrame, offset: int) -> DataFrame:
+    def _with_auto_ids(self, df: DataFrame, offset: int):
         """Sequential 0..n-1 ids in add order (FAISS auto-id parity,
-        SURVEY.md §7 known-hard #3).  zipWithIndex = one count job + local
-        offsets — scalable, no global sort."""
-        spark = self.spark
-        schema = "label bigint, vector array<float>"
-        rdd = df.select("vector").rdd.zipWithIndex().map(
-            lambda t: (offset + t[1], t[0][0])
+        SURVEY.md §7 known-hard #3) — entirely JVM-side.  The old
+        ``.rdd.zipWithIndex()`` round-tripped every row through Python
+        pickle (the only row-at-a-time Python path on a hot ingest path;
+        r2 VERDICT wrong #2).
+
+        ``monotonically_increasing_id()`` encodes ``partition_id << 33 |
+        row_counter`` in partition-iteration order, so per-partition row
+        counts (one tiny collect — the same single extra job zipWithIndex
+        ran) rank-compact it to dense sequential labels via a broadcast
+        join on partition id.  The tagged frame is persisted so the count
+        job and the downstream add materialize from the same iteration
+        order; returns (labeled_df, tagged) and ``add`` unpersists tagged
+        once the slice is materialized."""
+        tagged = df.select(
+            F.col("vector"), F.monotonically_increasing_id().alias("_mid")
+        ).persist()
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in tagged.groupBy(F.shiftright("_mid", 33).alias("_pid"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        base, offsets = offset, []
+        for pid in sorted(counts):
+            offsets.append((int(pid), int(base)))
+            base += counts[pid]
+        off_df = self.spark.createDataFrame(offsets or [], "_pid bigint, _base bigint")
+        out = (
+            tagged.withColumn("_pid", F.shiftright("_mid", 33))
+            .join(F.broadcast(off_df), "_pid")
+            .select(
+                (
+                    F.col("_base")
+                    + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+                ).alias("label"),
+                "vector",
+            )
         )
-        return spark.createDataFrame(rdd, schema)
+        return out, tagged
 
     # memory-mode slice compaction threshold: bounds union-lineage depth (and
     # per-search planning cost) without giving up O(batch) amortized adds
@@ -196,8 +227,9 @@ class FaissSparkEngine:
         self._latch_label_mode(idx, labeled)
         if validate:
             self._validate_dim(idx, vecs)
+        auto_tmp = None
         if not labeled:
-            vecs = self._with_auto_ids(vecs, idx.count)
+            vecs, auto_tmp = self._with_auto_ids(vecs, idx.count)
         rebuild = False
         if idx.needs_training:
             # first add of an untrained index retrains on everything seen so
@@ -223,6 +255,10 @@ class FaissSparkEngine:
             self._add_disk(idx, vecs, rebuild)
         else:
             self._add_memory(idx, vecs, rebuild)
+        if auto_tmp is not None:
+            # slice is materialized (persisted+counted / written) above;
+            # the id-tagging cache is now redundant
+            auto_tmp.unpersist()
 
     def _add_memory(self, idx: FaissIndex, vecs: DataFrame, rebuild: bool) -> None:
         vecs = vecs.persist()
