@@ -248,7 +248,14 @@ class FaissSparkEngine:
             from duckdb_faiss_ext_spark.operators.pq import pq_encode
 
             keep = ("cluster_id",) if "cluster_id" in vecs.columns else ()
-            vecs = pq_encode(vecs, idx.codebooks, keep_cols=keep)
+            vecs = pq_encode(
+                vecs,
+                idx.codebooks,
+                keep_cols=keep,
+                # IVF composite: quantize residuals against the assigned
+                # coarse cell (cluster_id already rides the frame)
+                centroids=idx.centroids if keep else None,
+            )
         elif idx.spec.hnsw_m > 0:
             vecs = self._build_graph_slice(idx, vecs)
         if idx.storage_path:
@@ -372,17 +379,27 @@ class FaissSparkEngine:
         """Fit every trainable component of the factory spec: the IVF coarse
         quantizer (MLlib KMeans) and/or the PQ codebooks (sampled per-subspace
         k-means, operators/pq.py) — faiss trains both inside one
-        Index::train call; same here."""
-        if idx.spec.pq_m:
-            from duckdb_faiss_ext_spark.operators.pq import pq_train
-
-            idx.codebooks = pq_train(
-                vec_df, idx.dim, m=idx.spec.pq_m, nbits=idx.spec.pq_nbits
-            )
+        Index::train call; same here.  Order matters for the composite: the
+        coarse quantizer trains FIRST so PQ codebooks fit RESIDUALS
+        ``x − centroid[assign(x)]`` (faiss IndexIVFPQ semantics — residual
+        magnitudes are a fraction of vector magnitudes, so the same 256
+        codes/subspace quantize much finer)."""
         if idx.spec.kind == "ivf":
             self._train_kmeans(idx, vec_df)
         else:
             idx.trained = True
+        if idx.spec.pq_m:
+            from duckdb_faiss_ext_spark.operators.pq import pq_train
+
+            idx.codebooks = pq_train(
+                vec_df,
+                idx.dim,
+                m=idx.spec.pq_m,
+                nbits=idx.spec.pq_nbits,
+                centroids=idx.centroids if idx.spec.kind == "ivf" else None,
+                metric=idx.metric,
+                metric_arg=idx.metric_arg,
+            )
 
     def _train_kmeans(self, idx: FaissIndex, vec_df: DataFrame) -> None:
         """IVF coarse quantizer via MLlib KMeans (SURVEY.md §7 M3).
@@ -573,18 +590,33 @@ class FaissSparkEngine:
             and nprobe < idx.spec.nlist
         ):
             probe_fn = self._probe_mask_fn(idx, nprobe)
+        residual_cents = (
+            idx.centroids
+            if idx.spec.kind == "ivf" and "cluster_id" in corpus.columns
+            else None
+        )
         partials = []
         for qids, q in topk_ops.iter_query_blocks(queries_df, qid_col, vec_col):
             for lo in range(0, len(qids), topk_ops.MAX_QUERY_BATCH):
                 cqids = qids[lo : lo + topk_ops.MAX_QUERY_BATCH]
                 cq = q[lo : lo + topk_ops.MAX_QUERY_BATCH]
                 codes = corpus
+                probed = None
                 if probe_fn is not None:
                     mask = probe_fn(cqids, cq)
                     probed = [int(c) for c in np.where(mask.any(axis=0))[0]]
                     codes = corpus.filter(F.col("cluster_id").isin(probed))
                 partials.append(
-                    pq_search_arrays(codes, cqids, cq, idx.codebooks, k, metric=idx.metric)
+                    pq_search_arrays(
+                        codes,
+                        cqids,
+                        cq,
+                        idx.codebooks,
+                        k,
+                        metric=idx.metric,
+                        centroids=residual_cents,
+                        clusters=probed,
+                    )
                 )
         if not partials:
             return self.spark.createDataFrame(

@@ -16,10 +16,12 @@ repo (SURVEY.md §2.1) and map it onto the engine's physical strategies:
 - ``PQ<m>[x<b>]`` suffix -> product quantization: vectors stored as m b-bit
                          code ids (operators/pq.py), searched with ADC lookup
                          tables; composes with IVF pruning (needs training).
-                         Deviation from faiss IndexIVFPQ: codes quantize RAW
-                         vectors, not per-cluster residuals — simpler, and the
-                         cluster pruning is unchanged; ADC error is pinned in
-                         tests/test_pq.py.
+                         In the IVF composite, codes quantize per-cluster
+                         RESIDUALS and search builds per-(query, probed
+                         cluster) LUTs — faiss IndexIVFPQ semantics; the
+                         residual-vs-raw ADC error tightening is pinned in
+                         tests/test_pq.py.  Standalone ``PQ<m>`` quantizes
+                         raw vectors (faiss IndexPQ).
 """
 
 from __future__ import annotations

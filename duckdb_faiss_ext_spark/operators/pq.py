@@ -50,6 +50,17 @@ def _kmeans_np(x: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.nda
     return cents
 
 
+def _assign_np(
+    x: np.ndarray, centroids: np.ndarray, metric: str, metric_arg: float
+) -> np.ndarray:
+    """Nearest-centroid assignment under the index metric — the numpy twin of
+    the engine's `_assign_clusters` pandas-UDF (same pairwise + argbest)."""
+    from duckdb_faiss_ext_spark.metrics import is_descending, pairwise
+
+    scores = pairwise(x, centroids, metric, metric_arg)
+    return scores.argmax(1) if is_descending(metric) else scores.argmin(1)
+
+
 def pq_train(
     df: DataFrame,
     dim: int,
@@ -58,8 +69,16 @@ def pq_train(
     vec_col: str = "vector",
     sample: int = 8192,
     seed: int = 42,
+    centroids: "np.ndarray | None" = None,
+    metric: str = "L2",
+    metric_arg: float = 0.0,
 ) -> np.ndarray:
-    """(m, 2^nbits, dim/m) float32 codebooks from a driver-side sample."""
+    """(m, 2^nbits, dim/m) float32 codebooks from a driver-side sample.
+
+    With ``centroids`` (IVF composite) the codebooks are trained on
+    RESIDUALS ``x − centroid[assign(x)]`` — faiss IndexIVFPQ semantics:
+    residual magnitudes are a fraction of vector magnitudes, so the same
+    256 codes per subspace quantize much finer (the r2 deviation, removed)."""
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
     if not 1 <= nbits <= 8:
         # codes are stored as one sub-byte id per subspace; >8 bits would
@@ -71,7 +90,10 @@ def pq_train(
     n = df.count()
     frac = min(1.0, sample * 1.2 / max(n, 1))
     pdf = df.select(vec_col).sample(fraction=frac, seed=seed).limit(sample).toPandas()
-    x = np.asarray(list(pdf[vec_col]), dtype=np.float32).reshape(-1, m, sub)
+    x = np.asarray(list(pdf[vec_col]), dtype=np.float32)
+    if centroids is not None:
+        x = x - centroids[_assign_np(x, centroids, metric, metric_arg)]
+    x = x.reshape(-1, m, sub)
     return np.stack(
         [_kmeans_np(x[:, j, :], k, seed=seed + j) for j in range(m)]
     ).astype(np.float32)
@@ -83,19 +105,35 @@ def pq_encode(
     label_col: str = "label",
     vec_col: str = "vector",
     keep_cols: tuple = (),
+    centroids: "np.ndarray | None" = None,
+    cluster_col: str = "cluster_id",
 ) -> DataFrame:
     """(label BIGINT, code ARRAY<SMALLINT>[, keep_cols...]) — m uint8 code ids
     per row.  ``keep_cols`` (e.g. ``cluster_id`` for IVF+PQ) pass through the
-    Arrow batch untouched so partitioning survives encoding."""
+    Arrow batch untouched so partitioning survives encoding.
+
+    With ``centroids``, codes quantize the RESIDUAL ``x − centroid[cluster]``
+    (faiss IndexIVFPQ); ``cluster_col`` must then be in ``keep_cols`` — the
+    already-assigned coarse cell, so encode stays a narrow map (no second
+    assignment pass)."""
     import pyarrow as pa
 
     m, k, sub = codebooks.shape
     dim = m * sub
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
+    cluster_i = None
+    if centroids is not None:
+        if cluster_col not in keep_cols:
+            raise ValueError(
+                f"residual pq_encode needs {cluster_col!r} in keep_cols"
+            )
+        cluster_i = 2 + keep_cols.index(cluster_col)
+    bcents = spark.sparkContext.broadcast(centroids)
 
     def encode(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         cb = bc.value
+        cents = bcents.value
         cb_norms = [(cb[j] ** 2).sum(1) for j in range(m)]
         for rb in batches:
             n = rb.num_rows
@@ -110,7 +148,15 @@ def pq_encode(
                 raise ValueError(
                     f"pq_encode: expected {dim}-dim vectors, found a {bad}-dim row"
                 )
-            x = np.ascontiguousarray(values.reshape(n, m, sub), dtype=np.float32)
+            x = np.ascontiguousarray(values.reshape(n, dim), dtype=np.float32)
+            if cluster_i is not None:
+                cl = (
+                    rb.column(cluster_i)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                x = x - cents[cl]
+            x = x.reshape(n, m, sub)
             codes = np.empty((n, m), dtype=np.int16)
             for j in range(m):
                 # argmin_c ||x - c||^2 == argmin_c (||c||^2 - 2 x.c)
@@ -159,31 +205,62 @@ def pq_search_arrays(
     codebooks: np.ndarray,
     k: int,
     metric: str = "L2",
+    centroids: "np.ndarray | None" = None,
+    clusters: "list[int] | None" = None,
+    cluster_col: str = "cluster_id",
 ) -> DataFrame:
     """ADC top-k for a driver-resident query block (qids int64, q float32
     (nq, dim)): (qid, rank, label, distance[approx]).
 
     metric 'L2' (squared, ascending) or 'INNER_PRODUCT' (descending) —
-    matching FAISS IndexPQ's METRIC handling."""
+    matching FAISS IndexPQ's METRIC handling.
+
+    With ``centroids`` the codes are residuals (faiss IndexIVFPQ): the LUT
+    becomes per-(query, cluster) — L2 shifts the query by the cluster
+    centroid, IP folds the q·centroid subvector terms into each table —
+    sized to ``clusters`` (the PROBED ids only, nq·nprobe·m·256 floats, not
+    nq·nlist) so a 2048-list index never materializes 2048 tables."""
     import pyarrow as pa
 
     m, nk, sub = codebooks.shape
     desc = metric == "INNER_PRODUCT"
     spark = codes_df.sparkSession
-    q = np.asarray(q, dtype=np.float32).reshape(len(qids), m, sub)
-    # per-query (m, nk) lookup tables
-    luts = np.empty((len(qids), m, nk), dtype=np.float32)
-    for j in range(m):
-        cb = codebooks[j]
-        if desc:
-            luts[:, j, :] = q[:, j, :] @ cb.T
-        else:
-            luts[:, j, :] = (
-                (q[:, j, :] ** 2).sum(1)[:, None]
-                - 2.0 * (q[:, j, :] @ cb.T)
-                + (cb**2).sum(1)[None, :]
-            )
-    bl = spark.sparkContext.broadcast((qids, luts))
+    nq = len(qids)
+    residual = centroids is not None
+    q3 = np.asarray(q, dtype=np.float32).reshape(nq, m, sub)
+    if residual:
+        if clusters is None:
+            clusters = list(range(len(centroids)))
+        cl_ids = np.asarray(sorted(int(c) for c in clusters), dtype=np.int64)
+        cents3 = centroids[cl_ids].reshape(len(cl_ids), m, sub)
+        nc = len(cl_ids)
+        luts = np.empty((nq, nc, m, nk), dtype=np.float32)
+        for j in range(m):
+            cb = codebooks[j]
+            qj, cj = q3[:, j, :], cents3[:, j, :]
+            if desc:
+                luts[:, :, j, :] = (qj @ cb.T)[:, None, :] + (qj @ cj.T)[:, :, None]
+            else:
+                qp = qj[:, None, :] - cj[None, :, :]  # (nq, nc, sub)
+                luts[:, :, j, :] = (
+                    (qp**2).sum(-1)[:, :, None]
+                    - 2.0 * np.einsum("qcs,ks->qck", qp, cb)
+                    + (cb**2).sum(1)[None, None, :]
+                )
+        bl = spark.sparkContext.broadcast((qids, luts, cl_ids))
+    else:
+        luts = np.empty((nq, m, nk), dtype=np.float32)
+        for j in range(m):
+            cb = codebooks[j]
+            if desc:
+                luts[:, j, :] = q3[:, j, :] @ cb.T
+            else:
+                luts[:, j, :] = (
+                    (q3[:, j, :] ** 2).sum(1)[:, None]
+                    - 2.0 * (q3[:, j, :] @ cb.T)
+                    + (cb**2).sum(1)[None, :]
+                )
+        bl = spark.sparkContext.broadcast((qids, luts, None))
     out_schema = pa.schema(
         [("qid", pa.int64()), ("label", pa.int64()), ("distance", pa.float32())]
     )
@@ -191,8 +268,8 @@ def pq_search_arrays(
     def score(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         from duckdb_faiss_ext_spark.metrics import topk_indices
 
-        qids_, luts_ = bl.value
-        nq = len(qids_)
+        qids_, luts_, cl_ids_ = bl.value
+        nq_ = len(qids_)
         for rb in batches:
             n = rb.num_rows
             if n == 0:
@@ -205,22 +282,38 @@ def pq_search_arrays(
                 .reshape(n, m)
                 .astype(np.int64)
             )
-            # scores[i, r] = sum_j luts[i, j, codes[r, j]]
-            scores = np.zeros((nq, n), dtype=np.float32)
-            for j in range(m):
-                scores += luts_[:, j, codes[:, j]]
+            if cl_ids_ is None:
+                # scores[i, r] = sum_j luts[i, j, codes[r, j]]
+                scores = np.zeros((nq_, n), dtype=np.float32)
+                for j in range(m):
+                    scores += luts_[:, j, codes[:, j]]
+            else:
+                cl = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+                worst = -np.inf if desc else np.inf
+                scores = np.full((nq_, n), worst, dtype=np.float32)
+                for cid in np.unique(cl):
+                    slot = np.searchsorted(cl_ids_, cid)
+                    if slot >= len(cl_ids_) or cl_ids_[slot] != cid:
+                        continue  # cluster not probed: leave at worst
+                    rows = np.where(cl == cid)[0]
+                    part = np.zeros((nq_, len(rows)), dtype=np.float32)
+                    for j in range(m):
+                        part += luts_[:, slot, j, codes[rows, j]]
+                    scores[:, rows] = part
             idx, sc = topk_indices(scores, k, desc)
             kk = idx.shape[1]
+            keep = np.isfinite(sc.ravel())
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.repeat(qids_, kk), pa.int64()),
-                    pa.array(labels[idx.ravel()], pa.int64()),
-                    pa.array(sc.ravel(), pa.float32()),
+                    pa.array(np.repeat(qids_, kk)[keep], pa.int64()),
+                    pa.array(labels[idx.ravel()][keep], pa.int64()),
+                    pa.array(sc.ravel()[keep], pa.float32()),
                 ],
                 schema=out_schema,
             )
 
-    partial = codes_df.select("label", "code").mapInArrow(
+    sel = ["label", "code"] + ([cluster_col] if residual else [])
+    partial = codes_df.select(*sel).mapInArrow(
         score, schema="qid bigint, label bigint, distance float"
     )
     order = (

@@ -144,3 +144,47 @@ def test_engine_pq_rejects_bad_dim_and_metric(spark):
         eng.create("bad1", 63, "IDMap,PQ8")
     with pytest.raises(FaissSparkError, match="L2 and INNER_PRODUCT"):
         eng.create("bad2", 64, "IDMap,PQ8", metric_type="COSINE")
+
+
+def test_residual_encoding_tightens_adc_error(spark):
+    """faiss IndexIVFPQ rationale: quantizing per-cluster RESIDUALS gives
+    measurably lower ADC error than quantizing raw vectors at the same m
+    WHEN the data clusters — residual magnitudes are then a fraction of
+    vector magnitudes, so 256 codes/subspace cover them finer.  Uses a
+    16-center Gaussian mixture (cluster std 0.1 vs unit-scale centers);
+    compares mean |ADC − true L2| of the engine's IVF16,PQ8 (residual) vs
+    pure PQ8 (raw) on identical data and candidates (full probe)."""
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+    from duckdb_faiss_ext_spark.metrics import pairwise
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((16, 64)).astype(np.float32)
+    assign = rng.integers(0, 16, 2000)
+    corpus = (
+        centers[assign] + 0.1 * rng.standard_normal((2000, 64))
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in corpus[i]]) for i in range(len(corpus))],
+        "label bigint, vector array<float>",
+    ).cache()
+    qx = corpus[:8]
+    qdf = spark.createDataFrame(
+        [(int(i), [float(v) for v in qx[i]]) for i in range(8)],
+        "qid bigint, vector array<float>",
+    )
+    true = pairwise(qx, corpus, "L2", 0.0)
+
+    eng = FaissSparkEngine(spark)
+
+    def mean_err(index_name, factory, params=None):
+        eng.create(index_name, 64, factory, metric_type="L2")
+        eng.add(index_name, df)
+        res = eng.search_flat(index_name, 10, qdf, params=params or {}).collect()
+        errs = [abs(r["distance"] - true[r["qid"], r["label"]]) for r in res]
+        eng.destroy(index_name)
+        return float(np.mean(errs))
+
+    raw_err = mean_err("pq_raw", "IDMap,PQ8")
+    # nprobe=16/16: full probe — same candidate set, only the encoding differs
+    res_err = mean_err("pq_res", "IDMap,IVF16,PQ8", params={"nprobe": 16})
+    assert res_err < raw_err * 0.5, (res_err, raw_err)
