@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 WHITESPACE = r"\s+"
 
@@ -339,6 +339,8 @@ def neardup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    max_degree: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: (id, comp) where
     comp is the MIN id reachable through any chain of pairs — the exact
@@ -350,16 +352,36 @@ def neardup_components(
     O(graph diameter) rounds, and near-dup graphs are shallow (dup groups
     are cliques or short chains).  Each round is one join + one groupBy on
     the EDGE table (never n²); `localCheckpoint` truncates the iteration
-    lineage so round N's plan does not replay rounds 1..N-1."""
+    lineage so round N's plan does not replay rounds 1..N-1.
+
+    ``max_degree`` caps each node's retained edges to its ``max_degree``
+    SMALLEST neighbors — a boilerplate clique of m docs shrinks from m²
+    edges to m·d, bounding the per-round join at corpus scale.  Keeping the
+    smallest neighbors biases retained paths toward the component min, so
+    dup cliques and short chains still converge to the exact answer;
+    pathological topologies may split a component (docs dropped anyway by
+    upstream caps) — None (default) = exact.  ``stats``, if given, receives
+    {'rounds': r, 'edges': m} for convergence monitoring."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct()
+    if max_degree is not None:
+        w = Window.partitionBy("src").orderBy("dst")
+        edges = (
+            edges.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_degree)
+            .drop("_rn")
+        )
+    edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
     )
+    if stats is not None:
+        stats["edges"] = edges.count()
+        stats["rounds"] = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -389,17 +411,23 @@ def neardup_components(
             .count()
         )
         labels = new_labels
+        if stats is not None:
+            stats["rounds"] += 1
         if changed == 0:
             break
     return labels
 
 
 def neardup_survivors(
-    df: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 20
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Keep one doc per connected near-dup group (the min id) plus every doc
     with no near-dup at all — the exact version of survivor selection."""
-    comp = neardup_components(pairs, max_iter=max_iter)
+    comp = neardup_components(pairs, max_iter=max_iter, max_degree=max_degree)
     drops = comp.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )

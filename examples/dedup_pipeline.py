@@ -18,6 +18,17 @@ every stage stays bucket-bounded: no stage joins more than (band-bucket
 population)^2 rows, and stages 2-4 never shuffle the full text column —
 only ids, signatures, and candidate pairs move.
 
+Scale knobs (set MAX_BUCKET / MAX_DEGREE below; tools/dedup_probe.py
+measures them at 1M docs — SCALE.md):
+
+- ``max_bucket`` (stages 2 and 4): drops band buckets bigger than this
+  before the self-join — a degenerate bucket of m rows would emit m²
+  candidate pairs; docs that pile into huge buckets are boilerplate better
+  handled by exact dedup upstream.
+- ``max_degree`` (stage 5): caps each node's retained edges to its
+  max_degree smallest neighbors, so a dup clique of m docs carries m·d
+  edges through every propagation round instead of m².
+
 Run:  python examples/dedup_pipeline.py [sf_dir]
 """
 
@@ -29,6 +40,11 @@ import sys
 import pyspark.sql.functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# corpus-scale caps (None = exact, fine at sf<=0.1; see module docstring)
+MAX_BUCKET = 256
+MAX_DEGREE = 16
 
 
 def main() -> None:
@@ -54,7 +70,9 @@ def main() -> None:
     n1 = docs.count()
 
     # 2+3. MinHash LSH candidates, Jaccard-verified --------------------------
-    cand = minhash_lsh_pairs(docs, "doc_id", "text", 4, 2, shingle_n=3)
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", 4, 2, shingle_n=3, max_bucket=MAX_BUCKET
+    )
     cand_ids = cand.select("id_a", "id_b").distinct()
     # verify ONLY the candidate pairs: semi-join the gram pipeline onto the
     # candidate id set so the exact-Jaccard join never sees non-candidates
@@ -78,11 +96,14 @@ def main() -> None:
         "embedding",
         dim,
         threshold=0.95,
+        max_bucket=MAX_BUCKET,
     ).select(F.col("id_a"), F.col("id_b"))
 
     # 5. survivor selection: connected components over ALL near-dup edges ----
     all_pairs = verified.select("id_a", "id_b").union(sem).distinct()
-    clean = neardup_survivors(docs, all_pairs, "doc_id").cache()
+    clean = neardup_survivors(
+        docs, all_pairs, "doc_id", max_degree=MAX_DEGREE
+    ).cache()
     n2 = clean.count()
 
     print(f"input docs:            {n0}")

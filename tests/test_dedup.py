@@ -166,3 +166,26 @@ def test_cosine_lsh_subset_of_brute(vecs):
            D.cosine_lsh_pairs(vecs, "vec_id", "embedding", dim=16, threshold=0.5).collect()}
     assert lsh <= brute  # LSH candidates verified by exact cosine: no false positives
     assert (0, 20) in lsh  # near-identical pair must collide in some band
+
+
+def test_components_max_degree_exact_on_cliques_and_chains(spark):
+    """max_degree keeps the smallest neighbors, so the normal near-dup
+    topologies (cliques, chains) still converge to exact min-label
+    components under aggressive caps."""
+    from duckdb_faiss_ext_spark.operators.dedup import neardup_components
+
+    pairs = []
+    # a 10-clique on ids 100..109
+    clique = list(range(100, 110))
+    pairs += [(a, b) for a in clique for b in clique if a < b]
+    # a chain 200-201-202-203-204 (only adjacent links)
+    pairs += [(i, i + 1) for i in range(200, 204)]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    stats: dict = {}
+    comp = {
+        r["id"]: r["comp"]
+        for r in neardup_components(df, max_degree=2, stats=stats).collect()
+    }
+    assert all(comp[i] == 100 for i in clique)
+    assert all(comp[i] == 200 for i in range(200, 205))
+    assert stats["rounds"] <= 10
