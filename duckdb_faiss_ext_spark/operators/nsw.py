@@ -118,30 +118,18 @@ def _diversify(
     return out
 
 
-def build_partition_graph(
+def _diversified_forward(
     x: np.ndarray,
-    m: int = 16,
-    n_random: int = 4,
-    metric: str = "L2",
-    metric_arg: float = 0.0,
-    seed: int = 42,
+    m_eff: int,
+    cw: int,
+    metric: str,
+    metric_arg: float,
     chunk: int = 512,
-    cand_width: int = 0,
-    reverse_cap: int = 0,
 ) -> np.ndarray:
-    """int32 adjacency (local indices, -1 padded) for one partition.
-
-    Exact candidate lists via chunked pairwise scoring (O(n^2 d) flops, fully
-    vectorized, memory-bounded at chunk*n scores) -> Malkov diversification
-    down to ``m`` edges -> reverse edges (capped at ``reverse_cap``, default
-    m) -> ``n_random`` uniform shortcuts for small-world navigability."""
+    """Exact forward edges: chunked pairwise scoring (O(n^2 d), vectorized,
+    memory-bounded at chunk*n scores) -> Malkov diversification to m_eff."""
     n = len(x)
-    if n <= 1:
-        return np.full((n, 0), -1, dtype=np.int32)
     desc = is_descending(metric)
-    m_eff = min(m, n - 1)
-    cw = min(cand_width or 2 * m, n - 1)
-    reverse_cap = reverse_cap or m
     nbrs = np.empty((n, m_eff), dtype=np.int32)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
@@ -151,10 +139,23 @@ def build_partition_graph(
         ids, d = _topk_build(scores, cw, desc)
         sel = _diversify(ids, d, x, m_eff, metric, metric_arg)
         nbrs[lo:hi] = sel[:, :m_eff].astype(np.int32)
-    # reverse edges: if i -> j, add j -> i (capped) — restores in-links the
-    # pruning removed and roughly doubles navigability for the same build cost
+    return nbrs
+
+
+def _add_reverse_and_shortcuts(
+    nbrs: np.ndarray,
+    n: int,
+    m_eff: int,
+    reverse_cap: int,
+    n_random: int,
+    seed: int,
+) -> np.ndarray:
+    """Append capped reverse edges + uniform random shortcuts to a forward
+    adjacency — restores in-links pruning removed (~doubles navigability)
+    and gives the small-world long-range hops."""
+    # reverse edges: if i -> j, add j -> i (capped)
     if reverse_cap > 0:
-        src = np.repeat(np.arange(n, dtype=np.int32), m_eff)
+        src = np.repeat(np.arange(n, dtype=np.int32), nbrs.shape[1])
         dst = nbrs.reshape(-1)
         ok = dst >= 0
         order = np.argsort(dst[ok], kind="stable")
@@ -177,6 +178,34 @@ def build_partition_graph(
         shortcuts = np.where(shortcuts == own, (shortcuts + 1) % n, shortcuts)
         nbrs = np.concatenate([nbrs, shortcuts], axis=1)
     return nbrs
+
+
+def build_partition_graph(
+    x: np.ndarray,
+    m: int = 16,
+    n_random: int = 4,
+    metric: str = "L2",
+    metric_arg: float = 0.0,
+    seed: int = 42,
+    chunk: int = 512,
+    cand_width: int = 0,
+    reverse_cap: int = 0,
+) -> np.ndarray:
+    """int32 adjacency (local indices, -1 padded) for one partition.
+
+    Exact candidate lists via chunked pairwise scoring (O(n^2 d) flops, fully
+    vectorized, memory-bounded at chunk*n scores) -> Malkov diversification
+    down to ``m`` edges -> reverse edges (capped at ``reverse_cap``, default
+    m) -> ``n_random`` uniform shortcuts for small-world navigability."""
+    n = len(x)
+    if n <= 1:
+        return np.full((n, 0), -1, dtype=np.int32)
+    m_eff = min(m, n - 1)
+    cw = min(cand_width or 2 * m, n - 1)
+    nbrs = _diversified_forward(x, m_eff, cw, metric, metric_arg, chunk)
+    return _add_reverse_and_shortcuts(
+        nbrs, n, m_eff, reverse_cap or m, n_random, seed
+    )
 
 
 def _entry_points(n: int, count: int = 4) -> np.ndarray:
