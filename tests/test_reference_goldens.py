@@ -152,3 +152,51 @@ def test_faiss3_test_filtered(engine, spark, ref_frames):
         assert r["rank"] == gold_rank
         assert r["label"] == gold_lbl
         assert r["distance"] == pytest.approx(gold_d, abs=5e-5)
+
+
+def test_faiss7_filter_empty_allowed_set(engine, spark):
+    """faiss7.test: FAISS_SEARCH_FILTER with filter 'id%2==0' over a table
+    whose only row (id 231) fails it — empty allowed set must return the
+    k-padded empty result, not error.  Also covers the '==' filter syntax
+    (DuckDB and Spark SQL both accept it)."""
+    import pyspark.sql.functions as F
+
+    engine.create("ref_demo", 2, "IDMap,Flat")
+    engine.add(
+        "ref_demo",
+        spark.createDataFrame(
+            [(231, [0.0040321066, 0.023423655])], "id bigint, vector array<float>"
+        ),
+    )
+    spark.createDataFrame(
+        [(231, 1, "~K~E~A", False)],
+        "id bigint, document_id int, text string, indexed boolean",
+    ).createOrReplaceTempView("ref_demo_table")
+    q = spark.createDataFrame(
+        [(0, [-0.04529257, 0.024853613])], "qid bigint, vector array<float>"
+    )
+    out = engine.search_filter(
+        "ref_demo", 2, q, "id%2==0", "id", "ref_demo_table"
+    ).collect()
+    assert len(out) == 1
+    hits = out[0]["result"]
+    assert len(hits) == 2  # k-padded
+    assert all(h["label"] == -1 for h in hits)  # nothing passes the filter
+
+
+def test_faiss_add_ids_with_train_ivf1(engine, spark):
+    """faiss_add_ids_with_train copy.test: IDMap,IVF1,Flat accepts a labeled
+    single-vector add — train-on-first-add with nlist=1 and exactly one
+    training point (n >= nlist boundary)."""
+    engine.create("ref_ivf1", 2, "IDMap,IVF1,Flat")
+    engine.add(
+        "ref_ivf1",
+        spark.createDataFrame(
+            [(231, [0.0040321066, 0.023423655])], "id bigint, vector array<float>"
+        ),
+    )
+    q = spark.createDataFrame(
+        [(0, [0.004, 0.023])], "qid bigint, vector array<float>"
+    )
+    res = engine.search_flat("ref_ivf1", 1, q).collect()
+    assert len(res) == 1 and res[0]["label"] == 231
