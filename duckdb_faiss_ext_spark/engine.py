@@ -333,6 +333,7 @@ class FaissSparkEngine:
         group = None
         raw = None
         min_rows = 0
+        rows = int(idx.params.get("graph_partition_rows", self.GRAPH_ROWS))
         if idx.spec.kind == "ivf" and "cluster_id" in vecs.columns:
             group = "cluster_id"
             # clusters below this size are stored edgeless and exact-scanned
@@ -341,7 +342,6 @@ class FaissSparkEngine:
             # wrong #3: tiny per-cluster graphs lost to plain IVF)
             min_rows = int(idx.params.get("min_graph_rows", self.MIN_GRAPH_ROWS))
         else:
-            rows = int(idx.params.get("graph_partition_rows", self.GRAPH_ROWS))
             raw = vecs.persist()
             n_parts = max(1, -(-raw.count() // rows))
             vecs = raw.repartition(n_parts)
@@ -353,6 +353,11 @@ class FaissSparkEngine:
             group_col=group,
             cand_width=cand,
             min_graph_rows=min_rows,
+            # a popular cluster occupying a whole partition would otherwise
+            # pay one O(cluster²) build — bound every graph at GRAPH_ROWS
+            # and let several pieces beam independently (same segment model
+            # as plain HNSW; nprobe pruning still sees the cluster id)
+            max_graph_rows=rows,
         )
         if raw is not None:
             # materialize the graphs before dropping the raw slice's cache so

@@ -390,6 +390,7 @@ def build_slice_graphs(
     group_col: Optional[str] = None,
     cand_width: int = 0,
     min_graph_rows: int = 0,
+    max_graph_rows: int = 0,
 ) -> DataFrame:
     """(label, vector, neighbors ARRAY<BIGINT>[, group]) — NSW graphs.
 
@@ -404,7 +405,14 @@ def build_slice_graphs(
     Groups smaller than ``min_graph_rows`` skip the O(rows²) graph build and
     get EMPTY neighbor lists — ``nsw_topk`` exact-scans edgeless segments
     (vectorized), which at small sizes beats beam overhead (r2 VERDICT wrong
-    #3: tiny per-cluster graphs made IVF_HNSW slower than plain IVF)."""
+    #3: tiny per-cluster graphs made IVF_HNSW slower than plain IVF).
+
+    Groups LARGER than ``max_graph_rows`` split into multiple graphs of at
+    most that many rows (graph_seg stays unique per piece): without this, a
+    popular IVF cluster occupying a whole partition pays O(cluster²) build —
+    ~hours at 125k rows — while several bounded graphs build in minutes and
+    beam independently.  nprobe pruning is unaffected: every piece carries
+    the cluster id."""
     import pyarrow as pa
 
     has_group = group_col is not None
@@ -435,34 +443,48 @@ def build_slice_graphs(
         x = np.concatenate(vec_parts)
         grp = np.concatenate(grp_parts) if has_group else np.zeros(len(labels), np.int32)
         for g in np.unique(grp):
-            sel = np.where(grp == g)[0]
-            gl = labels[sel]
-            if len(sel) < min_graph_rows:
-                nbr_labels = [[] for _ in range(len(sel))]
-            else:
-                nbrs = build_partition_graph(
-                    x[sel], m=m, n_random=n_random, metric=metric,
-                    metric_arg=metric_arg, cand_width=cand_width,
-                )
-                nbr_labels = [gl[row[row >= 0]].tolist() for row in nbrs]
-            # graph_seg identifies THIS graph regardless of later physical
-            # layout (union order, cache compaction, parquet coalescing):
-            # label sets of distinct graphs are disjoint, so min(label) is a
-            # unique, layout-independent segment id.  Search beams PER
-            # SEGMENT — a single beam over a partition holding two merged,
-            # mutually-disconnected graphs would terminate before exploring
-            # the second component (even self-hits got lost that way).
-            cols = [
-                pa.array(gl, pa.int64()),
-                pa.array([v.tolist() for v in x[sel]], pa.list_(pa.float32())),
-                pa.array(nbr_labels, pa.list_(pa.int64())),
-                pa.array(np.full(len(sel), gl.min()), pa.int64()),
-            ]
-            names = ["label", "vector", "neighbors", "graph_seg"]
-            if has_group:
-                cols.append(pa.array(np.full(len(sel), g), pa.int32()))
-                names.append(group_col)
-            yield pa.RecordBatch.from_arrays(cols, names=names)
+            gsel = np.where(grp == g)[0]
+            # graph-vs-edgeless is decided on the GROUP size (the unit
+            # nprobe prunes), THEN big groups split into bounded build
+            # pieces — otherwise a 100k cluster in 16k pieces would see
+            # every piece below min_graph_rows and come out edgeless
+            edgeless = len(gsel) < min_graph_rows
+            pieces = (
+                [gsel]
+                if edgeless or not max_graph_rows or len(gsel) <= max_graph_rows
+                else np.array_split(gsel, -(-len(gsel) // max_graph_rows))
+            )
+            for sel in pieces:
+                gl = labels[sel]
+                if edgeless:
+                    nbr_labels = [[] for _ in range(len(sel))]
+                else:
+                    nbrs = build_partition_graph(
+                        x[sel], m=m, n_random=n_random, metric=metric,
+                        metric_arg=metric_arg, cand_width=cand_width,
+                    )
+                    nbr_labels = [gl[row[row >= 0]].tolist() for row in nbrs]
+                # graph_seg identifies THIS graph regardless of later physical
+                # layout (union order, cache compaction, parquet coalescing):
+                # label sets of distinct graphs are disjoint, so min(label) is
+                # a unique, layout-independent segment id.  Search beams PER
+                # SEGMENT — a single beam over a partition holding two merged,
+                # mutually-disconnected graphs would terminate before
+                # exploring the second component (even self-hits got lost
+                # that way).
+                cols = [
+                    pa.array(gl, pa.int64()),
+                    pa.array(
+                        [v.tolist() for v in x[sel]], pa.list_(pa.float32())
+                    ),
+                    pa.array(nbr_labels, pa.list_(pa.int64())),
+                    pa.array(np.full(len(sel), gl.min()), pa.int64()),
+                ]
+                names = ["label", "vector", "neighbors", "graph_seg"]
+                if has_group:
+                    cols.append(pa.array(np.full(len(sel), g), pa.int32()))
+                    names.append(group_col)
+                yield pa.RecordBatch.from_arrays(cols, names=names)
 
     cols = [
         F.col(label_col).cast("bigint").alias("label"),

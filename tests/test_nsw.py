@@ -280,3 +280,33 @@ class TestEngineWiring:
         eng = FaissSparkEngine(spark)
         with pytest.raises(FaissSparkError, match="HNSW over PQ"):
             eng.create("bad", 16, "HNSW16,PQ4")
+
+
+def test_oversized_group_splits_into_bounded_graphs(spark):
+    """A cluster bigger than max_graph_rows builds SEVERAL bounded graphs
+    (distinct graph_seg per piece, all carrying the cluster id) instead of
+    one O(cluster²) build — and search still finds exact neighbors across
+    the pieces."""
+    import pyspark.sql.functions as F
+    import numpy as np
+
+    from duckdb_faiss_ext_spark.operators.nsw import build_slice_graphs, nsw_topk
+
+    n = 3000
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]], 7) for i in range(n)],
+        "label bigint, vector array<float>, cluster_id int",
+    ).coalesce(1)
+    g = build_slice_graphs(
+        df, m=8, metric="L2", group_col="cluster_id",
+        max_graph_rows=1000, min_graph_rows=0,
+    ).cache()
+    segs = [r["graph_seg"] for r in g.select("graph_seg").distinct().collect()]
+    assert len(segs) == 3  # 3000 rows / 1000 max per graph
+    assert g.filter(F.col("cluster_id") != 7).count() == 0
+    # self-queries across all pieces: every query's rank-0 hit is itself
+    qids = np.arange(0, n, 500)
+    res = nsw_topk(g, qids, x[qids], 1, ef=64, metric="L2").collect()
+    assert {r["qid"]: r["label"] for r in res} == {int(q): int(q) for q in qids}
