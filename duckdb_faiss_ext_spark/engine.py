@@ -311,14 +311,19 @@ class FaissSparkEngine:
     GRAPH_ROWS = 16384
 
     # IVF_HNSW only: clusters below this row count skip the O(rows²) graph
-    # build and are exact-scanned at search (= plain-IVF behavior), so the
-    # composite can't lose to its own baseline on small clusters; override
-    # with params["min_graph_rows"].  Threshold from the 1M A/B probe
-    # (SCALE.md r3): at 31k-row clusters a whole-stage-codegen cluster scan
-    # beats the batched beam (~1.5s vs ~3.1s, identical recall), while full-
-    # corpus graph search beats exact only at ~1M scale (3.1s vs 6.3s) —
-    # beams earn their overhead from roughly 64k rows per segment up
-    MIN_GRAPH_ROWS = 65536
+    # build and are exact-scanned at search (= plain-IVF behavior); override
+    # with params["min_graph_rows"].  Default set ABOVE every locally
+    # measurable scale — the 1M and 4M A/B probes (SCALE.md r3) show
+    # per-cluster beams LOSING to the one-matmul probed-cluster scan at
+    # every measured size (31k clusters: 3.1s vs 1.9s; 125k clusters split
+    # into 16k pieces: 6.1s vs 2.1s, identical recall both times): beam
+    # evals are paid per (query, piece), so pieces of a probed cluster
+    # touch ~7x the rows of the single BLAS scan that covers all queries
+    # at once.  Graph search earns its keep on UNPARTITIONED corpora
+    # (plain HNSW: 3.1s vs 6.3s exact @ 1M) where each query faces the
+    # whole corpus, not a pruned slice.  The per-cluster graph path stays
+    # available (params={'min_graph_rows': 0}) and tested.
+    MIN_GRAPH_ROWS = 1 << 20
 
     def _build_graph_slice(self, idx: FaissIndex, vecs: DataFrame) -> DataFrame:
         """Attach NSW adjacency to the new slice (segment-per-partition model,

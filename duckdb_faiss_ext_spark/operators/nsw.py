@@ -252,6 +252,7 @@ def beam_search_batch(
     metric: str = "L2",
     metric_arg: float = 0.0,
     allowed: Optional[np.ndarray] = None,
+    entries: Optional[np.ndarray] = None,
 ):
     """Greedy best-first beam over one partition graph for a BATCH of
     queries — the whole batch advances one expansion step per loop
@@ -269,24 +270,41 @@ def beam_search_batch(
     best-first, and a (nq,) count of distance evaluations.  ``allowed`` is
     a bool mask applied to RESULTS only — disallowed nodes still route the
     walk (FAISS selector-on-HNSW semantics), so heavy filters do not
-    disconnect the graph."""
+    disconnect the graph.
+
+    ``entries``, if given, is a per-query (nq, ne) int64 array of entry
+    nodes (-1 padded) — the multi-segment composition: each "query" is a
+    (real query, graph segment) pair whose walk starts, and by edge
+    construction stays, inside its own segment, so every segment of a
+    partition advances in ONE batch instead of one call per segment."""
     n = len(x)
     q = np.atleast_2d(q)
     nq = len(q)
     desc = is_descending(metric)
     sign = -1.0 if desc else 1.0  # smaller key = better, uniformly below
     ef = max(ef, k)
-    entries = _entry_points(n)
-    ne = len(entries)
-    d0 = pairwise(q, x[entries], metric, metric_arg)  # (nq, ne)
-    keys0 = sign * d0.astype(np.float64)
-    nodes0 = np.broadcast_to(entries, (nq, ne)).copy()
-    evals = np.full(nq, ne, dtype=np.int64)
     # column n is a write sink: fancy-index scatter is last-write-wins, so
     # invalid/duplicate slots must land somewhere harmless or they'd erase a
     # first-occurrence True at the same (row, node)
     visited = np.zeros((nq, n + 1), dtype=bool)
-    visited[:, entries] = True
+    if entries is None:
+        shared = _entry_points(n)
+        ne = len(shared)
+        d0 = pairwise(q, x[shared], metric, metric_arg)  # (nq, ne)
+        keys0 = sign * d0.astype(np.float64)
+        nodes0 = np.broadcast_to(shared, (nq, ne)).copy()
+        evals = np.full(nq, ne, dtype=np.int64)
+        visited[:, shared] = True
+    else:
+        entries = np.asarray(entries, dtype=np.int64)
+        ne = entries.shape[1]
+        e_ok = entries >= 0
+        e_c = np.where(e_ok, entries, 0)
+        d0 = _batch_step_scores(q, x[e_c], metric, metric_arg)
+        keys0 = np.where(e_ok, sign * d0.astype(np.float64), np.inf)
+        nodes0 = np.where(e_ok, e_c, -1)
+        evals = e_ok.sum(axis=1).astype(np.int64)
+        visited[np.arange(nq)[:, None], np.where(e_ok, e_c, n)] = True
 
     bk = np.full((nq, ef), np.inf)
     bn = np.full((nq, ef), -1, dtype=np.int64)
@@ -540,9 +558,10 @@ def nsw_topk(
     acol_i = 4 + int(probe_col is not None)
 
     def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
-        labels_parts, vec_parts, nbr_parts, seg_parts, cl_parts, ok_parts = (
-            [], [], [], [], [], [],
+        labels_parts, vec_parts, seg_parts, cl_parts, ok_parts = (
+            [], [], [], [], [],
         )
+        nbr_flat_parts, nbr_len_parts = [], []
         dim = None
         for rb in batches:
             if rb.num_rows == 0:
@@ -556,7 +575,15 @@ def nsw_topk(
             vec_parts.append(
                 np.ascontiguousarray(flat, dtype=np.float32).reshape(-1, dim)
             )
-            nbr_parts.extend(rb.column(2).to_pylist())
+            # neighbors stay Arrow-native: flat values + per-row lengths
+            # (the old to_pylist() + per-row dict remap was the search
+            # bottleneck once probed clusters split into many segments)
+            nbr_col = rb.column(2)
+            nbr_flat_parts.append(
+                nbr_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            offs = nbr_col.offsets.to_numpy(zero_copy_only=False)
+            nbr_len_parts.append(np.diff(offs).astype(np.int64))
             seg_parts.append(
                 rb.column(3).to_numpy(zero_copy_only=False).astype(np.int64)
             )
@@ -573,34 +600,43 @@ def nsw_topk(
         labels = np.concatenate(labels_parts)
         x = np.concatenate(vec_parts)
         seg = np.concatenate(seg_parts)
+        nbr_flat = np.concatenate(nbr_flat_parts)
+        nbr_lens = np.concatenate(nbr_len_parts)
+        row_starts = np.concatenate([[0], np.cumsum(nbr_lens)[:-1]])
         clusters = np.concatenate(cl_parts) if has_probe else None
         ok_all = np.concatenate(ok_parts) if has_allowed else None
         qids_, q_, probes = bq.value
         out_q, out_l, out_d = [], [], []
+        n_part = len(labels)
+        # partition-wide adjacency in PARTITION row indices: every graph
+        # segment's edges remap into one matrix so ALL (segment, query)
+        # pairs advance through ONE batched beam call — one call per
+        # segment paid the per-step Python overhead dozens of times over
+        # once probed clusters split into many bounded graphs
+        max_deg = int(nbr_lens.max(initial=0))
+        adj = np.full((n_part, max_deg), -1, dtype=np.int32) if max_deg else (
+            np.full((n_part, 0), -1, dtype=np.int32)
+        )
+        pair_qi: list = []
+        pair_entries: list = []
         for g in np.unique(seg):
             sel = np.where(seg == g)[0]
             gx = x[sel]
             gl = labels[sel]
-            pos = {int(l): i for i, l in enumerate(gl)}
-            deg = max((len(nbr_parts[i]) for i in sel), default=0)
-            nbrs = np.full((len(sel), deg), -1, dtype=np.int32)
-            for i, src in enumerate(sel):
-                # labels -> local indices; labels absent from this graph
-                # (parquet row-group splits) are dropped — graceful degradation
-                loc = [pos[int(l)] for l in nbr_parts[src] if int(l) in pos]
-                nbrs[i, : len(loc)] = loc
-            allowed = ok_all[sel] if has_allowed else None
+            lens = nbr_lens[sel]
+            deg = int(lens.max(initial=0))
             if probes is None or clusters is None:
                 q_sel = np.arange(len(qids_))
             else:  # a segment belongs to exactly one cluster (per-group build)
                 q_sel = np.where((probes == clusters[sel[0]]).any(axis=1))[0]
             if len(q_sel) == 0:
                 continue
-            if nbrs.shape[1] == 0:
+            if deg == 0:
                 # edgeless segment (min_graph_rows exact segments, singleton
                 # graphs): vectorized brute-force scan of the whole segment —
                 # exactly what plain IVF does, and cheaper than beam overhead
                 # at these sizes
+                allowed = ok_all[sel] if has_allowed else None
                 scores = pairwise(
                     q_[q_sel], gx, metric, metric_arg
                 ).astype(np.float64)
@@ -614,17 +650,48 @@ def nsw_topk(
                     )
                     out_l.append(gl[ids[t][keep]])
                     out_d.append(d[t][keep].astype(np.float32))
-            else:
-                idx_list, score_list, _ = beam_search_batch(
-                    gx, nbrs, q_[q_sel], k, ef, metric, metric_arg,
-                    allowed=allowed,
+                continue
+            # gather the segment's neighbor labels into a padded matrix and
+            # map labels -> PARTITION row indices via one sorted lookup;
+            # labels absent from this graph (parquet row-group splits) drop
+            # to -1 — graceful degradation, all vectorized.  Matching within
+            # the segment's own label set keeps edges segment-confined.
+            col = np.arange(deg)[None, :]
+            valid = col < lens[:, None]
+            idx = np.where(valid, row_starts[sel][:, None] + col, 0)
+            vals = nbr_flat[idx]
+            order = np.argsort(gl, kind="stable")
+            sgl = gl[order]
+            pos = np.searchsorted(sgl, vals)
+            pos_c = pos.clip(max=len(sgl) - 1)
+            found = valid & (sgl[pos_c] == vals)
+            adj[sel[:, None], col] = np.where(
+                found, sel[order[pos_c]], -1
+            ).astype(np.int32)
+            part_entries = sel[_entry_points(len(sel))]
+            for qi in q_sel:
+                pair_qi.append(int(qi))
+                pair_entries.append(part_entries)
+        # one batched beam over all (segment, query) pairs, chunked so the
+        # visited bitmap (pairs x n_part) stays bounded
+        PAIR_CHUNK = 512
+        for lo in range(0, len(pair_qi), PAIR_CHUNK):
+            qi_c = pair_qi[lo : lo + PAIR_CHUNK]
+            ent_c = pair_entries[lo : lo + PAIR_CHUNK]
+            ne_max = max(len(e) for e in ent_c)
+            ent = np.full((len(qi_c), ne_max), -1, dtype=np.int64)
+            for i, e in enumerate(ent_c):
+                ent[i, : len(e)] = e
+            idx_list, score_list, _ = beam_search_batch(
+                x, adj, q_[qi_c], k, ef, metric, metric_arg,
+                allowed=ok_all if has_allowed else None, entries=ent,
+            )
+            for i, qi in enumerate(qi_c):
+                out_q.append(
+                    np.full(len(idx_list[i]), qids_[qi], dtype=np.int64)
                 )
-                for t in range(len(q_sel)):
-                    out_q.append(
-                        np.full(len(idx_list[t]), qids_[q_sel[t]], dtype=np.int64)
-                    )
-                    out_l.append(gl[idx_list[t]])
-                    out_d.append(score_list[t])
+                out_l.append(labels[idx_list[i]])
+                out_d.append(score_list[i])
         if not out_q:
             return
         yield pa.RecordBatch.from_arrays(
