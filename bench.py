@@ -104,6 +104,18 @@ def main() -> None:
         ingest_sec = time.perf_counter() - t0
         queries["ingest_rows_per_sec"] = round(n_emb / ingest_sec, 1)
 
+        # unlabeled path: sequential auto-ids assigned JVM-side
+        # (monotonically_increasing_id + partition-offset compaction) — must
+        # track the labeled path's throughput (r2: the .rdd.zipWithIndex
+        # Python round-trip made this the slow lane)
+        t0 = time.perf_counter()
+        eng.create("bench_ip_unlab", dim, "Flat", metric_type="INNER_PRODUCT")
+        eng.add("bench_ip_unlab", emb.select("embedding"))
+        queries["ingest_unlabeled_rows_per_sec"] = round(
+            n_emb / (time.perf_counter() - t0), 1
+        )
+        eng.destroy("bench_ip_unlab")
+
         qdf48 = emb.limit(48).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
         ).cache()
@@ -269,6 +281,7 @@ def main() -> None:
 
     non_time_keys = {
         "ingest_rows_per_sec",
+        "ingest_unlabeled_rows_per_sec",
         "batch_amortization",
         "ivf_recall_nprobe4",
         "ivf_recall_nprobe16",

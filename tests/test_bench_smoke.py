@@ -25,6 +25,7 @@ def test_bench_all_entries_run_clean(spark, monkeypatch, capsys):
         "ivfhnsw_knn_np8", "lsh_knn_4x8", "sessionize_events",
         "knn_majority_vote", "similarity_join_f64", "dedup_minhash_lsh",
         "text_quality_lang", "ingest_rows_per_sec",
+        "ingest_unlabeled_rows_per_sec",
     }
     missing = expected - set(data["queries"])
     assert not missing, f"bench entries missing: {missing}"
