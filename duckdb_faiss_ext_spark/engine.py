@@ -317,6 +317,29 @@ class FaissSparkEngine:
                 drop_parent = False
             else:
                 self._add_memory(idx, vecs, rebuild)
+            if (
+                idx.spec.hnsw_m > 0
+                and idx.spec.kind == "ivf"
+                and not getattr(idx, "_edgeless_checked", False)
+            ):
+                # user asked for the IVF_HNSW composite: surface it loudly if
+                # the min_graph_rows default built ZERO graphs (the composite
+                # silently degrades to plain IVF and efSearch is inert —
+                # ADVICE r3).  One take(1) job on the materialized slice, first
+                # add only.
+                idx._edgeless_checked = True
+                if not idx.data.filter(F.size("neighbors") > 0).take(1):
+                    import warnings
+
+                    warnings.warn(
+                        f"Index {idx.name} ({idx.spec.factory!r}): every cluster "
+                        f"is below min_graph_rows="
+                        f"{idx.params.get('min_graph_rows', self.MIN_GRAPH_ROWS)}; "
+                        "no graphs built — search is plan-identical to plain IVF "
+                        "and efSearch has no effect.  Pass "
+                        "params={'min_graph_rows': 0} to force per-cluster "
+                        "graphs (measured trade in SCALE.md)."
+                    )
         finally:
             if cache_parent is not None and drop_parent:
                 # safe: _add_memory/_add_disk have materialized the stored
@@ -641,6 +664,10 @@ class FaissSparkEngine:
             probe_mask_for=probe_fn,
         )
 
+    # broadcast cap for the residual-ADC per-(query, probed cluster) lookup
+    # tables; the query block sub-chunks to stay under it
+    PQ_LUT_BUDGET_BYTES = 128 << 20
+
     def _pq_search_flat(
         self,
         idx: FaissIndex,
@@ -664,28 +691,37 @@ class FaissSparkEngine:
         from duckdb_faiss_ext_spark.operators.pq import pq_search_arrays
 
         nprobe = int(params.get("nprobe", 1))
-        probe_fn = None
+        probe_ids_fn = None
         if (
             idx.spec.kind == "ivf"
             and "cluster_id" in corpus.columns
             and nprobe < idx.spec.nlist
         ):
-            probe_fn = self._probe_mask_fn(idx, nprobe)
+            probe_ids_fn = self._probe_ids_fn(idx, nprobe)
         residual_cents = (
             idx.centroids
             if idx.spec.kind == "ivf" and "cluster_id" in corpus.columns
             else None
         )
+        # residual-path LUTs broadcast nq*nprobe*m*nk float32 — cap the query
+        # sub-chunk so that product stays under a fixed byte budget (at 8192
+        # queries x nprobe 4 x m 8 x 256 codes that is already 268 MB; a
+        # dense union layout reached 17 GB — ADVICE r3)
+        chunk = topk_ops.MAX_QUERY_BATCH
+        if residual_cents is not None:
+            m_, nk_, _ = idx.codebooks.shape
+            per_q = max(1, min(nprobe, idx.spec.nlist)) * m_ * nk_ * 4
+            chunk = max(1, min(chunk, self.PQ_LUT_BUDGET_BYTES // per_q))
         partials = []
         for qids, q in topk_ops.iter_query_blocks(queries_df, qid_col, vec_col):
-            for lo in range(0, len(qids), topk_ops.MAX_QUERY_BATCH):
-                cqids = qids[lo : lo + topk_ops.MAX_QUERY_BATCH]
-                cq = q[lo : lo + topk_ops.MAX_QUERY_BATCH]
+            for lo in range(0, len(qids), chunk):
+                cqids = qids[lo : lo + chunk]
+                cq = q[lo : lo + chunk]
                 codes = corpus
-                probed = None
-                if probe_fn is not None:
-                    mask = probe_fn(cqids, cq)
-                    probed = [int(c) for c in np.where(mask.any(axis=0))[0]]
+                probes = None
+                if probe_ids_fn is not None:
+                    probes = probe_ids_fn(cqids, cq)
+                    probed = [int(c) for c in np.unique(probes)]
                     codes = corpus.filter(F.col("cluster_id").isin(probed))
                 partials.append(
                     pq_search_arrays(
@@ -696,7 +732,7 @@ class FaissSparkEngine:
                         k,
                         metric=idx.metric,
                         centroids=residual_cents,
-                        clusters=probed,
+                        probe_ids=probes,
                     )
                 )
         if not partials:

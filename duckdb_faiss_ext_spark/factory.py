@@ -12,7 +12,15 @@ repo (SURVEY.md §2.1) and map it onto the engine's physical strategies:
 - ``IVF<n>``/"IVF<n>_HNSW<m>" -> KMeans(n) coarse quantizer; search prunes to
                          ``nprobe`` nearest clusters (needs training).  With
                          the HNSW component, one graph per cluster and probed
-                         clusters are beam-searched instead of scanned
+                         clusters are beam-searched instead of scanned.
+                         NOTE: per-cluster graphs only build for clusters of
+                         at least ``min_graph_rows`` rows (default 2^20 —
+                         measured A/Bs show per-cluster beams losing to the
+                         probed-cluster BLAS scan below that, SCALE.md);
+                         below it the composite is plan-identical to plain
+                         IVF and efSearch is inert.  Pass
+                         ``params={"min_graph_rows": 0}`` to force graphs;
+                         the engine warns once when an add builds no graphs.
 - ``PQ<m>[x<b>]`` suffix -> product quantization: vectors stored as m b-bit
                          code ids (operators/pq.py), searched with ADC lookup
                          tables; composes with IVF pruning (needs training).

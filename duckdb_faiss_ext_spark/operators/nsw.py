@@ -39,6 +39,9 @@ __all__ = [
     "nsw_topk",
 ]
 
+# byte budget for the batched beam's visited bitmaps (pairs x partition rows)
+PAIR_BITMAP_BUDGET = 64 << 20
+
 
 def _build_scores(q: np.ndarray, x: np.ndarray, metric: str, metric_arg: float) -> np.ndarray:
     """Pairwise scores for GRAPH CONSTRUCTION only — ranking neighbors, not
@@ -673,11 +676,14 @@ def nsw_topk(
                 pair_qi.append(int(qi))
                 pair_entries.append(part_entries)
         # one batched beam over all (segment, query) pairs, chunked so the
-        # visited bitmap (pairs x n_part) stays bounded
-        PAIR_CHUNK = 512
-        for lo in range(0, len(pair_qi), PAIR_CHUNK):
-            qi_c = pair_qi[lo : lo + PAIR_CHUNK]
-            ent_c = pair_entries[lo : lo + PAIR_CHUNK]
+        # visited bitmap (pairs x n_part+1 bools) stays under a fixed byte
+        # budget — a constant 512-pair chunk cost ~512 MB per chunk on a
+        # 1M-row read partition (ADVICE r3); small partitions still get the
+        # full batching
+        pair_chunk = int(max(16, min(512, PAIR_BITMAP_BUDGET // (n_part + 1))))
+        for lo in range(0, len(pair_qi), pair_chunk):
+            qi_c = pair_qi[lo : lo + pair_chunk]
+            ent_c = pair_entries[lo : lo + pair_chunk]
             ne_max = max(len(e) for e in ent_c)
             ent = np.full((len(qi_c), ne_max), -1, dtype=np.int64)
             for i, e in enumerate(ent_c):

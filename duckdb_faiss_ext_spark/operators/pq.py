@@ -206,7 +206,7 @@ def pq_search_arrays(
     k: int,
     metric: str = "L2",
     centroids: "np.ndarray | None" = None,
-    clusters: "list[int] | None" = None,
+    probe_ids: "np.ndarray | None" = None,
     cluster_col: str = "cluster_id",
 ) -> DataFrame:
     """ADC top-k for a driver-resident query block (qids int64, q float32
@@ -216,10 +216,13 @@ def pq_search_arrays(
     matching FAISS IndexPQ's METRIC handling.
 
     With ``centroids`` the codes are residuals (faiss IndexIVFPQ): the LUT
-    becomes per-(query, cluster) — L2 shifts the query by the cluster
-    centroid, IP folds the q·centroid subvector terms into each table —
-    sized to ``clusters`` (the PROBED ids only, nq·nprobe·m·256 floats, not
-    nq·nlist) so a 2048-list index never materializes 2048 tables."""
+    becomes per-(query, probed cluster) — L2 shifts the query by the cluster
+    centroid, IP folds the q·centroid subvector terms into each table.
+    ``probe_ids`` (nq, nprobe) int64 gives EACH query its own probed cluster
+    ids, so the broadcast is exactly nq·nprobe·m·nk floats — a dense
+    (nq, union-of-probed) layout scaled as nq·nlist once chunk unions grew
+    (17 GB at 8192 queries x nlist 256, ADVICE r3), where the ragged one is
+    nq·nprobe regardless of nlist."""
     import pyarrow as pa
 
     m, nk, sub = codebooks.shape
@@ -229,25 +232,28 @@ def pq_search_arrays(
     residual = centroids is not None
     q3 = np.asarray(q, dtype=np.float32).reshape(nq, m, sub)
     if residual:
-        if clusters is None:
-            clusters = list(range(len(centroids)))
-        cl_ids = np.asarray(sorted(int(c) for c in clusters), dtype=np.int64)
-        cents3 = centroids[cl_ids].reshape(len(cl_ids), m, sub)
-        nc = len(cl_ids)
-        luts = np.empty((nq, nc, m, nk), dtype=np.float32)
+        if probe_ids is None:
+            probe_ids = np.tile(np.arange(len(centroids), dtype=np.int64), (nq, 1))
+        probe_ids = np.asarray(probe_ids, dtype=np.int64)
+        npb = probe_ids.shape[1]
+        cents4 = centroids[probe_ids].reshape(nq, npb, m, sub)
+        luts = np.empty((nq, npb, m, nk), dtype=np.float32)
         for j in range(m):
             cb = codebooks[j]
-            qj, cj = q3[:, j, :], cents3[:, j, :]
+            qj = q3[:, j, :]  # (nq, sub)
+            cj = cents4[:, :, j, :]  # (nq, npb, sub)
             if desc:
-                luts[:, :, j, :] = (qj @ cb.T)[:, None, :] + (qj @ cj.T)[:, :, None]
+                luts[:, :, j, :] = (qj @ cb.T)[:, None, :] + np.einsum(
+                    "qs,qps->qp", qj, cj
+                )[:, :, None]
             else:
-                qp = qj[:, None, :] - cj[None, :, :]  # (nq, nc, sub)
+                qp = qj[:, None, :] - cj  # (nq, npb, sub)
                 luts[:, :, j, :] = (
                     (qp**2).sum(-1)[:, :, None]
-                    - 2.0 * np.einsum("qcs,ks->qck", qp, cb)
+                    - 2.0 * np.einsum("qps,ks->qpk", qp, cb)
                     + (cb**2).sum(1)[None, None, :]
                 )
-        bl = spark.sparkContext.broadcast((qids, luts, cl_ids))
+        bl = spark.sparkContext.broadcast((qids, luts, probe_ids))
     else:
         luts = np.empty((nq, m, nk), dtype=np.float32)
         for j in range(m):
@@ -268,7 +274,7 @@ def pq_search_arrays(
     def score(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         from duckdb_faiss_ext_spark.metrics import topk_indices
 
-        qids_, luts_, cl_ids_ = bl.value
+        qids_, luts_, probes_ = bl.value
         nq_ = len(qids_)
         for rb in batches:
             n = rb.num_rows
@@ -282,7 +288,7 @@ def pq_search_arrays(
                 .reshape(n, m)
                 .astype(np.int64)
             )
-            if cl_ids_ is None:
+            if probes_ is None:
                 # scores[i, r] = sum_j luts[i, j, codes[r, j]]
                 scores = np.zeros((nq_, n), dtype=np.float32)
                 for j in range(m):
@@ -292,14 +298,18 @@ def pq_search_arrays(
                 worst = -np.inf if desc else np.inf
                 scores = np.full((nq_, n), worst, dtype=np.float32)
                 for cid in np.unique(cl):
-                    slot = np.searchsorted(cl_ids_, cid)
-                    if slot >= len(cl_ids_) or cl_ids_[slot] != cid:
-                        continue  # cluster not probed: leave at worst
+                    # each query's own probe list: slot of cid, if probed
+                    match = probes_ == cid  # (nq, nprobe)
+                    qsel = match.any(axis=1)
+                    if not qsel.any():
+                        continue  # no query probed this cluster
+                    slots = match.argmax(axis=1)[qsel]
                     rows = np.where(cl == cid)[0]
-                    part = np.zeros((nq_, len(rows)), dtype=np.float32)
+                    lsub = luts_[qsel, slots]  # (nqs, m, nk)
+                    part = np.zeros((int(qsel.sum()), len(rows)), dtype=np.float32)
                     for j in range(m):
-                        part += luts_[:, slot, j, codes[rows, j]]
-                    scores[:, rows] = part
+                        part += lsub[:, j, codes[rows, j]]
+                    scores[np.ix_(qsel, rows)] = part
             idx, sc = topk_indices(scores, k, desc)
             kk = idx.shape[1]
             keep = np.isfinite(sc.ravel())
