@@ -618,6 +618,7 @@ class FaissSparkEngine:
         params = {**idx.params, **(params or {})}
         corpus = idx.data
         has_graph = "neighbors" in corpus.columns
+        allowed_col = None
         if allowed_df is not None:
             # filter-during-search semantics: semi-join BEFORE top-k
             # (faiss_search_filter, README.md:245).  NO broadcast hint: at the
@@ -628,22 +629,37 @@ class FaissSparkEngine:
             # faiss_extension.cpp:729-820, delegated to Catalyst for real).
             acol = allowed_df.columns[0]
             allowed = allowed_df.select(F.col(acol).cast("bigint").alias("label"))
-            corpus = corpus.join(allowed, "label", "left_semi")
-            if has_graph:
-                # the semi-join shuffles the corpus by label, severing the
-                # partition-aligned graphs — filtered search on a graph index
-                # therefore takes the EXACT filter-during-search path (recall
-                # 1.0 on the surviving rows; FAISS selector-on-HNSW masks are
-                # available at the kernel level, operators/nsw.py beam_search)
-                corpus = corpus.drop("neighbors")
-                has_graph = False
+            if has_graph and allowed.limit(
+                self.GRAPH_FILTER_BROADCAST_CAP + 1
+            ).count() <= self.GRAPH_FILTER_BROADCAST_CAP:
+                # graph indexes keep their graphs under a filter: a BROADCAST
+                # left join stamps an `_allowed` marker onto the corpus
+                # without shuffling it (partition-aligned graph segments stay
+                # intact), and the beam kernel applies the mask to RESULT
+                # ADMISSION only — the reference's IDSelectorBitmap-on-HNSW
+                # semantics (faiss_extension.cpp:959).  Broadcast is forced
+                # (not AQE-decided) because a shuffle join here would sever
+                # the graphs; the cap bounds the driver/executor copy.
+                marker = allowed.withColumn("_allowed", F.lit(1))
+                corpus = corpus.join(F.broadcast(marker), "label", "left")
+                allowed_col = "_allowed"
+            else:
+                corpus = corpus.join(allowed, "label", "left_semi")
+                if has_graph:
+                    # allowed set too large to broadcast: fall back to the
+                    # exact scan of survivors (recall 1.0).  At this
+                    # selectivity the survivor scan is within a small factor
+                    # of the corpus scan a beam would explore anyway.
+                    corpus = corpus.drop("neighbors")
+                    has_graph = False
         if idx.codebooks is not None:
             return self._pq_search_flat(
                 idx, k, queries_df, params, qid_col, vec_col, corpus
             )
         if has_graph:
             return self._nsw_search_flat(
-                idx, k, queries_df, params, qid_col, vec_col, corpus
+                idx, k, queries_df, params, qid_col, vec_col, corpus,
+                allowed_col=allowed_col,
             )
         cluster_col = None
         probe_fn = None
@@ -749,6 +765,11 @@ class FaissSparkEngine:
     # monolithic million-node graph where beams converge in a deeper hierarchy
     DEFAULT_EF_SEARCH = 128
 
+    # max allowed-set size stamped onto a graph corpus via broadcast left
+    # join (ids only: 4M x ~16 B ≈ 64 MB broadcast); beyond it filtered
+    # graph search falls back to the exact survivor scan
+    GRAPH_FILTER_BROADCAST_CAP = 1 << 22
+
     def _nsw_search_flat(
         self,
         idx: FaissIndex,
@@ -758,6 +779,7 @@ class FaissSparkEngine:
         qid_col: str,
         vec_col: str,
         corpus: DataFrame,
+        allowed_col: Optional[str] = None,
     ) -> DataFrame:
         """Graph-ANN search (operators/nsw.py): beam per graph segment,
         honoring ``efSearch``; merge is the same bounded nq*k window rank as
@@ -800,6 +822,7 @@ class FaissSparkEngine:
                         metric_arg=idx.metric_arg,
                         probe_col=probe_col,
                         probe_groups=probes,
+                        allowed_col=allowed_col,
                     )
                 )
         if not partials:

@@ -272,8 +272,12 @@ def beam_search_batch(
     Returns (idx_list, score_list, evals) — per-query arrays ordered
     best-first, and a (nq,) count of distance evaluations.  ``allowed`` is
     a bool mask applied to RESULTS only — disallowed nodes still route the
-    walk (FAISS selector-on-HNSW semantics), so heavy filters do not
-    disconnect the graph.
+    walk (FAISS IDSelector-on-HNSW semantics, faiss_extension.cpp:959:
+    the selector gates result admission, not traversal), so heavy filters
+    do not disconnect the graph.  Allowed results are collected from EVERY
+    evaluated node, not just the final routing beam — under a selective
+    filter the ef-width beam may hold almost no allowed nodes while the
+    walk evaluated plenty of them on the way.
 
     ``entries``, if given, is a per-query (nq, ne) int64 array of entry
     nodes (-1 padded) — the multi-segment composition: each "query" is a
@@ -316,6 +320,16 @@ def beam_search_batch(
     k0, n0 = _keep_best(keys0, nodes0, ef)
     bk[:, : k0.shape[1]], bn[:, : k0.shape[1]] = k0, n0
     fk[:, : k0.shape[1]], fn[:, : k0.shape[1]] = k0, n0
+
+    rk = rn = None
+    if allowed is not None:
+        # result beam admitting ONLY allowed nodes, fed by every evaluation
+        rk = np.full((nq, ef), np.inf)
+        rn = np.full((nq, ef), -1, dtype=np.int64)
+        n0ok = (n0 >= 0) & allowed[n0.clip(min=0)]
+        rk0 = np.where(n0ok, k0, np.inf)
+        rn0 = np.where(n0ok, n0, -1)
+        rk[:, : rk0.shape[1]], rn[:, : rk0.shape[1]] = rk0, rn0
 
     deg = nbrs.shape[1] if nbrs.ndim == 2 else 0
     active = np.ones(nq, dtype=bool)
@@ -362,17 +376,23 @@ def beam_search_batch(
             ef,
         )
         fk[aq], fn[aq] = kf, nf
+        if rk is not None:
+            adm = valid & allowed[new_nodes.clip(min=0)]
+            kr, nr = _keep_best(
+                np.concatenate([rk[aq], np.where(adm, new_keys, np.inf)], axis=1),
+                np.concatenate([rn[aq], np.where(adm, new_nodes, -1)], axis=1),
+                ef,
+            )
+            rk[aq], rn[aq] = kr, nr
 
-    order = np.argsort(bk, axis=1, kind="stable")
+    res_k, res_n = (bk, bn) if rk is None else (rk, rn)
+    order = np.argsort(res_k, axis=1, kind="stable")
     idx_out, score_out = [], []
     for i in range(nq):
-        nodes = bn[i, order[i]]
-        keys = bk[i, order[i]]
+        nodes = res_n[i, order[i]]
+        keys = res_k[i, order[i]]
         okm = np.isfinite(keys) & (nodes >= 0)
         nodes, keys = nodes[okm], keys[okm]
-        if allowed is not None:
-            am = allowed[nodes]
-            nodes, keys = nodes[am], keys[am]
         idx_out.append(nodes[:k].astype(np.int64))
         score_out.append((sign * keys[:k]).astype(np.float32))
     return idx_out, score_out, evals
@@ -595,8 +615,10 @@ def nsw_topk(
                     rb.column(pcol_i).to_numpy(zero_copy_only=False).astype(np.int64)
                 )
             if has_allowed:
+                # marker column from the broadcast left join: non-null =>
+                # allowed.  Arrow-native validity bitmap — no per-row Python
                 ok_parts.append(
-                    np.array(rb.column(acol_i).to_pylist(), dtype=object) != None  # noqa: E711
+                    rb.column(acol_i).is_valid().to_numpy(zero_copy_only=False)
                 )
         if not labels_parts:
             return
@@ -675,12 +697,24 @@ def nsw_topk(
             for qi in q_sel:
                 pair_qi.append(int(qi))
                 pair_entries.append(part_entries)
+        # under a selective results-filter the walk must see ~k/frac nodes
+        # before k ALLOWED ones surface — widen the beam accordingly (capped
+        # at the partition, where it degenerates to ordered exploration of
+        # the whole graph: the honest cost of filtered graph search at low
+        # selectivity, same economics as FAISS raising efSearch under an
+        # IDSelector)
+        ef_run = ef
+        if has_allowed and len(ok_all):
+            frac = float(ok_all.mean())
+            ef_run = int(min(n_part, max(ef, np.ceil(2.0 * k / max(frac, 1e-6)))))
         # one batched beam over all (segment, query) pairs, chunked so the
-        # visited bitmap (pairs x n_part+1 bools) stays under a fixed byte
+        # per-pair state (visited bitmap row of n_part+1 bools + six
+        # ef_run-wide float64/int64 beam rows) stays under a fixed byte
         # budget — a constant 512-pair chunk cost ~512 MB per chunk on a
         # 1M-row read partition (ADVICE r3); small partitions still get the
         # full batching
-        pair_chunk = int(max(16, min(512, PAIR_BITMAP_BUDGET // (n_part + 1))))
+        per_pair = (n_part + 1) + 48 * ef_run
+        pair_chunk = int(max(16, min(512, PAIR_BITMAP_BUDGET // per_pair)))
         for lo in range(0, len(pair_qi), pair_chunk):
             qi_c = pair_qi[lo : lo + pair_chunk]
             ent_c = pair_entries[lo : lo + pair_chunk]
@@ -689,7 +723,7 @@ def nsw_topk(
             for i, e in enumerate(ent_c):
                 ent[i, : len(e)] = e
             idx_list, score_list, _ = beam_search_batch(
-                x, adj, q_[qi_c], k, ef, metric, metric_arg,
+                x, adj, q_[qi_c], k, ef_run, metric, metric_arg,
                 allowed=ok_all if has_allowed else None, entries=ent,
             )
             for i, qi in enumerate(qi_c):
