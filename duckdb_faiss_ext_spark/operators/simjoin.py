@@ -1,19 +1,116 @@
 """similarity_join — top-k join between two vector DataFrames.
 
 SURVEY.md §7 M6: beyond the reference's named-index API, pipelines want a
-direct "for each left row, the k nearest right rows" join.  Physical plan
-reuses the exact-kNN kernel: the LEFT side is chunk-broadcast (8192 rows per
-chunk), the RIGHT side (the big corpus) streams through mapInPandas with
-per-partition top-k, one small merge shuffle per chunk — right side never
-shuffles whole, left side never exceeds broadcast budget.
+direct "for each left row, the k nearest right rows" join.
+
+Physical plan (block-nested-loop, ENTIRELY executor-side — r3's version
+pulled the left side through a per-row ``toLocalIterator`` loop on the
+driver, making the driver the throughput ceiling for corpus x corpus
+joins, VERDICT r3 wrong #2):
+
+1. each side packs into block rows of ≤ ``block_rows`` vectors via one
+   narrow ``mapInArrow`` pass (no shuffle; a block row = ids + one
+   flattened float matrix);
+2. ``crossJoin`` of the two small block tables forms every
+   (left block, right block) pair — |L|/bl x |R|/bl rows;
+3. repartition by left block + ``mapInArrow``: each task streams the right
+   blocks of its left blocks one at a time, merging into a running
+   per-left-row top-k (O(ln * k) state, right blocks never accumulate) —
+   the output is exactly |L| x k rows and needs NO further merge shuffle.
+
+Wall-clock and shuffle volume scale as |L|·|R|·d/bl — the inherent cost
+of an exact all-pairs join; at corpus scale prefer
+:func:`similarity_join_lsh`, which only scores bucket-colliding pairs.
 """
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from typing import Iterator, Optional
 
-from duckdb_faiss_ext_spark.operators.topk import exact_knn_flat
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from duckdb_faiss_ext_spark.metrics import is_descending, pairwise, topk_indices
+
+__all__ = ["similarity_join", "similarity_join_lsh"]
+
+# rows per packed block: bounds executor memory (a block is bl*d floats) and
+# sets the BNL replication factor |R|*|L|/bl — bigger blocks shuffle less but
+# leave fewer groups for parallelism
+BLOCK_ROWS = 16384
+
+# left rows scored per matmul inside a task (bounds the (chunk, rn) score
+# matrix at ~chunk*block_rows*8 bytes)
+SCORE_CHUNK = 2048
+
+
+def _pack_blocks(
+    df: DataFrame, id_col: str, vec_col: str, block_rows: int, dtype
+) -> DataFrame:
+    """(blk BIGINT, n INT, ids ARRAY<BIGINT>, vecs ARRAY<FLOAT/DOUBLE>) —
+    ≤ ``block_rows`` vectors per row, vecs flattened row-major.  Narrow map.
+
+    ``blk`` = min(ids) of the block: content-derived, so it is STABLE across
+    re-executions (a cartesian join re-runs each side once per opposite
+    partition, and TaskContext.partitionId() there is the cartesian task's
+    id — a blk derived from it changed between recomputations and every
+    (left, right) block pair masqueraded as its own left block).  Blocks
+    partition the side's distinct ids, so min(ids) is unique per block."""
+    import pyarrow as pa
+
+    f64 = dtype is np.float64
+    pa_t = pa.float64() if f64 else pa.float32()
+    np_t = np.float64 if f64 else np.float32
+
+    def pack(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        ids_buf: list = []
+        vec_buf: list = []
+        held = 0
+
+        def flush():
+            nonlocal ids_buf, vec_buf, held
+            ids = np.concatenate(ids_buf)
+            vecs = np.concatenate(vec_buf)
+            out = pa.RecordBatch.from_arrays(
+                [
+                    pa.array([int(ids.min())], pa.int64()),
+                    pa.array([len(ids)], pa.int32()),
+                    pa.array([ids], pa.list_(pa.int64())),
+                    pa.array([vecs], pa.list_(pa_t)),
+                ],
+                names=["blk", "n", "ids", "vecs"],
+            )
+            ids_buf, vec_buf, held = [], [], 0
+            return out
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False).astype(np_t)
+            lo = 0
+            dim = len(flat) // n
+            while lo < n:
+                take = min(n - lo, block_rows - held)
+                ids_buf.append(ids[lo : lo + take])
+                vec_buf.append(flat[lo * dim : (lo + take) * dim])
+                held += take
+                lo += take
+                if held >= block_rows:
+                    yield flush()
+        if held:
+            yield flush()
+
+    vec_t = "array<double>" if f64 else "array<float>"
+    narrow = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(vec_col).cast(vec_t).alias("vector"),
+    )
+    return narrow.mapInArrow(
+        pack, schema=f"blk bigint, n int, ids array<bigint>, vecs {vec_t}"
+    )
 
 
 def similarity_join(
@@ -26,23 +123,216 @@ def similarity_join(
     right_id: str = "id",
     right_vec: str = "vector",
     dtype=None,
+    block_rows: int = BLOCK_ROWS,
 ) -> DataFrame:
-    """(left_id, rank, right_id, distance) — k nearest right rows per left row.
+    """(left_id, rank, right_id, distance) — k nearest right rows per left
+    row, exact, with the kernel tie-break (score, then label ascending).
 
     ``dtype`` numpy float type for the distance kernel (default float32,
     FAISS parity; float64 for the double-precision oracle-checked path)."""
-    import numpy as np
+    import pyarrow as pa
 
-    q = left.select(F.col(left_id).alias("qid"), F.col(left_vec).alias("vector"))
-    corpus = right.select(
-        F.col(right_id).alias("label"), F.col(right_vec).alias("vector")
+    dtype = dtype if dtype is not None else np.float32
+    f64 = dtype is np.float64
+    desc = is_descending(metric)
+    marg = 0.0
+
+    # coalesce the (few, fat) block rows so the cartesian stage is
+    # |lparts| x |rparts| tasks, not a 1024-task grid
+    lb = _pack_blocks(left, left_id, left_vec, block_rows, dtype).coalesce(8)
+    rb_df = _pack_blocks(right, right_id, right_vec, block_rows, dtype).coalesce(8)
+    pairs = lb.crossJoin(
+        rb_df.select(
+            F.col("blk").alias("rblk"),
+            F.col("n").alias("rn"),
+            F.col("ids").alias("rids"),
+            F.col("vecs").alias("rvecs"),
+        )
     )
-    flat = exact_knn_flat(
-        corpus, q, k, metric=metric, dtype=dtype if dtype is not None else np.float32
+    n_out = max(
+        int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
     )
-    return flat.select(
-        F.col("qid").alias(left_id),
+
+    np_t = np.float64 if f64 else np.float32
+    pa_t = pa.float64() if f64 else pa.float32()
+
+    def score(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        # blk -> [lids, lx, run_ids (ln, <=k), run_sc] — right blocks merge
+        # into the running top-k as they stream; nothing else accumulates
+        state: dict = {}
+
+        def merge(st, new_ids, new_sc):
+            all_ids = (
+                new_ids if st[2] is None else np.concatenate([st[2], new_ids], axis=1)
+            )
+            all_sc = (
+                new_sc if st[3] is None else np.concatenate([st[3], new_sc], axis=1)
+            )
+            key = -all_sc if desc else all_sc
+            # composite tie-break: score first, right-label ascending second
+            order = np.lexsort((all_ids, key), axis=1)[:, :k]
+            rows = np.arange(all_ids.shape[0])[:, None]
+            st[2], st[3] = all_ids[rows, order], all_sc[rows, order]
+
+        for rb in batches:
+            for r in range(rb.num_rows):
+                blk = rb.column(0)[r].as_py()
+                st = state.get(blk)
+                if st is None:
+                    ln = int(rb.column(1)[r].as_py())
+                    lids = (
+                        rb.column(2)[r]
+                        .values.to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                    lflat = rb.column(3)[r].values.to_numpy(zero_copy_only=False)
+                    dim = len(lflat) // max(ln, 1)
+                    lx = np.ascontiguousarray(lflat.reshape(ln, dim), dtype=np_t)
+                    st = state[blk] = [lids, lx, None, None]
+                lids, lx = st[0], st[1]
+                ln = len(lids)
+                dim = lx.shape[1]
+                rn = int(rb.column(5)[r].as_py())
+                rids = (
+                    rb.column(6)[r]
+                    .values.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                rx = np.ascontiguousarray(
+                    rb.column(7)[r]
+                    .values.to_numpy(zero_copy_only=False)
+                    .reshape(rn, dim),
+                    dtype=np_t,
+                )
+                kk = min(k, rn)
+                blk_ids = np.empty((ln, kk), dtype=np.int64)
+                blk_sc = np.empty((ln, kk), dtype=np.float64)
+                for lo in range(0, ln, SCORE_CHUNK):
+                    hi = min(lo + SCORE_CHUNK, ln)
+                    s = pairwise(lx[lo:hi], rx, metric, marg, dtype=np_t)
+                    idx, sc = topk_indices(s, kk, desc)
+                    blk_ids[lo:hi] = rids[idx]
+                    blk_sc[lo:hi] = sc
+                merge(st, blk_ids, blk_sc)
+        for lids, _, top_ids, top_sc in state.values():
+            if top_ids is None:
+                continue
+            ln, kk = top_ids.shape
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(lids, kk), pa.int64()),
+                    pa.array(np.tile(np.arange(kk, dtype=np.int32), ln), pa.int32()),
+                    pa.array(top_ids.ravel(), pa.int64()),
+                    pa.array(top_sc.ravel().astype(np_t), pa_t),
+                ],
+                names=["left_id", "rank", "right_id", "distance"],
+            )
+
+    dist_t = "double" if f64 else "float"
+    out = pairs.repartition(n_out, "blk").mapInArrow(
+        score,
+        schema=f"left_id bigint, rank int, right_id bigint, distance {dist_t}",
+    )
+    rname = right_id if right_id != left_id else f"{right_id}_right"
+    return out.select(
+        F.col("left_id").alias(left_id),
         "rank",
-        F.col("label").alias(right_id if right_id != left_id else f"{right_id}_right"),
+        F.col("right_id").alias(rname),
         "distance",
+    )
+
+
+def similarity_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    dim: int,
+    left_id: str = "id",
+    left_vec: str = "vector",
+    right_id: str = "id",
+    right_vec: str = "vector",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    center: "bool | np.ndarray | None" = True,
+    max_bucket: int = 0,
+) -> DataFrame:
+    """Approximate cosine top-k join — the corpus x corpus SCALE path.
+
+    Candidates = bucket collision in any LSH table; each candidate pair is
+    re-ranked with the exact cosine computed by JVM expressions
+    (zip_with/aggregate — no Python, no driver); per-left-row top-k via one
+    window.  Only colliding pairs are ever scored, so cost tracks the
+    collision count, not |L|·|R|.  All shuffles are hash-partitioned
+    equi-joins — nothing is replicated or driver-resident.
+
+    ``max_bucket`` > 0 caps rows taken per (table, bucket) on each side
+    (hot-bucket skew guard, same rationale as dedup's shared bucket cap)."""
+    from duckdb_faiss_ext_spark.operators.lsh import corpus_mean, lsh_signatures
+
+    ctr: Optional[np.ndarray]
+    if center is True:
+        ctr = corpus_mean(right, dim, right_vec)
+    elif center is None or center is False:
+        ctr = None
+    else:
+        ctr = np.asarray(center, dtype=np.float32)
+    l_sig = lsh_signatures(
+        left, dim, left_id, left_vec, n_planes, n_tables, seed, center=ctr
+    ).withColumnRenamed("id", "_lid")
+    r_sig = lsh_signatures(
+        right, dim, right_id, right_vec, n_planes, n_tables, seed, center=ctr
+    ).withColumnRenamed("id", "_rid")
+    if max_bucket > 0:
+        w = Window.partitionBy("table", "bucket").orderBy("_lid")
+        l_sig = (
+            l_sig.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= max_bucket)
+            .drop("_r")
+        )
+        w2 = Window.partitionBy("table", "bucket").orderBy("_rid")
+        r_sig = (
+            r_sig.withColumn("_r", F.row_number().over(w2))
+            .filter(F.col("_r") <= max_bucket)
+            .drop("_r")
+        )
+    pairs = l_sig.join(r_sig, ["table", "bucket"]).select("_lid", "_rid").distinct()
+    lv = left.select(
+        F.col(left_id).cast("bigint").alias("_lid"),
+        F.col(left_vec).cast("array<double>").alias("_lv"),
+    )
+    rv = right.select(
+        F.col(right_id).cast("bigint").alias("_rid"),
+        F.col(right_vec).cast("array<double>").alias("_rv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_lv", "_rv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        pairs.join(lv, "_lid")
+        .join(rv, "_rid")
+        .select(
+            "_lid",
+            "_rid",
+            (dot / (norm(F.col("_lv")) * norm(F.col("_rv")))).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("_lid").orderBy(
+        F.col("distance").desc(), F.col("_rid").asc()
+    )
+    rname = right_id if right_id != left_id else f"{right_id}_right"
+    return (
+        scored.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+        .filter(F.col("rank") < k)
+        .select(
+            F.col("_lid").alias(left_id),
+            "rank",
+            F.col("_rid").alias(rname),
+            F.col("distance").cast("float").alias("distance"),
+        )
     )
