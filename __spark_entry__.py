@@ -284,10 +284,50 @@ def knn_filtered(spark, sf):
     )
 
 
+def _exact_topk(e, k: int, score_col, desc: bool = True):
+    """Exact top-k baseline for the ann_* recall columns: (qid, label) of the
+    true k nearest rows for queries vec_id < 10 under ``score_col(qv, tv)``
+    — the same crossJoin-window pattern the oracled knn_* entries use."""
+    t = e.select(F.col("vec_id").alias("xid"), F.col("embedding").alias("tv"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    d = t.crossJoin(F.broadcast(q)).select(
+        "qid", "xid", score_col(F.col("qv"), F.col("tv")).alias("s")
+    )
+    order = [F.col("s").desc() if desc else F.col("s").asc(), F.col("xid")]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("xid").alias("label"))
+    )
+
+
+def _with_recall(flat, exact):
+    """Attach per-qid recall vs the exact (qid, label) baseline as a column —
+    self-evidence for the rows-only ann_* contract entries (the driver
+    records the rows, so the recall floor is checkable from
+    CORRECTNESS_r{N}.json alone)."""
+    hits = (
+        flat.select("qid", "label")
+        .join(exact, ["qid", "label"], "inner")
+        .groupBy("qid")
+        .agg(F.count("*").alias("_hits"))
+    )
+    tot = exact.groupBy("qid").agg(F.count("*").alias("_tot"))
+    rec = hits.join(tot, "qid").select(
+        "qid", F.round(F.col("_hits") / F.col("_tot"), 4).alias("recall")
+    )
+    return flat.join(rec, "qid", "left").withColumn(
+        "recall", F.coalesce(F.col("recall"), F.lit(0.0))
+    )
+
+
 def ann_ivf_knn(spark, sf):
-    """ANN scale path: IVF(8) with nprobe=2 cluster pruning through the
-    engine (approximate by design -> rows-only check; recall vs exact is
-    asserted in pytest and measured in bench)."""
+    """ANN scale path: IVF(8) with nprobe=4 cluster pruning through the
+    engine (approximate by design -> rows-only check; the `recall` column
+    self-evidences vs the exact IP top-k, floor pinned in pytest/bench)."""
     from duckdb_faiss_ext_spark import FaissSparkEngine
 
     e = _emb(spark, sf)
@@ -297,7 +337,8 @@ def ann_ivf_knn(spark, sf):
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
     )
-    return eng.search_flat("_entry_ivf", 10, q, params={"nprobe": 2})
+    flat = eng.search_flat("_entry_ivf", 10, q, params={"nprobe": 4})
+    return _with_recall(flat, _exact_topk(e, 10, V.inner_product))
 
 
 def knn_majority_vote(spark, sf):
@@ -343,7 +384,8 @@ def ann_lsh_knn(spark, sf):
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
     )
-    return lsh_ann_cosine(corpus, q, 10, 64, n_planes=4, n_tables=8)
+    flat = lsh_ann_cosine(corpus, q, 10, 64, n_planes=4, n_tables=8)
+    return _with_recall(flat, _exact_topk(e, 10, V.cosine_similarity))
 
 
 def ann_hnsw_knn(spark, sf):
@@ -362,7 +404,8 @@ def ann_hnsw_knn(spark, sf):
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
     )
-    return eng.search_flat("_entry_hnsw", 10, q, params={"efSearch": "128"})
+    flat = eng.search_flat("_entry_hnsw", 10, q, params={"efSearch": "128"})
+    return _with_recall(flat, _exact_topk(e, 10, V.inner_product))
 
 
 def ann_ivfpq_knn(spark, sf):
@@ -381,7 +424,8 @@ def ann_ivfpq_knn(spark, sf):
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
     )
-    return eng.search_flat("_entry_ivfpq", 10, q, params={"nprobe": 4})
+    flat = eng.search_flat("_entry_ivfpq", 10, q, params={"nprobe": 4})
+    return _with_recall(flat, _exact_topk(e, 10, V.l2sq, desc=False))
 
 
 def vector_centroids(spark, sf):
