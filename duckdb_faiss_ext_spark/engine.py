@@ -668,6 +668,29 @@ class FaissSparkEngine:
             if nprobe < idx.spec.nlist:
                 cluster_col = "cluster_id"
                 probe_fn = self._probe_mask_fn(idx, nprobe)
+        if params.get("bulk_queries") and probe_fn is None:
+            # bulk-query path: a corpus-scale QUERY side would serialize
+            # through the driver's block iterator — route the exact search
+            # through the executor-side block-nested-loop join instead
+            # (operators/simjoin.py; same pairwise/top-k kernels and
+            # (score, label) tie-break, so results are identical).  Opt-in:
+            # the BNL adds a pack+cross stage that costs more than one
+            # broadcast for ordinary query batches.
+            from duckdb_faiss_ext_spark.operators.simjoin import similarity_join
+
+            return similarity_join(
+                queries_df.select(
+                    F.col(qid_col).alias("qid"), F.col(vec_col).alias("vector")
+                ),
+                corpus.select("label", "vector"),
+                k,
+                metric=idx.metric,
+                left_id="qid",
+                right_id="label",
+                metric_arg=idx.metric_arg,
+            ).select(
+                "qid", "rank", F.col("label"), F.col("distance")
+            )
         return topk_ops.exact_knn_flat(
             corpus,
             queries_df,

@@ -124,6 +124,7 @@ def similarity_join(
     right_vec: str = "vector",
     dtype=None,
     block_rows: int = BLOCK_ROWS,
+    metric_arg: float = 0.0,
 ) -> DataFrame:
     """(left_id, rank, right_id, distance) — k nearest right rows per left
     row, exact, with the kernel tie-break (score, then label ascending).
@@ -135,7 +136,7 @@ def similarity_join(
     dtype = dtype if dtype is not None else np.float32
     f64 = dtype is np.float64
     desc = is_descending(metric)
-    marg = 0.0
+    marg = metric_arg
 
     # coalesce the (few, fat) block rows so the cartesian stage is
     # |lparts| x |rparts| tasks, not a 1024-task grid

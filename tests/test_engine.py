@@ -357,3 +357,22 @@ def test_filtered_search_no_forced_broadcast(engine, spark, vectors8, queries8):
     key = lambda rows: sorted((r["qid"], r["rank"], r["label"]) for r in rows)
     assert key(base) == key(nobc)
     assert all(r["label"] % 100 < 90 for r in base)
+
+
+def test_bulk_queries_path_matches_standard(engine, spark, vectors8, queries8):
+    """params={'bulk_queries': 1} routes a Flat exact search through the
+    executor-side block-nested-loop join (no driver query streaming) —
+    results must be identical to the broadcast-kernel path, tie-break
+    included."""
+    engine.create("bulkflat", 8, "IDMap,Flat", metric_type="INNER_PRODUCT")
+    engine.add("bulkflat", _vec_df(spark, vectors8, np.arange(1000)))
+    q = _query_df(spark, queries8)
+    base = engine.search_flat("bulkflat", 5, q).collect()
+    bulk = engine.search_flat("bulkflat", 5, q, params={"bulk_queries": 1}).collect()
+    key = lambda rows: sorted((r["qid"], r["rank"], r["label"]) for r in rows)
+    assert key(base) == key(bulk)
+    for b, u in zip(
+        sorted(base, key=lambda r: (r["qid"], r["rank"])),
+        sorted(bulk, key=lambda r: (r["qid"], r["rank"])),
+    ):
+        assert abs(b["distance"] - u["distance"]) < 1e-5
