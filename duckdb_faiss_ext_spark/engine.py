@@ -668,29 +668,47 @@ class FaissSparkEngine:
             if nprobe < idx.spec.nlist:
                 cluster_col = "cluster_id"
                 probe_fn = self._probe_mask_fn(idx, nprobe)
-        if params.get("bulk_queries") and probe_fn is None:
+        if params.get("bulk_queries"):
             # bulk-query path: a corpus-scale QUERY side would serialize
-            # through the driver's block iterator — route the exact search
-            # through the executor-side block-nested-loop join instead
-            # (operators/simjoin.py; same pairwise/top-k kernels and
-            # (score, label) tie-break, so results are identical).  Opt-in:
-            # the BNL adds a pack+cross stage that costs more than one
-            # broadcast for ordinary query batches.
-            from duckdb_faiss_ext_spark.operators.simjoin import similarity_join
+            # through the driver's block iterator — route the search through
+            # the executor-side block joins instead (operators/simjoin.py;
+            # same pairwise/top-k kernels and (score, label) tie-break, so
+            # results are identical).  Flat: block-nested-loop over the
+            # whole corpus.  IVF: queries explode to one row per probed
+            # cluster (narrow pandas_udf) and blocks EQUI-join on the
+            # cluster id — the probe pruning survives, nothing is cartesian.
+            # Opt-in: the pack/join stages cost more than one broadcast for
+            # ordinary query batches.
+            from duckdb_faiss_ext_spark.operators.simjoin import (
+                similarity_join,
+                similarity_join_grouped,
+            )
 
-            return similarity_join(
-                queries_df.select(
-                    F.col(qid_col).alias("qid"), F.col(vec_col).alias("vector")
-                ),
-                corpus.select("label", "vector"),
+            q = queries_df.select(
+                F.col(qid_col).alias("qid"), F.col(vec_col).alias("vector")
+            )
+            if probe_fn is None:
+                return similarity_join(
+                    q,
+                    corpus.select("label", "vector"),
+                    k,
+                    metric=idx.metric,
+                    left_id="qid",
+                    right_id="label",
+                    metric_arg=idx.metric_arg,
+                ).select("qid", "rank", F.col("label"), F.col("distance"))
+            probes_udf = self._probe_clusters_udf(idx, int(params.get("nprobe", 1)))
+            q = q.withColumn("cluster_id", F.explode(probes_udf(F.col("vector"))))
+            return similarity_join_grouped(
+                q,
+                corpus.select("label", "vector", "cluster_id"),
                 k,
                 metric=idx.metric,
                 left_id="qid",
                 right_id="label",
+                group_col="cluster_id",
                 metric_arg=idx.metric_arg,
-            ).select(
-                "qid", "rank", F.col("label"), F.col("distance")
-            )
+            ).select("qid", "rank", F.col("label"), F.col("distance"))
         return topk_ops.exact_knn_flat(
             corpus,
             queries_df,
@@ -856,6 +874,28 @@ class FaissSparkEngine:
         for p in partials[1:]:
             out = out.unionByName(p)
         return out
+
+    def _probe_clusters_udf(self, idx: FaissIndex, nprobe: int):
+        """pandas_udf: vector -> array<int> of the query's nprobe nearest
+        coarse cells — the executor-side twin of ``_probe_ids_fn`` for the
+        bulk-query path (probe assignment must not run on the driver when
+        the query side is corpus-scale)."""
+        cents = idx.centroids
+        metric = idx.metric
+        marg = idx.metric_arg
+        bc = self.spark.sparkContext.broadcast(cents)
+        from duckdb_faiss_ext_spark.metrics import is_descending
+
+        desc = is_descending(metric)
+        np_ = min(nprobe, len(cents))
+
+        def fn(v: pd.Series) -> pd.Series:
+            x = np.asarray(list(v), dtype=np.float32)
+            scores = pairwise(x, bc.value, metric, marg)
+            ids, _ = topk_indices(scores, np_, desc)
+            return pd.Series([row.astype(np.int32).tolist() for row in ids])
+
+        return F.pandas_udf(fn, "array<int>")
 
     def _probe_ids_fn(self, idx: FaissIndex, nprobe: int):
         """(qids, q) -> (nq, nprobe) int64 ids of each query's probed clusters."""

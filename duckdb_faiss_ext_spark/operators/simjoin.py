@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 
 from duckdb_faiss_ext_spark.metrics import is_descending, pairwise, topk_indices
 
-__all__ = ["similarity_join", "similarity_join_lsh"]
+__all__ = ["similarity_join", "similarity_join_grouped", "similarity_join_lsh"]
 
 # rows per packed block: bounds executor memory (a block is bl*d floats) and
 # sets the BNL replication factor |R|*|L|/bl — bigger blocks shuffle less but
@@ -46,43 +46,55 @@ SCORE_CHUNK = 2048
 
 
 def _pack_blocks(
-    df: DataFrame, id_col: str, vec_col: str, block_rows: int, dtype
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_rows: int,
+    dtype,
+    group_col: Optional[str] = None,
 ) -> DataFrame:
-    """(blk BIGINT, n INT, ids ARRAY<BIGINT>, vecs ARRAY<FLOAT/DOUBLE>) —
-    ≤ ``block_rows`` vectors per row, vecs flattened row-major.  Narrow map.
+    """(blk BIGINT, [grp BIGINT,] n INT, ids ARRAY<BIGINT>, vecs
+    ARRAY<FLOAT/DOUBLE>) — ≤ ``block_rows`` vectors per row, vecs flattened
+    row-major.  Narrow map.
 
     ``blk`` = min(ids) of the block: content-derived, so it is STABLE across
     re-executions (a cartesian join re-runs each side once per opposite
     partition, and TaskContext.partitionId() there is the cartesian task's
     id — a blk derived from it changed between recomputations and every
     (left, right) block pair masqueraded as its own left block).  Blocks
-    partition the side's distinct ids, so min(ids) is unique per block."""
+    partition the side's distinct ids, so min(ids) is unique per block —
+    with ``group_col``, unique per (grp, blk): blocks never span groups
+    and partition each group's id set (the grouped/IVF join keys block
+    state by both)."""
     import pyarrow as pa
 
     f64 = dtype is np.float64
     pa_t = pa.float64() if f64 else pa.float32()
     np_t = np.float64 if f64 else np.float32
+    grouped = group_col is not None
 
     def pack(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
-        ids_buf: list = []
-        vec_buf: list = []
-        held = 0
+        # group value -> [ids_buf, vec_buf, held]; ungrouped uses key 0
+        bufs: dict = {}
 
-        def flush():
-            nonlocal ids_buf, vec_buf, held
-            ids = np.concatenate(ids_buf)
-            vecs = np.concatenate(vec_buf)
-            out = pa.RecordBatch.from_arrays(
-                [
-                    pa.array([int(ids.min())], pa.int64()),
-                    pa.array([len(ids)], pa.int32()),
-                    pa.array([ids], pa.list_(pa.int64())),
-                    pa.array([vecs], pa.list_(pa_t)),
-                ],
-                names=["blk", "n", "ids", "vecs"],
-            )
-            ids_buf, vec_buf, held = [], [], 0
-            return out
+        def flush(g):
+            st = bufs[g]
+            ids = np.concatenate(st[0])
+            vecs = np.concatenate(st[1])
+            cols = [pa.array([int(ids.min())], pa.int64())]
+            names = ["blk"]
+            if grouped:
+                cols.append(pa.array([int(g)], pa.int64()))
+                names.append("grp")
+            cols += [
+                pa.array([len(ids)], pa.int32()),
+                pa.array([ids], pa.list_(pa.int64())),
+                pa.array([vecs], pa.list_(pa_t)),
+            ]
+            names += ["n", "ids", "vecs"]
+            # reset IN PLACE — callers hold a reference to this list
+            st[0], st[1], st[2] = [], [], 0
+            return pa.RecordBatch.from_arrays(cols, names=names)
 
         for rb in batches:
             n = rb.num_rows
@@ -90,27 +102,38 @@ def _pack_blocks(
                 continue
             ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             flat = rb.column(1).flatten().to_numpy(zero_copy_only=False).astype(np_t)
-            lo = 0
             dim = len(flat) // n
-            while lo < n:
-                take = min(n - lo, block_rows - held)
-                ids_buf.append(ids[lo : lo + take])
-                vec_buf.append(flat[lo * dim : (lo + take) * dim])
-                held += take
-                lo += take
-                if held >= block_rows:
-                    yield flush()
-        if held:
-            yield flush()
+            x = flat.reshape(n, dim)
+            if grouped:
+                grp = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                grp = np.zeros(n, dtype=np.int64)
+            for g in np.unique(grp):
+                sel = np.where(grp == g)[0]
+                st = bufs.setdefault(int(g), [[], [], 0])
+                lo = 0
+                while lo < len(sel):
+                    take = min(len(sel) - lo, block_rows - st[2])
+                    st[0].append(ids[sel[lo : lo + take]])
+                    st[1].append(x[sel[lo : lo + take]].reshape(-1))
+                    st[2] += take
+                    lo += take
+                    if st[2] >= block_rows:
+                        yield flush(int(g))
+        for g, st in list(bufs.items()):
+            if st[2]:
+                yield flush(g)
 
     vec_t = "array<double>" if f64 else "array<float>"
-    narrow = df.select(
+    cols = [
         F.col(id_col).cast("bigint").alias("id"),
         F.col(vec_col).cast(vec_t).alias("vector"),
-    )
-    return narrow.mapInArrow(
-        pack, schema=f"blk bigint, n int, ids array<bigint>, vecs {vec_t}"
-    )
+    ]
+    schema = f"blk bigint, n int, ids array<bigint>, vecs {vec_t}"
+    if grouped:
+        cols.append(F.col(group_col).cast("bigint").alias("grp"))
+        schema = f"blk bigint, grp bigint, n int, ids array<bigint>, vecs {vec_t}"
+    return df.select(*cols).mapInArrow(pack, schema=schema)
 
 
 def similarity_join(
@@ -144,22 +167,44 @@ def similarity_join(
     rb_df = _pack_blocks(right, right_id, right_vec, block_rows, dtype).coalesce(8)
     pairs = lb.crossJoin(
         rb_df.select(
-            F.col("blk").alias("rblk"),
             F.col("n").alias("rn"),
             F.col("ids").alias("rids"),
             F.col("vecs").alias("rvecs"),
         )
-    )
+    ).select("blk", "n", "ids", "vecs", "rn", "rids", "rvecs")
     n_out = max(
         int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
     )
 
     np_t = np.float64 if f64 else np.float32
     pa_t = pa.float64() if f64 else pa.float32()
+    score = _stream_topk_kernel(k, metric, marg, desc, np_t, pa_t, has_grp=False)
+
+    dist_t = "double" if f64 else "float"
+    out = pairs.repartition(n_out, "blk").mapInArrow(
+        score,
+        schema=f"left_id bigint, rank int, right_id bigint, distance {dist_t}",
+    )
+    rname = right_id if right_id != left_id else f"{right_id}_right"
+    return out.select(
+        F.col("left_id").alias(left_id),
+        "rank",
+        F.col("right_id").alias(rname),
+        "distance",
+    )
+
+
+def _stream_topk_kernel(k, metric, marg, desc, np_t, pa_t, has_grp: bool):
+    """mapInArrow generator over block-pair rows: streams right blocks into
+    a running per-left-row top-k keyed by (blk[, grp]) — O(ln * k) state per
+    left block, right blocks never accumulate.
+
+    Expected column layout: blk, [grp,] n, ids, vecs, rn, rids, rvecs."""
+    import pyarrow as pa
+
+    o = 1 if has_grp else 0
 
     def score(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
-        # blk -> [lids, lx, run_ids (ln, <=k), run_sc] — right blocks merge
-        # into the running top-k as they stream; nothing else accumulates
         state: dict = {}
 
         def merge(st, new_ids, new_sc):
@@ -177,30 +222,32 @@ def similarity_join(
 
         for rb in batches:
             for r in range(rb.num_rows):
-                blk = rb.column(0)[r].as_py()
-                st = state.get(blk)
+                skey = rb.column(0)[r].as_py()
+                if has_grp:
+                    skey = (skey, rb.column(1)[r].as_py())
+                st = state.get(skey)
                 if st is None:
-                    ln = int(rb.column(1)[r].as_py())
+                    ln = int(rb.column(1 + o)[r].as_py())
                     lids = (
-                        rb.column(2)[r]
+                        rb.column(2 + o)[r]
                         .values.to_numpy(zero_copy_only=False)
                         .astype(np.int64)
                     )
-                    lflat = rb.column(3)[r].values.to_numpy(zero_copy_only=False)
+                    lflat = rb.column(3 + o)[r].values.to_numpy(zero_copy_only=False)
                     dim = len(lflat) // max(ln, 1)
                     lx = np.ascontiguousarray(lflat.reshape(ln, dim), dtype=np_t)
-                    st = state[blk] = [lids, lx, None, None]
+                    st = state[skey] = [lids, lx, None, None]
                 lids, lx = st[0], st[1]
                 ln = len(lids)
                 dim = lx.shape[1]
-                rn = int(rb.column(5)[r].as_py())
+                rn = int(rb.column(4 + o)[r].as_py())
                 rids = (
-                    rb.column(6)[r]
+                    rb.column(5 + o)[r]
                     .values.to_numpy(zero_copy_only=False)
                     .astype(np.int64)
                 )
                 rx = np.ascontiguousarray(
-                    rb.column(7)[r]
+                    rb.column(6 + o)[r]
                     .values.to_numpy(zero_copy_only=False)
                     .reshape(rn, dim),
                     dtype=np_t,
@@ -229,17 +276,75 @@ def similarity_join(
                 names=["left_id", "rank", "right_id", "distance"],
             )
 
+    return score
+
+
+def similarity_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    metric: str = "INNER_PRODUCT",
+    left_id: str = "id",
+    left_vec: str = "vector",
+    right_id: str = "id",
+    right_vec: str = "vector",
+    group_col: str = "cluster_id",
+    dtype=None,
+    block_rows: int = BLOCK_ROWS,
+    metric_arg: float = 0.0,
+) -> DataFrame:
+    """Top-k join restricted to rows sharing ``group_col`` — the bulk-IVF
+    search shape: the left side carries one row per (query, probed cluster),
+    the right side is the cluster-assigned corpus, and blocks join on the
+    cluster id (hash equi-join of small block tables, NO cartesian).  A
+    query probing p clusters appears in p left blocks, so the kernel's
+    per-(blk, grp) top-k is per-(query, cluster); one window merge per
+    left id produces the global top-k — the same bounded nq*k shuffle as
+    the exact kernel."""
+    import pyarrow as pa
+
+    dtype = dtype if dtype is not None else np.float32
+    f64 = dtype is np.float64
+    desc = is_descending(metric)
+
+    lb = _pack_blocks(left, left_id, left_vec, block_rows, dtype, group_col)
+    rb_df = _pack_blocks(right, right_id, right_vec, block_rows, dtype, group_col)
+    pairs = lb.join(
+        rb_df.select(
+            "grp",
+            F.col("n").alias("rn"),
+            F.col("ids").alias("rids"),
+            F.col("vecs").alias("rvecs"),
+        ),
+        "grp",
+    ).select("blk", "grp", "n", "ids", "vecs", "rn", "rids", "rvecs")
+    n_out = max(
+        int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    np_t = np.float64 if f64 else np.float32
+    pa_t = pa.float64() if f64 else pa.float32()
+    score = _stream_topk_kernel(k, metric, metric_arg, desc, np_t, pa_t, has_grp=True)
     dist_t = "double" if f64 else "float"
-    out = pairs.repartition(n_out, "blk").mapInArrow(
+    partial = pairs.repartition(n_out, "blk", "grp").mapInArrow(
         score,
         schema=f"left_id bigint, rank int, right_id bigint, distance {dist_t}",
     )
+    order = (
+        [F.col("distance").desc(), F.col("right_id").asc()]
+        if desc
+        else [F.col("distance").asc(), F.col("right_id").asc()]
+    )
+    w = Window.partitionBy("left_id").orderBy(*order)
     rname = right_id if right_id != left_id else f"{right_id}_right"
-    return out.select(
-        F.col("left_id").alias(left_id),
-        "rank",
-        F.col("right_id").alias(rname),
-        "distance",
+    return (
+        partial.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+        .filter(F.col("rank") < k)
+        .select(
+            F.col("left_id").alias(left_id),
+            "rank",
+            F.col("right_id").alias(rname),
+            "distance",
+        )
     )
 
 

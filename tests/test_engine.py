@@ -376,3 +376,17 @@ def test_bulk_queries_path_matches_standard(engine, spark, vectors8, queries8):
         sorted(bulk, key=lambda r: (r["qid"], r["rank"])),
     ):
         assert abs(b["distance"] - u["distance"]) < 1e-5
+
+
+def test_bulk_queries_ivf_matches_standard(engine, spark, vectors8, queries8):
+    """Bulk IVF search (probe-cluster equi-join of vector blocks) must match
+    the standard driver-block IVF path at the same nprobe."""
+    engine.create("bulkivf", 8, "IDMap,IVF4,Flat", metric_type="L2")
+    engine.add("bulkivf", _vec_df(spark, vectors8, np.arange(1000)))
+    q = _query_df(spark, queries8)
+    base = engine.search_flat("bulkivf", 5, q, params={"nprobe": 2}).collect()
+    bulk = engine.search_flat(
+        "bulkivf", 5, q, params={"nprobe": 2, "bulk_queries": 1}
+    ).collect()
+    key = lambda rows: sorted((r["qid"], r["rank"], r["label"]) for r in rows)
+    assert key(base) == key(bulk)
