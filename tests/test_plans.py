@@ -106,3 +106,23 @@ def test_scan_summary_structure(spark, sf_dir):
     assert len(scans) == 1
     assert "lineitem" in scans[0]["location"]
     assert "l_quantity" in (scans[0]["pushed_filters"] or "")
+
+
+def test_grouped_simjoin_is_equi_join_not_cartesian(spark, sf_dir):
+    """similarity_join_grouped (the bulk-IVF shape) must join blocks on the
+    group key — a cartesian/BNL of the block tables would defeat cluster
+    pruning at scale."""
+    from duckdb_faiss_ext_spark.operators.simjoin import similarity_join_grouped
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.limit(20).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"),
+        (F.col("vec_id") % 4).alias("cluster_id"),
+    )
+    right = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"),
+        (F.col("vec_id") % 4).alias("cluster_id"),
+    )
+    plan = _plan(similarity_join_grouped(left, right, 3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
