@@ -696,6 +696,7 @@ class FaissSparkEngine:
                     left_id="qid",
                     right_id="label",
                     metric_arg=idx.metric_arg,
+                    bulk=True,  # bulk_queries = caller says it's big
                 ).select("qid", "rank", F.col("label"), F.col("distance"))
             probes_udf = self._probe_clusters_udf(idx, int(params.get("nprobe", 1)))
             q = q.withColumn("cluster_id", F.explode(probes_udf(F.col("vector"))))

@@ -148,18 +148,54 @@ def similarity_join(
     dtype=None,
     block_rows: int = BLOCK_ROWS,
     metric_arg: float = 0.0,
+    bulk: bool = False,
 ) -> DataFrame:
     """(left_id, rank, right_id, distance) — k nearest right rows per left
     row, exact, with the kernel tie-break (score, then label ascending).
 
     ``dtype`` numpy float type for the distance kernel (default float32,
-    FAISS parity; float64 for the double-precision oracle-checked path)."""
+    FAISS parity; float64 for the double-precision oracle-checked path).
+
+    Two physical plans:
+    - default (``bulk=False``): the query-broadcast kernel — the left side
+      streams through BOUNDED driver blocks (same contract as the engine's
+      query path; driver memory capped at MAX_QUERY_BLOCK rows).  Lowest
+      latency for query-batch-sized lefts; the driver is a serialization
+      point for corpus-scale lefts.
+    - ``bulk=True``: the block-nested-loop — ENTIRELY executor-side (pack,
+      crossJoin, streaming per-left-row top-k).  The corpus x corpus
+      shape; ~1 s of fixed stage overhead that dominates tiny joins."""
     import pyarrow as pa
 
     dtype = dtype if dtype is not None else np.float32
     f64 = dtype is np.float64
     desc = is_descending(metric)
     marg = metric_arg
+
+    if not bulk:
+        from duckdb_faiss_ext_spark.operators.topk import exact_knn_flat
+
+        flat = exact_knn_flat(
+            right.select(
+                F.col(right_id).cast("bigint").alias("label"),
+                F.col(right_vec).alias("vector"),
+            ),
+            left.select(
+                F.col(left_id).cast("bigint").alias("qid"),
+                F.col(left_vec).alias("vector"),
+            ),
+            k,
+            metric=metric,
+            metric_arg=marg,
+            dtype=dtype,
+        )
+        rname = right_id if right_id != left_id else f"{right_id}_right"
+        return flat.select(
+            F.col("qid").alias(left_id),
+            "rank",
+            F.col("label").alias(rname),
+            "distance",
+        )
 
     # coalesce the (few, fat) block rows so the cartesian stage is
     # |lparts| x |rparts| tasks, not a 1024-task grid

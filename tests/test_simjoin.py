@@ -34,7 +34,8 @@ def test_block_partitioning_invariant_and_golden(spark):
         return sorted(
             (r["id"], r["rank"], r["id_right"])
             for r in similarity_join(
-                ldf, rdf, 3, metric="INNER_PRODUCT", block_rows=bl
+                ldf, rdf, 3, metric="INNER_PRODUCT", block_rows=bl,
+                bulk=True,  # force the BNL path under test
             ).collect()
         )
 
@@ -53,7 +54,7 @@ def test_no_driver_collection_in_plan(spark):
     _, _, ldf, rdf = _frames(spark, nl=20, nr=20)
     tracker = spark.sparkContext.statusTracker()
     before = tracker.getJobIdsForGroup(None)
-    out = similarity_join(ldf, rdf, 2)  # no action yet
+    out = similarity_join(ldf, rdf, 2, bulk=True)  # no action yet
     after = tracker.getJobIdsForGroup(None)
     assert len(after) == len(before), "plan construction ran driver-side jobs"
     assert out.count() == 40

@@ -48,7 +48,7 @@ def main():
     right.count()
 
     t0 = time.perf_counter()
-    out = similarity_join(left, right, 10, metric="INNER_PRODUCT")
+    out = similarity_join(left, right, 10, metric="INNER_PRODUCT", bulk=True)
     n_out = out.count()
     t_exact = time.perf_counter() - t0
     print(json.dumps({
