@@ -167,7 +167,9 @@ class FaissSparkEngine:
     # literal would bloat the plan/codegen)
     MAX_LITERAL_OFFSET_PARTS = 4096
 
-    def _with_auto_ids(self, df: DataFrame, offset: int) -> tuple[DataFrame, int]:
+    def _with_auto_ids(
+        self, df: DataFrame, offset: int, validate_dim: Optional[int] = None
+    ) -> tuple[DataFrame, int]:
         """Sequential 0..n-1 ids in add order (FAISS auto-id parity,
         SURVEY.md §7 known-hard #3) — entirely JVM-side, zero extra
         materializations.
@@ -186,15 +188,30 @@ class FaissSparkEngine:
         sources (parquet scans, cached frames, received micro-batches).
 
         Returns (labeled_df, batch_row_count) — the count falls out of the
-        offsets job for free, so the caller can skip its own count pass."""
+        offsets job for free, so the caller can skip its own count pass.
+        ``validate_dim``, if given, folds the dimension check into the SAME
+        scan (a bad-dim aggregate per partition) — the separate validate
+        pass was the residual 0.8x of the unlabeled ingest path."""
         mid = F.monotonically_increasing_id()
-        counts = {
-            r["_pid"]: r["cnt"]
-            for r in df.select(F.shiftright(mid, 33).alias("_pid"))
+        agg = (
+            df.select(
+                F.shiftright(mid, 33).alias("_pid"),
+                F.size("vector").alias("_n"),
+            )
             .groupBy("_pid")
-            .agg(F.count("*").alias("cnt"))
+            .agg(
+                F.count("*").alias("cnt"),
+                F.max(
+                    F.when(F.col("_n") != F.lit(validate_dim or -1), F.col("_n"))
+                ).alias("bad"),
+            )
             .collect()
-        }
+        )
+        if validate_dim is not None:
+            for r in agg:
+                if r["bad"] is not None:
+                    raise DimensionMismatch(validate_dim, r["bad"])
+        counts = {r["_pid"]: r["cnt"] for r in agg}
         base, pairs = offset, []
         for pid in sorted(counts):
             pairs.append((int(pid), int(base)))
@@ -266,10 +283,13 @@ class FaissSparkEngine:
             # wrong #3)
             cache_parent = vecs = vecs.persist()
         try:
-            if validate:
+            if validate and labeled:
                 self._validate_dim(idx, vecs)
             if not labeled:
-                vecs, pre_count = self._with_auto_ids(vecs, idx.count)
+                # dim validation folds into the offsets scan (one pass)
+                vecs, pre_count = self._with_auto_ids(
+                    vecs, idx.count, validate_dim=idx.dim if validate else None
+                )
             rebuild = False
             transformed = False
             if idx.needs_training:
