@@ -398,24 +398,22 @@ def neardup_components(
             .groupBy("src")
             .agg(F.min("dst_comp").alias("nbr_comp"))
         )
-        new_labels = (
+        # carry the old comp through the projection so the convergence check
+        # is a filter on the (checkpointed, tiny) label frame — the previous
+        # version re-joined new vs old labels, one extra join per round
+        joined = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 F.col("id"),
+                F.col("comp").alias("_old"),
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = joined.filter(F.col("comp") != F.col("_old")).limit(1).count()
+        labels = joined.select("id", "comp")
         if stats is not None:
             stats["rounds"] += 1
         if changed == 0:
@@ -494,7 +492,7 @@ def cosine_lsh_pairs(
     assert n_planes % n_bands == 0
     width = n_planes // n_bands
     sig = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), signs_udf(F.col(vec_col)).alias("sig")
+        F.col(id_col).alias("_id"), signs_udf(F.col(vec_col)).alias("sig")
     )
     bands = F.array(
         *[
@@ -507,28 +505,32 @@ def cosine_lsh_pairs(
             for c in range(n_bands)
         ]
     )
-    e = sig.select("_id", "_v", F.explode(bands).alias("b")).select(
-        "_id", "_v", "b.band", "b.bkey"
+    # candidate discovery moves ONLY ids through the band self-join and the
+    # distinct — vectors join back ON THE DEDUPED PAIRS for the verify.
+    # The first version carried the vector column through the x n_bands
+    # explode, the self-join AND a distinct over the float arrays: at sf0.1
+    # that distinct alone was ~60% of the whole dedup pipeline's runtime.
+    e = sig.select("_id", F.explode(bands).alias("b")).select(
+        "_id", "b.band", "b.bkey"
     )
     e = _cap_buckets(e, ["band", "bkey"], max_bucket)
     a, b = e.alias("a"), e.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._v").alias("va"),
-            F.col("b._v").alias("vb"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        cand.withColumn("cos_full", cosine_similarity(F.col("va"), F.col("vb")))
+        cand_ids.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_full", cosine_similarity(F.col("va"), F.col("vb")))
         .filter(F.col("cos_full") > threshold)
         .select("id_a", "id_b", "cos_full")
     )
