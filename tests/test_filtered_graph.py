@@ -100,3 +100,40 @@ def test_filtered_hnsw_large_set_falls_back_exact(spark, fidx, monkeypatch):
     got = {r["label"] for r in res}
     truth = _exact_filtered(x, x[42], np.arange(N) % 2 == 0, K)
     assert got == truth  # exact path: recall 1.0
+
+
+def test_filtered_ivf_hnsw_composite_with_graphs(spark, monkeypatch):
+    """Filter + nprobe routing + per-cluster graphs compose: the allowed
+    marker rides the cluster-pruned corpus into the beam kernel, results
+    obey the filter, and recall vs the exact filtered-and-probed baseline
+    holds."""
+    eng = FaissSparkEngine(spark)
+    x = gen_vectors(2000, 16, 3)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(2000)],
+        "label bigint, vector array<float>",
+    )
+    eng.create(
+        "fivfh", 16, "IDMap,IVF4_HNSW8", metric_type="L2",
+        params={"min_graph_rows": 0},
+    )
+    eng.add("fivfh", df)
+    calls = _spy_nsw_topk(monkeypatch)
+    allowed_df = spark.range(2000).filter(F.col("id") % 2 == 0).select("id")
+    q = spark.createDataFrame(
+        [(7, [float(v) for v in x[7]])], "qid bigint, vector array<float>"
+    )
+    res = eng.search_flat(
+        "fivfh", 5, q, params={"nprobe": 4, "efSearch": 64},
+        allowed_df=allowed_df,
+    ).collect()
+    assert calls and all(c["allowed_col"] == "_allowed" for c in calls)
+    assert len(res) == 5
+    for r in res:
+        assert r["label"] % 2 == 0, r
+    # nprobe=4 == nlist: no cluster pruned, so the exact filtered top-k is
+    # the ground truth
+    truth = _exact_filtered(x, x[7], np.arange(2000) % 2 == 0, 5)
+    got = {r["label"] for r in res}
+    assert len(got & truth) / len(truth) >= 0.8, (got, truth)
+    eng.destroy("fivfh")
