@@ -197,10 +197,15 @@ def similarity_join(
             "distance",
         )
 
-    # coalesce the (few, fat) block rows so the cartesian stage is
-    # |lparts| x |rparts| tasks, not a 1024-task grid
-    lb = _pack_blocks(left, left_id, left_vec, block_rows, dtype).coalesce(8)
-    rb_df = _pack_blocks(right, right_id, right_vec, block_rows, dtype).coalesce(8)
+    # REPARTITION (not coalesce) the packed block rows into a small grid:
+    # the cartesian stage becomes |lparts| x |rparts| tasks instead of a
+    # partitions² grid.  A narrow coalesce here would fuse INTO the pack
+    # stage and run the packing itself 8-wide — a bottleneck once the
+    # inputs are big; the repartition keeps pack at input parallelism and
+    # its one shuffle of compacted blocks is negligible next to the BNL's
+    # own |L|·|R|/bl pair replication.
+    lb = _pack_blocks(left, left_id, left_vec, block_rows, dtype).repartition(8)
+    rb_df = _pack_blocks(right, right_id, right_vec, block_rows, dtype).repartition(8)
     pairs = lb.crossJoin(
         rb_df.select(
             F.col("n").alias("rn"),
