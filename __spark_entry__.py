@@ -720,6 +720,28 @@ def dedup_jaccard_pairs(spark, sf):
     )
 
 
+def dedup_components(spark, sf):
+    """Connected components over the jaccard near-dup pair graph: (id, comp)
+    with comp = MIN id reachable through any chain — the survivor-selection
+    group structure (stage 5 of examples/dedup_pipeline.py).  Oracled via a
+    DuckDB recursive CTE computing min-reachable-label over the same edges,
+    so the iterative min-label propagation is hash-checked cross-engine
+    (previously pytest-only — the one dedup stage without an oracle)."""
+    from duckdb_faiss_ext_spark.operators.dedup import (
+        neardup_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.05
+    )
+    comp = neardup_components(pairs.select("id_a", "id_b"))
+    return comp.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("comp").cast("bigint").alias("comp"),
+    )
+
+
 def dedup_cosine(spark, sf):
     """Embedding-cosine near-dup pairs (> 0.4), double precision."""
     from duckdb_faiss_ext_spark.operators.dedup import cosine_neardup_pairs
@@ -864,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": dedup_minhash_sig,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_components": dedup_components,
         "dedup_cosine": dedup_cosine,
         # vector / pipeline (oracled)
         "knn_ip": knn_ip,
@@ -1163,6 +1186,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa._id = id_a "
             "JOIN sizes sb ON sb._id = id_b "
             "WHERE inter / (sa.sz + sb.sz - inter) >= 0.05"
+        ),
+        "dedup_components": (
+            "WITH RECURSIVE w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents), "
+            "g AS (SELECT doc_id AS _id, unnest(list_distinct(list_transform("
+            "generate_series(1, greatest(len(ws) - 2, 1)), "
+            "i -> array_to_string(ws[i:i+2], ' ')))) AS gram FROM w), "
+            "sizes AS (SELECT _id, COUNT(*) AS sz FROM g GROUP BY _id), "
+            "inter AS (SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS inter "
+            "FROM g a JOIN g b ON a.gram = b.gram AND a._id < b._id "
+            "GROUP BY a._id, b._id), "
+            "jac AS (SELECT id_a, id_b FROM inter "
+            "JOIN sizes sa ON sa._id = id_a JOIN sizes sb ON sb._id = id_b "
+            "WHERE inter / (sa.sz + sb.sz - inter) >= 0.05), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM jac "
+            "UNION SELECT id_b, id_a FROM jac), "
+            "nodes AS (SELECT DISTINCT a AS id FROM edges), "
+            "reach AS (SELECT id, id AS comp FROM nodes "
+            "UNION SELECT e.b AS id, r.comp FROM reach r "
+            "JOIN edges e ON e.a = r.id) "
+            "SELECT id, MIN(comp) AS comp FROM reach GROUP BY id"
         ),
         "dedup_cosine": (
             "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
