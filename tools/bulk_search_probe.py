@@ -1,0 +1,66 @@
+"""Scale probe: engine search with a CORPUS-SCALE query side.
+
+The standard search path streams the query side through bounded driver
+blocks — correct at any size, but serialized through one driver.  The
+bulk path (params={'bulk_queries': 1}) stays executor-side: Flat via the
+block-nested-loop join, IVF via the probe-cluster block equi-join.
+
+Measures both paths at n_queries x n_corpus and prints JSON lines.
+Usage: python tools/bulk_search_probe.py [n_queries] [n_corpus] [nlist]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+
+def synth(spark, n, dim, seed):
+    cols = [F.rand(seed=seed + j) for j in range(dim)]
+    return spark.range(n).select(
+        "id", F.array(*[c.cast("float") for c in cols]).alias("vector")
+    )
+
+
+def main():
+    nq = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    nc = int(sys.argv[2]) if len(sys.argv) > 2 else 262_144
+    nlist = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    dim = 64
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+    from duckdb_faiss_ext_spark.session import get_spark
+
+    spark = get_spark("bulk-search-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = FaissSparkEngine(spark)
+
+    corpus = synth(spark, nc, dim, 7).persist()
+    corpus.count()
+    queries = synth(spark, nq, dim, 11).select(
+        F.col("id").alias("qid"), "vector"
+    ).persist()
+    queries.count()
+
+    eng.create("bp_ivf", dim, "IDMap,IVF%d,Flat" % nlist, metric_type="INNER_PRODUCT")
+    eng.add("bp_ivf", corpus.select("id", "vector"), validate=False)
+
+    for label, params in [
+        ("driver_blocks", {"nprobe": 4}),
+        ("bulk_equi_join", {"nprobe": 4, "bulk_queries": 1}),
+    ]:
+        t0 = time.perf_counter()
+        n_out = eng.search_flat("bp_ivf", 10, queries, params=params).count()
+        print(json.dumps({
+            "probe": f"bulk_search_{label}", "n_queries": nq, "n_corpus": nc,
+            "nlist": nlist, "nprobe": 4, "k": 10, "rows_out": n_out,
+            "sec": round(time.perf_counter() - t0, 2),
+            "load_1m": round(os.getloadavg()[0], 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
