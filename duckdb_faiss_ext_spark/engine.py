@@ -769,6 +769,35 @@ class FaissSparkEngine:
         from duckdb_faiss_ext_spark.operators.pq import pq_search_arrays
 
         nprobe = int(params.get("nprobe", 1))
+        if params.get("bulk_queries"):
+            # corpus-scale query side: executor-side ADC via the cluster-
+            # keyed code-block equi-join (operators/pq.py pq_search_grouped).
+            # LUTs build IN the tasks from broadcast codebooks, so no
+            # driver-side LUT materialization exists on this path at all.
+            from duckdb_faiss_ext_spark.operators.pq import pq_search_grouped
+
+            q = queries_df.select(
+                F.col(qid_col).alias("qid"), F.col(vec_col).alias("vector")
+            )
+            has_clusters = (
+                idx.spec.kind == "ivf" and "cluster_id" in corpus.columns
+            )
+            if has_clusters:
+                probes_udf = self._probe_clusters_udf(
+                    idx, min(nprobe, idx.spec.nlist)
+                )
+                q = q.withColumn(
+                    "cluster_id", F.explode(probes_udf(F.col("vector")))
+                )
+            return pq_search_grouped(
+                corpus,
+                q,
+                idx.codebooks,
+                k,
+                metric=idx.metric,
+                centroids=idx.centroids if has_clusters else None,
+                cluster_col="cluster_id" if has_clusters else None,
+            )
         probe_ids_fn = None
         if (
             idx.spec.kind == "ivf"

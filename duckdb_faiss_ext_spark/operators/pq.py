@@ -29,7 +29,13 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["pq_train", "pq_encode", "pq_search", "pq_search_arrays"]
+__all__ = [
+    "pq_train",
+    "pq_encode",
+    "pq_search",
+    "pq_search_arrays",
+    "pq_search_grouped",
+]
 
 
 def _kmeans_np(x: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.ndarray:
@@ -332,6 +338,252 @@ def pq_search_arrays(
         else [F.col("distance").asc(), F.col("label").asc()]
     )
     w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        partial.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+        .filter(F.col("rank") < k)
+        .select("qid", "rank", "label", "distance")
+    )
+
+
+def _pack_code_blocks(
+    codes_df: DataFrame,
+    block_rows: int,
+    label_col: str = "label",
+    code_col: str = "code",
+    cluster_col: "str | None" = "cluster_id",
+) -> DataFrame:
+    """(blk BIGINT, grp BIGINT, n INT, ids ARRAY<BIGINT>, codes
+    ARRAY<SMALLINT>) — PQ code rows packed per cluster (grp), ≤ block_rows
+    per block, codes flattened row-major.  blk = min(ids) within the block
+    (content-derived, stable across re-execution — same contract as
+    simjoin._pack_blocks)."""
+    import pyarrow as pa
+
+    from typing import Iterator
+
+    grouped = cluster_col is not None
+
+    def pack(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        bufs: dict = {}
+
+        def flush(g):
+            st = bufs[g]
+            ids = np.concatenate(st[0])
+            codes = np.concatenate(st[1])
+            out = pa.RecordBatch.from_arrays(
+                [
+                    pa.array([int(ids.min())], pa.int64()),
+                    pa.array([int(g)], pa.int64()),
+                    pa.array([len(ids)], pa.int32()),
+                    pa.array([ids], pa.list_(pa.int64())),
+                    pa.array([codes], pa.list_(pa.int16())),
+                ],
+                names=["blk", "grp", "n", "ids", "codes"],
+            )
+            st[0], st[1], st[2] = [], [], 0
+            return out
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False).astype(
+                np.int16
+            )
+            m_ = len(flat) // n
+            x = flat.reshape(n, m_)
+            grp = (
+                rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+                if grouped
+                else np.zeros(n, dtype=np.int64)
+            )
+            for g in np.unique(grp):
+                sel = np.where(grp == g)[0]
+                st = bufs.setdefault(int(g), [[], [], 0])
+                lo = 0
+                while lo < len(sel):
+                    take = min(len(sel) - lo, block_rows - st[2])
+                    st[0].append(ids[sel[lo : lo + take]])
+                    st[1].append(x[sel[lo : lo + take]].reshape(-1))
+                    st[2] += take
+                    lo += take
+                    if st[2] >= block_rows:
+                        yield flush(int(g))
+        for g, st in list(bufs.items()):
+            if st[2]:
+                yield flush(g)
+
+    cols = [F.col(label_col).cast("bigint"), F.col(code_col)]
+    if grouped:
+        cols.append(F.col(cluster_col).cast("bigint"))
+    return codes_df.select(*cols).mapInArrow(
+        pack,
+        schema="blk bigint, grp bigint, n int, ids array<bigint>, codes array<smallint>",
+    )
+
+
+def pq_search_grouped(
+    codes_df: DataFrame,
+    queries_df: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    metric: str = "L2",
+    centroids: "np.ndarray | None" = None,
+    qid_col: str = "qid",
+    vec_col: str = "vector",
+    cluster_col: "str | None" = "cluster_id",
+    block_rows: int = 16384,
+) -> DataFrame:
+    """Executor-side ADC search for a CORPUS-SCALE query side — the PQ twin
+    of the engine's bulk IVF path (no driver query streaming).
+
+    ``queries_df`` carries one row per (query, probed cluster) when
+    ``cluster_col`` is set (the IVF composite; residual LUTs per cluster),
+    else plain (qid, vector) rows and one global group.  Both sides pack
+    into per-cluster blocks; blocks EQUI-join on the cluster id; the kernel
+    builds each left block's (ln, m, nk) lookup tables against its single
+    cluster IN THE TASK from the broadcast codebooks (no driver LUT
+    materialization at all — the driver path's byte-budget concern
+    disappears), streams code blocks through a running top-k, and one
+    window per qid merges across clusters."""
+    import pyarrow as pa
+
+    from typing import Iterator
+    from pyspark.sql import Window as W_
+
+    m, nk, sub = codebooks.shape
+    dim = m * sub
+    desc = metric == "INNER_PRODUCT"
+    spark = codes_df.sparkSession
+    residual = centroids is not None
+    bc = spark.sparkContext.broadcast((codebooks, centroids))
+
+    from duckdb_faiss_ext_spark.operators.simjoin import _pack_blocks
+
+    lb = _pack_blocks(
+        queries_df, qid_col, vec_col, block_rows, np.float32,
+        group_col=cluster_col,
+    )
+    if cluster_col is None:
+        lb = lb.withColumn("grp", F.lit(0))
+        lb = lb.select("blk", "grp", "n", "ids", "vecs")
+    rb = _pack_code_blocks(
+        codes_df, block_rows, cluster_col=cluster_col
+    )
+    pairs = lb.join(
+        rb.select(
+            "grp",
+            F.col("n").alias("rn"),
+            F.col("ids").alias("rids"),
+            F.col("codes").alias("rcodes"),
+        ),
+        "grp",
+    ).select("blk", "grp", "n", "ids", "vecs", "rn", "rids", "rcodes")
+    n_out = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+
+    def score(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        cb, cents = bc.value
+        cb_norms = [(cb[j] ** 2).sum(1) for j in range(m)]
+        state: dict = {}
+
+        def merge(st, new_ids, new_sc):
+            all_ids = (
+                new_ids if st[3] is None else np.concatenate([st[3], new_ids], axis=1)
+            )
+            all_sc = (
+                new_sc if st[4] is None else np.concatenate([st[4], new_sc], axis=1)
+            )
+            key = -all_sc if desc else all_sc
+            order = np.lexsort((all_ids, key), axis=1)[:, :k]
+            rows = np.arange(all_ids.shape[0])[:, None]
+            st[3], st[4] = all_ids[rows, order], all_sc[rows, order]
+
+        for rb_ in batches:
+            for r in range(rb_.num_rows):
+                skey = (rb_.column(0)[r].as_py(), rb_.column(1)[r].as_py())
+                st = state.get(skey)
+                if st is None:
+                    ln = int(rb_.column(2)[r].as_py())
+                    qids = (
+                        rb_.column(3)[r]
+                        .values.to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                    qx = np.ascontiguousarray(
+                        rb_.column(4)[r]
+                        .values.to_numpy(zero_copy_only=False)
+                        .reshape(ln, dim),
+                        dtype=np.float32,
+                    )
+                    g = int(skey[1])
+                    const = np.zeros(ln, dtype=np.float32)
+                    if residual:
+                        if desc:
+                            # IP: q.(c + r) = q.c (constant) + q.r (tables)
+                            const = qx @ cents[g].astype(np.float32)
+                            qp = qx
+                        else:
+                            qp = qx - cents[g][None, :].astype(np.float32)
+                    else:
+                        qp = qx
+                    q3 = qp.reshape(ln, m, sub)
+                    lut = np.empty((ln, m, nk), dtype=np.float32)
+                    for j in range(m):
+                        if desc:
+                            lut[:, j, :] = q3[:, j, :] @ cb[j].T
+                        else:
+                            lut[:, j, :] = (
+                                (q3[:, j, :] ** 2).sum(1)[:, None]
+                                - 2.0 * (q3[:, j, :] @ cb[j].T)
+                                + cb_norms[j][None, :]
+                            )
+                    st = state[skey] = [qids, lut, const, None, None]
+                qids, lut, const = st[0], st[1], st[2]
+                ln = len(qids)
+                rn = int(rb_.column(5)[r].as_py())
+                rids = (
+                    rb_.column(6)[r]
+                    .values.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                codes = (
+                    rb_.column(7)[r]
+                    .values.to_numpy(zero_copy_only=False)
+                    .reshape(rn, m)
+                    .astype(np.int64)
+                )
+                scores = np.zeros((ln, rn), dtype=np.float32)
+                for j in range(m):
+                    scores += lut[:, j, codes[:, j]]
+                scores += const[:, None]
+                kk = min(k, rn)
+                from duckdb_faiss_ext_spark.metrics import topk_indices
+
+                idx, sc = topk_indices(scores, kk, desc)
+                merge(st, rids[idx], sc.astype(np.float64))
+        for qids, _, _, top_ids, top_sc in state.values():
+            if top_ids is None:
+                continue
+            ln, kk = top_ids.shape
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(qids, kk), pa.int64()),
+                    pa.array(top_ids.ravel(), pa.int64()),
+                    pa.array(top_sc.ravel().astype(np.float32), pa.float32()),
+                ],
+                names=["qid", "label", "distance"],
+            )
+
+    partial = pairs.repartition(n_out, "blk", "grp").mapInArrow(
+        score, schema="qid bigint, label bigint, distance float"
+    )
+    order = (
+        [F.col("distance").desc(), F.col("label").asc()]
+        if desc
+        else [F.col("distance").asc(), F.col("label").asc()]
+    )
+    w = W_.partitionBy("qid").orderBy(*order)
     return (
         partial.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
         .filter(F.col("rank") < k)

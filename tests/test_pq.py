@@ -188,3 +188,41 @@ def test_residual_encoding_tightens_adc_error(spark):
     # nprobe=16/16: full probe — same candidate set, only the encoding differs
     res_err = mean_err("pq_res", "IDMap,IVF16,PQ8", params={"nprobe": 16})
     assert res_err < raw_err * 0.5, (res_err, raw_err)
+
+
+def test_pq_bulk_queries_matches_standard(spark):
+    """params={'bulk_queries': 1} on an IVFPQ index routes through the
+    cluster-keyed code-block equi-join (pq_search_grouped) — results must
+    match the driver-block ADC path at the same nprobe."""
+    import numpy as np
+    from conftest import gen_vectors
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+
+    eng = FaissSparkEngine(spark)
+    x = gen_vectors(1000, 8, 5)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(1000)],
+        "label bigint, vector array<float>",
+    )
+    for name, factory, metric in [
+        ("bpq_l2", "IDMap,IVF4,PQ4", "L2"),
+        ("bpq_ip", "IDMap,IVF4,PQ4", "INNER_PRODUCT"),
+    ]:
+        eng.create(name, 8, factory, metric_type=metric)
+        eng.add(name, df)
+        q = spark.createDataFrame(
+            [(int(i), [float(v) for v in x[i]]) for i in (3, 77, 512)],
+            "qid bigint, vector array<float>",
+        )
+        base = eng.search_flat(name, 5, q, params={"nprobe": 2}).collect()
+        bulk = eng.search_flat(
+            name, 5, q, params={"nprobe": 2, "bulk_queries": 1}
+        ).collect()
+        key = lambda rows: sorted((r["qid"], r["rank"], r["label"]) for r in rows)
+        assert key(base) == key(bulk), (name, key(base)[:5], key(bulk)[:5])
+        for b, u in zip(
+            sorted(base, key=lambda r: (r["qid"], r["rank"])),
+            sorted(bulk, key=lambda r: (r["qid"], r["rank"])),
+        ):
+            assert abs(b["distance"] - u["distance"]) < 1e-3, (b, u)
+        eng.destroy(name)
