@@ -742,6 +742,22 @@ def dedup_components(spark, sf):
     )
 
 
+def dedup_survivors(spark, sf):
+    """Survivor selection (stage 5 of the dedup pipeline): drop every doc
+    whose component min is another doc — chains collapse to one survivor
+    (a~b, b~c keeps only min(a,b,c)).  Oracled end-to-end: the recursive
+    CTE computes components AND applies the anti-join."""
+    from duckdb_faiss_ext_spark.operators.dedup import (
+        neardup_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+    out = neardup_survivors(d, pairs.select("id_a", "id_b"), "doc_id")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
 def dedup_cosine(spark, sf):
     """Embedding-cosine near-dup pairs (> 0.4), double precision."""
     from duckdb_faiss_ext_spark.operators.dedup import cosine_neardup_pairs
@@ -887,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_components": dedup_components,
+        "dedup_survivors": dedup_survivors,
         "dedup_cosine": dedup_cosine,
         # vector / pipeline (oracled)
         "knn_ip": knn_ip,
@@ -1207,6 +1224,29 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.b AS id, r.comp FROM reach r "
             "JOIN edges e ON e.a = r.id) "
             "SELECT id, MIN(comp) AS comp FROM reach GROUP BY id"
+        ),
+        "dedup_survivors": (
+            "WITH RECURSIVE w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents), "
+            "g AS (SELECT doc_id AS _id, unnest(list_distinct(list_transform("
+            "generate_series(1, greatest(len(ws) - 2, 1)), "
+            "i -> array_to_string(ws[i:i+2], ' ')))) AS gram FROM w), "
+            "sizes AS (SELECT _id, COUNT(*) AS sz FROM g GROUP BY _id), "
+            "inter AS (SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS inter "
+            "FROM g a JOIN g b ON a.gram = b.gram AND a._id < b._id "
+            "GROUP BY a._id, b._id), "
+            "jac AS (SELECT id_a, id_b FROM inter "
+            "JOIN sizes sa ON sa._id = id_a JOIN sizes sb ON sb._id = id_b "
+            "WHERE inter / (sa.sz + sb.sz - inter) >= 0.05), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM jac "
+            "UNION SELECT id_b, id_a FROM jac), "
+            "nodes AS (SELECT DISTINCT a AS id FROM edges), "
+            "reach AS (SELECT id, id AS comp FROM nodes "
+            "UNION SELECT e.b AS id, r.comp FROM reach r "
+            "JOIN edges e ON e.a = r.id), "
+            "comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id) "
+            "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+            "(SELECT id FROM comp WHERE id <> comp)"
         ),
         "dedup_cosine": (
             "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
