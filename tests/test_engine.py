@@ -390,3 +390,27 @@ def test_bulk_queries_ivf_matches_standard(engine, spark, vectors8, queries8):
     ).collect()
     key = lambda rows: sorted((r["qid"], r["rank"], r["label"]) for r in rows)
     assert key(base) == key(bulk)
+
+
+def test_disk_backed_ivfpq_codes_partitioned(engine, spark, vectors8, tmp_path):
+    """IVFPQ + storage_path: the parquet slices hold m-byte CODES (not
+    vectors), cluster-partitioned, and search prunes + self-hits."""
+    import os as _os
+
+    path = str(tmp_path / "disk_ivfpq")
+    engine.create(
+        "diskpq", 8, "IDMap,IVF4,PQ4", metric_type="L2",
+        params={"storage_path": path},
+    )
+    engine.add("diskpq", _vec_df(spark, vectors8[:300], np.arange(300)))
+    data_dir = _os.path.join(path, "data.parquet")
+    subdirs = [d for d in _os.listdir(data_dir) if d.startswith("cluster_id=")]
+    assert len(subdirs) >= 2
+    stored = spark.read.parquet(data_dir)
+    assert "code" in stored.columns and "vector" not in stored.columns
+    res = engine.search_flat(
+        "diskpq", 3, _query_df(spark, vectors8[:4]), params={"nprobe": 4}
+    ).collect()
+    assert len(res) == 12
+    self_hits = sum(1 for r in res if r["rank"] == 0 and r["qid"] == r["label"])
+    assert self_hits >= 3  # ADC approximation: allow one miss

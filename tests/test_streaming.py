@@ -52,3 +52,52 @@ def test_stream_add_microbatch(spark, tmp_path):
     qdf = spark.createDataFrame([(0, [3.0, 0.0, 0.0, 0.0])], "qid bigint, vector array<float>")
     res = eng.search_flat("stream_idx", 1, qdf).collect()
     assert res[0]["label"] == 3 and res[0]["distance"] == 0.0
+
+
+def test_stream_add_into_pretrained_ivfpq(spark, tmp_path):
+    """Streaming micro-batches into a PRE-TRAINED IVFPQ index: each batch
+    assigns clusters + encodes residual codes (the trained fast path —
+    no retraining per batch), and the compressed index stays searchable."""
+    import os
+
+    import numpy as np
+
+    from conftest import gen_vectors
+
+    src = str(tmp_path / "pq_stream_src")
+    os.makedirs(src, exist_ok=True)
+    eng = FaissSparkEngine(spark)
+    x = gen_vectors(600, 8, 9)
+    train = spark.createDataFrame(
+        [([float(v) for v in x[i]],) for i in range(600)], "vector array<float>"
+    )
+    eng.create("pq_stream", 8, "IDMap,IVF4,PQ4", metric_type="L2")
+    eng.manual_train("pq_stream", train)
+
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(64)]
+    spark.createDataFrame(rows, "label bigint, vector array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("label bigint, vector array<float>").parquet(src)
+    q = stream_add(eng, "pq_stream", stream,
+                   checkpointLocation=str(tmp_path / "pq_ckpt"))
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if eng.registry.get("pq_stream").count >= 64:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    idx = eng.registry.get("pq_stream")
+    assert idx.count == 64
+    assert "code" in idx.data.columns and "vector" not in idx.data.columns
+    qdf = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in (5, 40)],
+        "qid bigint, vector array<float>",
+    )
+    res = eng.search_flat("pq_stream", 3, qdf, params={"nprobe": 4}).collect()
+    assert len(res) == 6
+    self_hits = sum(1 for r in res if r["rank"] == 0 and r["qid"] == r["label"])
+    assert self_hits >= 1  # ADC approximation
