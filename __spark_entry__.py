@@ -694,13 +694,6 @@ def dedup_exact(spark, sf):
     return exact_dedup_groups(_t(spark, sf, "documents"), "doc_id", "text")
 
 
-def dedup_minhash_sig(spark, sf):
-    """Word-set MinHash signatures (4 hashes, md5-based for oracle parity)."""
-    from duckdb_faiss_ext_spark.operators.dedup import minhash_signature
-
-    return minhash_signature(_t(spark, sf, "documents"), "doc_id", "text", 4)
-
-
 def dedup_lsh_pairs(spark, sf):
     """MinHash LSH candidate pairs over 3-gram shingles (2 bands x 2 hashes) —
     the classic shingle->minhash->band->bucket-join pipeline."""
@@ -717,28 +710,6 @@ def dedup_jaccard_pairs(spark, sf):
 
     return ngram_jaccard_pairs(
         _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.05
-    )
-
-
-def dedup_components(spark, sf):
-    """Connected components over the jaccard near-dup pair graph: (id, comp)
-    with comp = MIN id reachable through any chain — the survivor-selection
-    group structure (stage 5 of examples/dedup_pipeline.py).  Oracled via a
-    DuckDB recursive CTE computing min-reachable-label over the same edges,
-    so the iterative min-label propagation is hash-checked cross-engine
-    (previously pytest-only — the one dedup stage without an oracle)."""
-    from duckdb_faiss_ext_spark.operators.dedup import (
-        neardup_components,
-        ngram_jaccard_pairs,
-    )
-
-    pairs = ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.05
-    )
-    comp = neardup_components(pairs.select("id_a", "id_b"))
-    return comp.select(
-        F.col("id").cast("bigint").alias("id"),
-        F.col("comp").cast("bigint").alias("comp"),
     )
 
 

@@ -340,6 +340,12 @@ class FaissSparkEngine:
             if (
                 idx.spec.hnsw_m > 0
                 and idx.spec.kind == "ivf"
+                # PQ composites never build graphs (codes replace vectors;
+                # the encode branch takes precedence over the graph branch),
+                # so there is no `neighbors` column to inspect — without
+                # this guard the check crashed the first add on any
+                # IVFn_HNSWm,PQk factory (r4 review finding)
+                and idx.codebooks is None
                 and not getattr(idx, "_edgeless_checked", False)
             ):
                 # user asked for the IVF_HNSW composite: surface it loudly if
@@ -649,6 +655,16 @@ class FaissSparkEngine:
             # faiss_extension.cpp:729-820, delegated to Catalyst for real).
             acol = allowed_df.columns[0]
             allowed = allowed_df.select(F.col(acol).cast("bigint").alias("label"))
+            if has_graph:
+                # the broadcast-marker LEFT join below emits one corpus row
+                # per matching marker row — duplicate ids in the allowed set
+                # would duplicate corpus rows and corrupt the graph search
+                # (the semi-join paths are dedup-safe by construction)
+                allowed = allowed.distinct()
+            # branch-decision count: one bounded scan of the allowed set per
+            # filtered search — the same cost class as the reference, which
+            # re-runs the filter SELECT on every faiss_search_filter call
+            # (faiss_extension.cpp:988-996)
             if has_graph and allowed.limit(
                 self.GRAPH_FILTER_BROADCAST_CAP + 1
             ).count() <= self.GRAPH_FILTER_BROADCAST_CAP:

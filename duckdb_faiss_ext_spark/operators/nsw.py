@@ -646,6 +646,12 @@ def nsw_topk(
         pair_entries: list = []
         for g in np.unique(seg):
             sel = np.where(seg == g)[0]
+            if has_allowed and not ok_all[sel].any():
+                # no allowed node in this segment: neither a beam nor a
+                # masked scan can produce a result — skip the whole segment
+                # (without this, a filter concentrated elsewhere paid a
+                # full exhaustive widened beam here for zero rows)
+                continue
             gx = x[sel]
             gl = labels[sel]
             lens = nbr_lens[sel]
@@ -714,7 +720,9 @@ def nsw_topk(
         # 1M-row read partition (ADVICE r3); small partitions still get the
         # full batching
         per_pair = (n_part + 1) + 48 * ef_run
-        pair_chunk = int(max(16, min(512, PAIR_BITMAP_BUDGET // per_pair)))
+        # floor of 1, not a fixed batch: with ef_run widened toward n_part a
+        # 16-pair floor would overrun the byte budget ~12x (r4 review)
+        pair_chunk = int(max(1, min(512, PAIR_BITMAP_BUDGET // per_pair)))
         for lo in range(0, len(pair_qi), pair_chunk):
             qi_c = pair_qi[lo : lo + pair_chunk]
             ent_c = pair_entries[lo : lo + pair_chunk]

@@ -37,6 +37,10 @@ __all__ = [
     "pq_search_grouped",
 ]
 
+# one query block's ADC lookup tables (ln * m * nk * 4 B) must stay under
+# this; pq_search_grouped shrinks its query-side block size to fit
+LUT_BLOCK_BUDGET_BYTES = 64 << 20
+
 
 def _kmeans_np(x: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.ndarray:
     """Plain Lloyd's on a small sample (driver-side).  Returns (k, d)."""
@@ -444,9 +448,13 @@ def pq_search_grouped(
     into per-cluster blocks; blocks EQUI-join on the cluster id; the kernel
     builds each left block's (ln, m, nk) lookup tables against its single
     cluster IN THE TASK from the broadcast codebooks (no driver LUT
-    materialization at all — the driver path's byte-budget concern
-    disappears), streams code blocks through a running top-k, and one
-    window per qid merges across clusters."""
+    materialization at all), streams code blocks through a running top-k,
+    and one window per qid merges across clusters.
+
+    LUT memory is bounded two ways (r4 review): the query-side block size
+    caps so one block's LUT stays under LUT_BLOCK_BUDGET_BYTES, and the
+    pair rows are SORTED by (blk, grp) within each task so states finish
+    contiguously — at most ONE live LUT per task, evicted on key change."""
     import pyarrow as pa
 
     from typing import Iterator
@@ -461,6 +469,7 @@ def pq_search_grouped(
 
     from duckdb_faiss_ext_spark.operators.simjoin import _pack_blocks
 
+    block_rows = max(1, min(block_rows, LUT_BLOCK_BUDGET_BYTES // (m * nk * 4)))
     lb = _pack_blocks(
         queries_df, qid_col, vec_col, block_rows, np.float32,
         group_col=cluster_col,
@@ -485,7 +494,11 @@ def pq_search_grouped(
     def score(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         cb, cents = bc.value
         cb_norms = [(cb[j] ** 2).sum(1) for j in range(m)]
-        state: dict = {}
+        # rows arrive SORTED by (blk, grp) within the task, so exactly one
+        # key is live at a time: finish-and-evict on key change keeps one
+        # LUT resident instead of one per (block, cluster) key (r4 review)
+        cur_key = None
+        cur = None
 
         def merge(st, new_ids, new_sc):
             all_ids = (
@@ -499,10 +512,30 @@ def pq_search_grouped(
             rows = np.arange(all_ids.shape[0])[:, None]
             st[3], st[4] = all_ids[rows, order], all_sc[rows, order]
 
+        def emit(st):
+            qids, _, _, top_ids, top_sc = st
+            if top_ids is None:
+                return None
+            ln_, kk = top_ids.shape
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(qids, kk), pa.int64()),
+                    pa.array(top_ids.ravel(), pa.int64()),
+                    pa.array(top_sc.ravel().astype(np.float32), pa.float32()),
+                ],
+                names=["qid", "label", "distance"],
+            )
+
         for rb_ in batches:
             for r in range(rb_.num_rows):
                 skey = (rb_.column(0)[r].as_py(), rb_.column(1)[r].as_py())
-                st = state.get(skey)
+                if skey != cur_key:
+                    if cur is not None:
+                        out = emit(cur)
+                        if out is not None:
+                            yield out
+                    cur_key, cur = skey, None
+                st = cur
                 if st is None:
                     ln = int(rb_.column(2)[r].as_py())
                     qids = (
@@ -538,7 +571,7 @@ def pq_search_grouped(
                                 - 2.0 * (q3[:, j, :] @ cb[j].T)
                                 + cb_norms[j][None, :]
                             )
-                    st = state[skey] = [qids, lut, const, None, None]
+                    st = cur = [qids, lut, const, None, None]
                 qids, lut, const = st[0], st[1], st[2]
                 ln = len(qids)
                 rn = int(rb_.column(5)[r].as_py())
@@ -562,21 +595,15 @@ def pq_search_grouped(
 
                 idx, sc = topk_indices(scores, kk, desc)
                 merge(st, rids[idx], sc.astype(np.float64))
-        for qids, _, _, top_ids, top_sc in state.values():
-            if top_ids is None:
-                continue
-            ln, kk = top_ids.shape
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.repeat(qids, kk), pa.int64()),
-                    pa.array(top_ids.ravel(), pa.int64()),
-                    pa.array(top_sc.ravel().astype(np.float32), pa.float32()),
-                ],
-                names=["qid", "label", "distance"],
-            )
+        if cur is not None:
+            out = emit(cur)
+            if out is not None:
+                yield out
 
-    partial = pairs.repartition(n_out, "blk", "grp").mapInArrow(
-        score, schema="qid bigint, label bigint, distance float"
+    partial = (
+        pairs.repartition(n_out, "blk", "grp")
+        .sortWithinPartitions("blk", "grp")
+        .mapInArrow(score, schema="qid bigint, label bigint, distance float")
     )
     order = (
         [F.col("distance").desc(), F.col("label").asc()]

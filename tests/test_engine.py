@@ -414,3 +414,17 @@ def test_disk_backed_ivfpq_codes_partitioned(engine, spark, vectors8, tmp_path):
     assert len(res) == 12
     self_hits = sum(1 for r in res if r["rank"] == 0 and r["qid"] == r["label"])
     assert self_hits >= 3  # ADC approximation: allow one miss
+
+
+def test_ivf_hnsw_pq_composite_add_and_search(engine, spark, vectors8, queries8):
+    """IVFn_HNSWm,PQk factories: codes take precedence over graphs (no
+    neighbors column exists) — add must not crash and search works via ADC
+    (r4 review: the edgeless-graph check referenced the absent column)."""
+    engine.create("hnswpq", 8, "IDMap,IVF4_HNSW4,PQ4", metric_type="L2")
+    engine.add("hnswpq", _vec_df(spark, vectors8, np.arange(1000)))
+    idx = engine.registry.get("hnswpq")
+    assert "code" in idx.data.columns and "neighbors" not in idx.data.columns
+    res = engine.search_flat(
+        "hnswpq", 3, _query_df(spark, vectors8[:4]), params={"nprobe": 4}
+    ).collect()
+    assert len(res) == 12

@@ -137,3 +137,21 @@ def test_filtered_ivf_hnsw_composite_with_graphs(spark, monkeypatch):
     got = {r["label"] for r in res}
     assert len(got & truth) / len(truth) >= 0.8, (got, truth)
     eng.destroy("fivfh")
+
+
+def test_filtered_graph_allowed_duplicates_are_deduped(spark, fidx):
+    """Duplicate ids in the allowed set must not duplicate corpus rows
+    through the broadcast marker join (r4 review): results carry no
+    duplicate (qid, label) pairs and match the dedup-safe run."""
+    eng, x = fidx
+    base_allowed = spark.range(N).filter(F.col("id") % 10 == 0).select("id")
+    dup_allowed = base_allowed.union(base_allowed).union(base_allowed)
+    q = spark.createDataFrame(
+        [(3, [float(v) for v in x[3]])], "qid bigint, vector array<float>"
+    )
+    clean = eng.search_flat("fgraph", K, q, allowed_df=base_allowed).collect()
+    dup = eng.search_flat("fgraph", K, q, allowed_df=dup_allowed).collect()
+    labels = [r["label"] for r in dup]
+    assert len(labels) == len(set(labels)), "duplicate labels in results"
+    key = lambda rows: sorted((r["rank"], r["label"]) for r in rows)
+    assert key(clean) == key(dup)
