@@ -349,84 +349,6 @@ def pq_search_arrays(
     )
 
 
-def _pack_code_blocks(
-    codes_df: DataFrame,
-    block_rows: int,
-    label_col: str = "label",
-    code_col: str = "code",
-    cluster_col: "str | None" = "cluster_id",
-) -> DataFrame:
-    """(blk BIGINT, grp BIGINT, n INT, ids ARRAY<BIGINT>, codes
-    ARRAY<SMALLINT>) — PQ code rows packed per cluster (grp), ≤ block_rows
-    per block, codes flattened row-major.  blk = min(ids) within the block
-    (content-derived, stable across re-execution — same contract as
-    simjoin._pack_blocks)."""
-    import pyarrow as pa
-
-    from typing import Iterator
-
-    grouped = cluster_col is not None
-
-    def pack(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
-        bufs: dict = {}
-
-        def flush(g):
-            st = bufs[g]
-            ids = np.concatenate(st[0])
-            codes = np.concatenate(st[1])
-            out = pa.RecordBatch.from_arrays(
-                [
-                    pa.array([int(ids.min())], pa.int64()),
-                    pa.array([int(g)], pa.int64()),
-                    pa.array([len(ids)], pa.int32()),
-                    pa.array([ids], pa.list_(pa.int64())),
-                    pa.array([codes], pa.list_(pa.int16())),
-                ],
-                names=["blk", "grp", "n", "ids", "codes"],
-            )
-            st[0], st[1], st[2] = [], [], 0
-            return out
-
-        for rb in batches:
-            n = rb.num_rows
-            if n == 0:
-                continue
-            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False).astype(
-                np.int16
-            )
-            m_ = len(flat) // n
-            x = flat.reshape(n, m_)
-            grp = (
-                rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
-                if grouped
-                else np.zeros(n, dtype=np.int64)
-            )
-            for g in np.unique(grp):
-                sel = np.where(grp == g)[0]
-                st = bufs.setdefault(int(g), [[], [], 0])
-                lo = 0
-                while lo < len(sel):
-                    take = min(len(sel) - lo, block_rows - st[2])
-                    st[0].append(ids[sel[lo : lo + take]])
-                    st[1].append(x[sel[lo : lo + take]].reshape(-1))
-                    st[2] += take
-                    lo += take
-                    if st[2] >= block_rows:
-                        yield flush(int(g))
-        for g, st in list(bufs.items()):
-            if st[2]:
-                yield flush(g)
-
-    cols = [F.col(label_col).cast("bigint"), F.col(code_col)]
-    if grouped:
-        cols.append(F.col(cluster_col).cast("bigint"))
-    return codes_df.select(*cols).mapInArrow(
-        pack,
-        schema="blk bigint, grp bigint, n int, ids array<bigint>, codes array<smallint>",
-    )
-
-
 def pq_search_grouped(
     codes_df: DataFrame,
     queries_df: DataFrame,
@@ -477,15 +399,24 @@ def pq_search_grouped(
     if cluster_col is None:
         lb = lb.withColumn("grp", F.lit(0))
         lb = lb.select("blk", "grp", "n", "ids", "vecs")
-    rb = _pack_code_blocks(
-        codes_df, block_rows, cluster_col=cluster_col
+    # codes pack through the SAME block kernel as vectors (int16 payload) —
+    # one packing machinery to maintain (r4 review)
+    rb = _pack_blocks(
+        codes_df,
+        "label",
+        "code",
+        block_rows,
+        np.int16,
+        group_col=cluster_col,
     )
+    if cluster_col is None:
+        rb = rb.withColumn("grp", F.lit(0)).select("blk", "grp", "n", "ids", "vecs")
     pairs = lb.join(
         rb.select(
             "grp",
             F.col("n").alias("rn"),
             F.col("ids").alias("rids"),
-            F.col("codes").alias("rcodes"),
+            F.col("vecs").alias("rcodes"),
         ),
         "grp",
     ).select("blk", "grp", "n", "ids", "vecs", "rn", "rids", "rcodes")

@@ -68,9 +68,14 @@ def _pack_blocks(
     state by both)."""
     import pyarrow as pa
 
-    f64 = dtype is np.float64
-    pa_t = pa.float64() if f64 else pa.float32()
-    np_t = np.float64 if f64 else np.float32
+    # payload dtype: float32/float64 vectors, or int16 PQ code rows (the
+    # grouped ADC path packs codes through the same kernel — one block
+    # machinery to maintain, r4 review)
+    pa_t, np_t, sql_t = {
+        np.float64: (pa.float64(), np.float64, "array<double>"),
+        np.float32: (pa.float32(), np.float32, "array<float>"),
+        np.int16: (pa.int16(), np.int16, "array<smallint>"),
+    }[dtype]
     grouped = group_col is not None
 
     def pack(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
@@ -124,15 +129,14 @@ def _pack_blocks(
             if st[2]:
                 yield flush(g)
 
-    vec_t = "array<double>" if f64 else "array<float>"
     cols = [
         F.col(id_col).cast("bigint").alias("id"),
-        F.col(vec_col).cast(vec_t).alias("vector"),
+        F.col(vec_col).cast(sql_t).alias("vector"),
     ]
-    schema = f"blk bigint, n int, ids array<bigint>, vecs {vec_t}"
+    schema = f"blk bigint, n int, ids array<bigint>, vecs {sql_t}"
     if grouped:
         cols.append(F.col(group_col).cast("bigint").alias("grp"))
-        schema = f"blk bigint, grp bigint, n int, ids array<bigint>, vecs {vec_t}"
+        schema = f"blk bigint, grp bigint, n int, ids array<bigint>, vecs {sql_t}"
     return df.select(*cols).mapInArrow(pack, schema=schema)
 
 
