@@ -144,24 +144,15 @@ def main() -> None:
     @section("engine_exact")
     def _engine_exact():
         # ingest timings are sub-second at this sf — one-shot measurements
-        # swing 2x on startup noise, so take the best of 3 trials each
-        # (first labeled trial doubles as the index build used below)
+        # swing 2x on startup noise, so take the best of 3 trials each,
+        # INTERLEAVED (L,U,L,U,L,U) so drifting host load hits both paths
+        # equally; the first labeled trial doubles as the index build used
+        # below.  Unlabeled = sequential auto-ids assigned JVM-side (the
+        # path r2's .rdd.zipWithIndex made the slow lane).
         t0 = time.perf_counter()
         eng.create("bench_ip", dim, "IDMap,Flat", metric_type="INNER_PRODUCT")
         eng.add("bench_ip", emb.select("vec_id", "embedding"))
         ingest_sec = time.perf_counter() - t0
-        for i in range(2):
-            t0 = time.perf_counter()
-            eng.create(f"bench_ip_t{i}", dim, "IDMap,Flat", metric_type="INNER_PRODUCT")
-            eng.add(f"bench_ip_t{i}", emb.select("vec_id", "embedding"))
-            ingest_sec = min(ingest_sec, time.perf_counter() - t0)
-            eng.destroy(f"bench_ip_t{i}")
-        queries["ingest_rows_per_sec"] = round(n_emb / ingest_sec, 1)
-
-        # unlabeled path: sequential auto-ids assigned JVM-side
-        # (monotonically_increasing_id + partition-offset compaction) — must
-        # track the labeled path's throughput (r2: the .rdd.zipWithIndex
-        # Python round-trip made this the slow lane)
         unlab_sec = None
         for i in range(3):
             t0 = time.perf_counter()
@@ -170,6 +161,15 @@ def main() -> None:
             t = time.perf_counter() - t0
             unlab_sec = t if unlab_sec is None else min(unlab_sec, t)
             eng.destroy(f"bench_unlab_t{i}")
+            if i < 2:
+                t0 = time.perf_counter()
+                eng.create(
+                    f"bench_ip_t{i}", dim, "IDMap,Flat", metric_type="INNER_PRODUCT"
+                )
+                eng.add(f"bench_ip_t{i}", emb.select("vec_id", "embedding"))
+                ingest_sec = min(ingest_sec, time.perf_counter() - t0)
+                eng.destroy(f"bench_ip_t{i}")
+        queries["ingest_rows_per_sec"] = round(n_emb / ingest_sec, 1)
         queries["ingest_unlabeled_rows_per_sec"] = round(n_emb / unlab_sec, 1)
 
         qdf48 = emb.limit(48).select(
