@@ -308,7 +308,12 @@ def _with_recall(flat, exact):
     """Attach per-qid recall vs the exact (qid, label) baseline as a column —
     self-evidence for the rows-only ann_* contract entries (the driver
     records the rows, so the recall floor is checkable from
-    CORRECTNESS_r{N}.json alone)."""
+    CORRECTNESS_r{N}.json alone).
+
+    ``flat`` is referenced on both sides of the join below — persist it so
+    the (expensive) ANN search executes once, not twice (r4 review).  The
+    frame is nq*k rows; the cache is tiny and lives with the session."""
+    flat = flat.persist()
     hits = (
         flat.select("qid", "label")
         .join(exact, ["qid", "label"], "inner")
@@ -725,7 +730,11 @@ def dedup_survivors(spark, sf):
 
     d = _t(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
-    out = neardup_survivors(d, pairs.select("id_a", "id_b"), "doc_id")
+    # strict + generous max_iter: the oracle computes the FULL transitive
+    # closure, so a silently capped propagation would diverge cross-engine
+    out = neardup_survivors(
+        d, pairs.select("id_a", "id_b"), "doc_id", max_iter=100, strict=True
+    )
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"))
 
 

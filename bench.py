@@ -341,47 +341,19 @@ def main() -> None:
             warmup=True,
         )
 
-    # full 5-stage dedup pipeline (examples/dedup_pipeline.py, capped) so
-    # caps/components regressions surface per-round (VERDICT r3 task 7)
+    # full 5-stage dedup pipeline so caps/components regressions surface
+    # per-round (VERDICT r3 task 7) — times the example's run_pipeline
+    # DIRECTLY, so the benched pipeline is the canonical one by definition
     @section("dedup_pipeline_full")
     def _ddp():
-        from duckdb_faiss_ext_spark.operators.dedup import (
-            cosine_lsh_pairs,
-            exact_dedup,
-            minhash_lsh_pairs,
-            neardup_survivors,
-            ngram_jaccard_pairs,
-        )
+        from examples.dedup_pipeline import run_pipeline
 
         docs0 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-
-        def pipeline() -> int:
-            docs = exact_dedup(docs0, "doc_id", "text").cache()
-            cand = minhash_lsh_pairs(
-                docs, "doc_id", "text", 4, 2, shingle_n=3, max_bucket=256
-            )
-            cand_ids = cand.select("id_a", "id_b").distinct().cache()
-            cand_docs = docs.join(
-                cand_ids.select(F.col("id_a").alias("doc_id"))
-                .union(cand_ids.select("id_b"))
-                .distinct(),
-                "doc_id",
-                "left_semi",
-            )
-            verified = ngram_jaccard_pairs(
-                cand_docs, "doc_id", "text", n=3, threshold=0.8
-            ).join(cand_ids, ["id_a", "id_b"], "left_semi")
-            sem = cosine_lsh_pairs(
-                emb.withColumnRenamed("vec_id", "doc_id"),
-                "doc_id", "embedding", dim, threshold=0.95, max_bucket=256,
-            ).select("id_a", "id_b")
-            all_pairs = verified.select("id_a", "id_b").union(sem).distinct()
-            n = neardup_survivors(docs, all_pairs, "doc_id", max_degree=16).count()
-            docs.unpersist()
-            cand_ids.unpersist()
-            return n
-
-        bench_entry("dedup_pipeline_full", pipeline, warmup=False)
+        bench_entry(
+            "dedup_pipeline_full",
+            lambda: run_pipeline(docs0, emb),
+            warmup=False,
+        )
 
     @section("text_quality_lang")
     def _tq():

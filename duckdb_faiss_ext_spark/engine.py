@@ -237,13 +237,26 @@ class FaissSparkEngine:
             out = df.select((guarded + local).alias("label"), F.col("vector"))
             return out, base - offset
         off_df = self.spark.createDataFrame(pairs, "_pid bigint, _base bigint")
+        # LEFT join + loud failure on unmatched partition ids: the inner
+        # join this replaces silently DROPPED rows whose pid the offsets
+        # job never saw (the same contract violation the literal-map path
+        # guards against above — r4 review)
+        guarded_base = F.when(
+            F.col("_base").isNull(),
+            F.raise_error(
+                F.lit(
+                    "faiss auto-id: partition offsets out of sync with the "
+                    "add pass (non-deterministic source between jobs?)"
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col("_base"))
         out = (
             df.select(F.col("vector"), mid.alias("_mid"))
             .withColumn("_pid", F.shiftright("_mid", 33))
-            .join(F.broadcast(off_df), "_pid")
+            .join(F.broadcast(off_df), "_pid", "left")
             .select(
                 (
-                    F.col("_base")
+                    guarded_base
                     + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
                 ).alias("label"),
                 "vector",
@@ -778,10 +791,12 @@ class FaissSparkEngine:
         kernel); per chunk the probed-cluster union becomes a JVM IN-filter on
         ``cluster_id`` — on cluster-partitioned storage that is directory/
         row-group pruning, so a chunk only scans the codes its queries probe.
-        The union over-scan relative to per-query masking can only ADD
-        candidates (recall never drops); distances are ADC approximations
-        either way (faiss IndexIVFPQ semantics; deviation: codes quantize raw
-        vectors, not residuals — factory.py docstring)."""
+        SCORING is per-query (r4): each query's lookup tables cover exactly
+        ITS nprobe probed clusters, and rows outside them score worst — a
+        query does NOT receive candidates from clusters only its chunk-mates
+        probed (faiss IndexIVFPQ nprobe semantics; r3's union-scored variant
+        could only add candidates but scaled the LUT broadcast as nq·nlist).
+        Distances are residual-ADC approximations (faiss IndexIVFPQ)."""
         from duckdb_faiss_ext_spark.operators.pq import pq_search_arrays
 
         nprobe = int(params.get("nprobe", 1))

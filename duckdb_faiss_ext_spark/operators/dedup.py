@@ -346,6 +346,7 @@ def neardup_components(
     max_iter: int = 20,
     max_degree: int | None = None,
     stats: dict | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: (id, comp) where
     comp is the MIN id reachable through any chain of pairs — the exact
@@ -418,6 +419,21 @@ def neardup_components(
             stats["rounds"] += 1
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iter without converging: a component with
+        # graph diameter > max_iter would return PARTIAL labels — never
+        # silently (r4 review: the oracled entry computes the full
+        # transitive closure, so a silent cap here diverges cross-engine)
+        msg = (
+            f"neardup_components did not converge within max_iter={max_iter} "
+            "rounds (a component's diameter exceeds it); labels are partial. "
+            "Raise max_iter or cap component size upstream (max_bucket)."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg)
     return labels
 
 
@@ -427,10 +443,13 @@ def neardup_survivors(
     id_col: str,
     max_iter: int = 20,
     max_degree: int | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Keep one doc per connected near-dup group (the min id) plus every doc
     with no near-dup at all — the exact version of survivor selection."""
-    comp = neardup_components(pairs, max_iter=max_iter, max_degree=max_degree)
+    comp = neardup_components(
+        pairs, max_iter=max_iter, max_degree=max_degree, strict=strict
+    )
     drops = comp.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )

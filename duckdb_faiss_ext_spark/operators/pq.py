@@ -396,9 +396,6 @@ def pq_search_grouped(
         queries_df, qid_col, vec_col, block_rows, np.float32,
         group_col=cluster_col,
     )
-    if cluster_col is None:
-        lb = lb.withColumn("grp", F.lit(0))
-        lb = lb.select("blk", "grp", "n", "ids", "vecs")
     # codes pack through the SAME block kernel as vectors (int16 payload) —
     # one packing machinery to maintain (r4 review)
     rb = _pack_blocks(
@@ -410,16 +407,33 @@ def pq_search_grouped(
         group_col=cluster_col,
     )
     if cluster_col is None:
-        rb = rb.withColumn("grp", F.lit(0)).select("blk", "grp", "n", "ids", "vecs")
-    pairs = lb.join(
-        rb.select(
+        # plain-PQ bulk (no clusters): an equi-join on a constant group key
+        # would funnel every block pair through ONE shuffle partition —
+        # use the cross-grid shape similarity_join uses instead (r4 review)
+        pairs = (
+            lb.repartition(8)
+            .crossJoin(
+                rb.repartition(8).select(
+                    F.col("n").alias("rn"),
+                    F.col("ids").alias("rids"),
+                    F.col("vecs").alias("rcodes"),
+                )
+            )
+            .select(
+                "blk", F.lit(0).alias("grp"), "n", "ids", "vecs",
+                "rn", "rids", "rcodes",
+            )
+        )
+    else:
+        pairs = lb.join(
+            rb.select(
+                "grp",
+                F.col("n").alias("rn"),
+                F.col("ids").alias("rids"),
+                F.col("vecs").alias("rcodes"),
+            ),
             "grp",
-            F.col("n").alias("rn"),
-            F.col("ids").alias("rids"),
-            F.col("vecs").alias("rcodes"),
-        ),
-        "grp",
-    ).select("blk", "grp", "n", "ids", "vecs", "rn", "rids", "rcodes")
+        ).select("blk", "grp", "n", "ids", "vecs", "rn", "rids", "rcodes")
     n_out = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
 
     def score(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
@@ -467,13 +481,22 @@ def pq_search_grouped(
                             yield out
                     cur_key, cur = skey, None
                 st = cur
+                row_qids = (
+                    rb_.column(3)[r]
+                    .values.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                if st is not None and not np.array_equal(st[0], row_qids):
+                    # blk = min(ids) requires distinct query ids: two
+                    # different blocks colliding on one key would merge
+                    # LUT state silently — fail loud (r4 review)
+                    raise ValueError(
+                        "pq_search_grouped: duplicate query ids detected "
+                        f"(two distinct blocks share key {skey})"
+                    )
                 if st is None:
                     ln = int(rb_.column(2)[r].as_py())
-                    qids = (
-                        rb_.column(3)[r]
-                        .values.to_numpy(zero_copy_only=False)
-                        .astype(np.int64)
-                    )
+                    qids = row_qids
                     qx = np.ascontiguousarray(
                         rb_.column(4)[r]
                         .values.to_numpy(zero_copy_only=False)

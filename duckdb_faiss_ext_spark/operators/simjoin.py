@@ -271,17 +271,26 @@ def _stream_topk_kernel(k, metric, marg, desc, np_t, pa_t, has_grp: bool):
                 if has_grp:
                     skey = (skey, rb.column(1)[r].as_py())
                 st = state.get(skey)
+                row_ids = (
+                    rb.column(2 + o)[r]
+                    .values.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
                 if st is None:
-                    ln = int(rb.column(1 + o)[r].as_py())
-                    lids = (
-                        rb.column(2 + o)[r]
-                        .values.to_numpy(zero_copy_only=False)
-                        .astype(np.int64)
-                    )
+                    ln = len(row_ids)
                     lflat = rb.column(3 + o)[r].values.to_numpy(zero_copy_only=False)
                     dim = len(lflat) // max(ln, 1)
                     lx = np.ascontiguousarray(lflat.reshape(ln, dim), dtype=np_t)
-                    st = state[skey] = [lids, lx, None, None]
+                    st = state[skey] = [row_ids, lx, None, None]
+                elif not np.array_equal(st[0], row_ids):
+                    # blk = min(ids) assumes the left side's ids are
+                    # DISTINCT; two different blocks colliding on one key
+                    # would silently merge states (r4 review) — fail loud
+                    raise ValueError(
+                        "similarity_join: duplicate left ids detected (two "
+                        f"distinct blocks share key {skey}); the left id "
+                        "column must be unique"
+                    )
                 lids, lx = st[0], st[1]
                 ln = len(lids)
                 dim = lx.shape[1]

@@ -47,8 +47,14 @@ MAX_BUCKET = 256
 MAX_DEGREE = 16
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+def run_pipeline(
+    docs0, emb, max_bucket: int = MAX_BUCKET, max_degree: int = MAX_DEGREE
+) -> dict:
+    """Run stages 1-5 over (documents, embeddings) frames; returns counts.
+
+    The single definition of the canonical pipeline — bench.py times THIS
+    function, so the benched pipeline can never diverge from the example
+    (r4 review)."""
     from duckdb_faiss_ext_spark.operators.dedup import (
         cosine_lsh_pairs,
         exact_dedup,
@@ -56,24 +62,18 @@ def main() -> None:
         neardup_survivors,
         ngram_jaccard_pairs,
     )
-    from duckdb_faiss_ext_spark.session import get_spark
 
-    spark = get_spark("dedup-pipeline")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    n0 = docs.count()
+    n0 = docs0.count()
 
     # 1. exact dedup ---------------------------------------------------------
-    docs = exact_dedup(docs, "doc_id", "text").cache()
+    docs = exact_dedup(docs0, "doc_id", "text").cache()
     n1 = docs.count()
 
     # 2+3. MinHash LSH candidates, Jaccard-verified --------------------------
     cand = minhash_lsh_pairs(
-        docs, "doc_id", "text", 4, 2, shingle_n=3, max_bucket=MAX_BUCKET
+        docs, "doc_id", "text", 4, 2, shingle_n=3, max_bucket=max_bucket
     )
-    cand_ids = cand.select("id_a", "id_b").distinct()
+    cand_ids = cand.select("id_a", "id_b").distinct().cache()
     # verify ONLY the candidate pairs: semi-join the gram pipeline onto the
     # candidate id set so the exact-Jaccard join never sees non-candidates
     cand_docs = docs.join(
@@ -96,23 +96,53 @@ def main() -> None:
         "embedding",
         dim,
         threshold=0.95,
-        max_bucket=MAX_BUCKET,
+        max_bucket=max_bucket,
     ).select(F.col("id_a"), F.col("id_b"))
 
     # 5. survivor selection: connected components over ALL near-dup edges ----
     all_pairs = verified.select("id_a", "id_b").union(sem).distinct()
     clean = neardup_survivors(
-        docs, all_pairs, "doc_id", max_degree=MAX_DEGREE
+        docs, all_pairs, "doc_id", max_degree=max_degree
     ).cache()
     n2 = clean.count()
+    stats = {
+        "input_docs": n0,
+        "after_exact": n1,
+        "lsh_candidate_pairs": cand_ids.count(),
+        "jaccard_verified": verified.count(),
+        "semantic_neardups": sem.count(),
+        "clean_docs": n2,
+    }
+    docs.unpersist()
+    cand_ids.unpersist()
+    clean.unpersist()
+    return stats
 
-    print(f"input docs:            {n0}")
-    print(f"after exact dedup:     {n1}  (-{n0 - n1})")
-    print(f"lsh candidate pairs:   {cand_ids.count()}")
-    print(f"jaccard-verified:      {verified.count()}")
-    print(f"semantic near-dups:    {sem.count()}")
-    print(f"clean corpus:          {n2}  (-{n1 - n2} near-dups)")
-    assert n2 <= n1 <= n0
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from duckdb_faiss_ext_spark.session import get_spark
+
+    spark = get_spark("dedup-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    st = run_pipeline(docs, emb)
+
+    print(f"input docs:            {st['input_docs']}")
+    print(
+        f"after exact dedup:     {st['after_exact']}  "
+        f"(-{st['input_docs'] - st['after_exact']})"
+    )
+    print(f"lsh candidate pairs:   {st['lsh_candidate_pairs']}")
+    print(f"jaccard-verified:      {st['jaccard_verified']}")
+    print(f"semantic near-dups:    {st['semantic_neardups']}")
+    print(
+        f"clean corpus:          {st['clean_docs']}  "
+        f"(-{st['after_exact'] - st['clean_docs']} near-dups)"
+    )
+    assert st["clean_docs"] <= st["after_exact"] <= st["input_docs"]
 
 
 if __name__ == "__main__":
