@@ -106,13 +106,23 @@ def main() -> None:
 
     def bench_entry(name, fn, warmup: bool = False) -> None:
         """Time an entry; if it breaches 2x its r1 value, attach a control
-        ratio and re-run once, keeping the minimum."""
+        ratio and re-run (up to twice), keeping the minimum.  The second
+        rerun only fires when the control query ALSO ran slow (>1.5x its
+        suite-start time) — i.e. the host is provably contended, so both
+        prior timings likely landed in the same noise window (r4: q07
+        breached twice back-to-back at ctrl_ratio 4.2, then timed 0.56 s
+        standalone minutes later)."""
         t = timed(fn, warmup)
         r1v = r1.get(name)
         if r1v and t > 2.0 * r1v:
-            queries[f"{name}_ctrl_ratio"] = round(ctrl_time() / ctrl0, 2)
+            ratio = round(ctrl_time() / ctrl0, 2)
+            queries[f"{name}_ctrl_ratio"] = ratio
             t = min(t, timed(fn))
-            queries[f"{name}_reruns"] = 1
+            reruns = 1
+            if t > 2.0 * r1v and ratio > 1.5:
+                t = min(t, timed(fn))
+                reruns = 2
+            queries[f"{name}_reruns"] = reruns
         queries[name] = t
 
     # --- relational headliners (count() forces full execution) -------------

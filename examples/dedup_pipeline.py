@@ -83,21 +83,35 @@ def run_pipeline(
         "doc_id",
         "left_semi",
     )
+    # cache: the verified pairs feed BOTH the survivor graph and the stats
+    # count — uncached, the whole shingle->Jaccard pipeline re-ran per use
     verified = (
         ngram_jaccard_pairs(cand_docs, "doc_id", "text", n=3, threshold=0.8)
         .join(cand_ids, ["id_a", "id_b"], "left_semi")
+        .cache()
     )
 
     # 4. embedding near-dup (cosine > 0.95 via hyperplane-LSH buckets) -------
+    # 24 planes / 4 bands = 6-bit bands: P(candidate | cos=0.95) ~ 0.95,
+    # ~0.99 at cos>=0.99 (the usual near-dup regime), with 64 buckets per
+    # band instead of 16 — the verify join scores ~n²/buckets pairs, so
+    # band width is the direct scale knob (16 planes / 4-bit bands spent
+    # ~60% of the whole pipeline exact-verifying bucket collisions).
     dim = len(emb.select("embedding").first()[0])
-    sem = cosine_lsh_pairs(
-        emb.withColumnRenamed("vec_id", "doc_id"),
-        "doc_id",
-        "embedding",
-        dim,
-        threshold=0.95,
-        max_bucket=max_bucket,
-    ).select(F.col("id_a"), F.col("id_b"))
+    sem = (
+        cosine_lsh_pairs(
+            emb.withColumnRenamed("vec_id", "doc_id"),
+            "doc_id",
+            "embedding",
+            dim,
+            threshold=0.95,
+            n_planes=24,
+            n_bands=4,
+            max_bucket=max_bucket,
+        )
+        .select(F.col("id_a"), F.col("id_b"))
+        .cache()
+    )
 
     # 5. survivor selection: connected components over ALL near-dup edges ----
     all_pairs = verified.select("id_a", "id_b").union(sem).distinct()
@@ -115,6 +129,8 @@ def run_pipeline(
     }
     docs.unpersist()
     cand_ids.unpersist()
+    verified.unpersist()
+    sem.unpersist()
     clean.unpersist()
     return stats
 
