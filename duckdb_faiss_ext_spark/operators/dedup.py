@@ -339,6 +339,53 @@ def simhash_pairs(
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def _components_driver(spark, edges: DataFrame, stats: dict | None) -> DataFrame:
+    """Exact connected components of a SMALL symmetrized edge list on the
+    driver: vectorized min-label relaxation + pointer jumping over numpy
+    arrays — no per-round Spark jobs.  Same (id, comp) contract as the
+    distributed path; comp = min id reachable (np.unique sorts ascending,
+    so index-space minima map back to id-space minima).  At fixpoint every
+    edge (u, v) has comp[u] == comp[v], i.e. labels are constant per
+    component and equal to the component min."""
+    pdf = edges.toPandas()
+    if len(pdf) == 0:
+        if stats is not None:
+            stats["rounds"] = 0
+        return spark.createDataFrame([], "id bigint, comp bigint")
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    uniq, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s, d = inv[: len(src)], inv[len(src) :]
+    comp = np.arange(len(uniq), dtype=np.int64)
+    rounds = 0
+    while True:
+        prev = comp
+        comp = comp.copy()
+        np.minimum.at(comp, s, comp[d])  # relax every directed edge once
+        # pointer jumping: comp <- comp[comp] until stable, collapsing
+        # label chains in O(log n) rather than one hop per round
+        nxt = comp[comp]
+        while not np.array_equal(nxt, comp):
+            comp, nxt = nxt, nxt[nxt]
+        rounds += 1
+        if np.array_equal(comp, prev):
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    out = pd.DataFrame({"id": uniq, "comp": uniq[comp]})
+    return spark.createDataFrame(out, schema="id bigint, comp bigint")
+
+
+# directed-edge count below which components run as one driver-side numpy
+# union-find instead of iterated Spark joins: ~64 MB of (src, dst) int64 on
+# the driver at the cap, vs 2-3 Spark jobs PER PROPAGATION ROUND (each round
+# is join + groupBy + checkpoint + convergence count — seconds of fixed
+# scheduling cost even for a 200-edge graph).  The pair graph is already
+# bucket/degree-capped output, orders of magnitude smaller than the corpus,
+# so most real runs fit; the distributed path stays the over-cap fallback.
+SMALL_EDGE_COLLECT = 1 << 22
+
+
 def neardup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -347,6 +394,7 @@ def neardup_components(
     max_degree: int | None = None,
     stats: dict | None = None,
     strict: bool = False,
+    small_collect: int | None = SMALL_EDGE_COLLECT,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: (id, comp) where
     comp is the MIN id reachable through any chain of pairs — the exact
@@ -367,7 +415,13 @@ def neardup_components(
     dup cliques and short chains still converge to the exact answer;
     pathological topologies may split a component (docs dropped anyway by
     upstream caps) — None (default) = exact.  ``stats``, if given, receives
-    {'rounds': r, 'edges': m} for convergence monitoring."""
+    {'rounds': r, 'edges': m} for convergence monitoring.
+
+    ``small_collect``: graphs with at most this many directed edges are
+    solved on the driver (vectorized numpy min-label + pointer jumping on
+    the collected edge list — exact, always converges) instead of paying
+    per-round Spark job overhead; None forces the distributed path (the
+    1M probe uses that to measure propagation itself)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -380,6 +434,16 @@ def neardup_components(
             .drop("_rn")
         )
     edges = edges.localCheckpoint(eager=False)
+
+    if small_collect is not None:
+        # branch decision: one bounded count (materializes the checkpoint
+        # the distributed path would pay for anyway on its first round)
+        m = edges.limit(small_collect + 1).count()
+        if m <= small_collect:
+            if stats is not None:
+                stats["edges"] = m
+            return _components_driver(pairs.sparkSession, edges, stats)
+
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -102,6 +102,37 @@ def test_neardup_components_chains(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20}
 
 
+def test_components_driver_matches_distributed(spark):
+    """The small-graph driver union-find (the default under
+    SMALL_EDGE_COLLECT) must label identically to the distributed
+    min-label propagation on the same graph — random multigraphs with
+    self-dups, plus the empty graph."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        n = int(rng.integers(5, 300))
+        m = int(rng.integers(1, 3 * n))
+        pairs = [
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+            if a != b
+        ]
+        if not pairs:
+            continue
+        df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+        drv = {r["id"]: r["comp"] for r in D.neardup_components(df).collect()}
+        dist = {
+            r["id"]: r["comp"]
+            for r in D.neardup_components(
+                df, small_collect=None, max_iter=100
+            ).collect()
+        }
+        assert drv == dist
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert D.neardup_components(empty).count() == 0
+
+
 def test_neardup_survivors_exact(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in (1, 2, 3, 9, 20, 21, 50)],

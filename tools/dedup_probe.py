@@ -98,15 +98,25 @@ def main() -> None:
     results["lsh_pairs_capped"] = capped.count()
     results["lsh_capped_sec"] = round(time.perf_counter() - t0, 2)
 
+    # distributed propagation forced (small_collect=None): the probe's job
+    # is to measure the over-cap fallback path, which small graphs would
+    # otherwise never reach now that they solve on the driver
     t0 = time.perf_counter()
     stats: dict = {}
-    comp = neardup_components(capped, max_degree=16, stats=stats)
+    comp = neardup_components(capped, max_degree=16, stats=stats, small_collect=None)
     n_nodes = comp.count()
     results["components_sec"] = round(time.perf_counter() - t0, 2)
     results["components_rounds"] = stats["rounds"]
     results["components_edges"] = stats["edges"]
     results["components_nodes"] = n_nodes
     results["components_groups"] = comp.select("comp").distinct().count()
+
+    # the default driver union-find on the same graph, for the A/B
+    t0 = time.perf_counter()
+    dstats: dict = {}
+    dcomp = neardup_components(capped, max_degree=16, stats=dstats)
+    results["components_driver_sec"] = round(time.perf_counter() - t0, 2)
+    results["components_driver_groups"] = dcomp.select("comp").distinct().count()
     results["host_load_1m"] = round(os.getloadavg()[0], 2)
 
     lines = [
