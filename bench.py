@@ -289,6 +289,18 @@ def main() -> None:
         queries["ivfhnsw_recall_np8"] = recall(
             {(r["qid"], r["label"]) for r in ivfhnsw_run().collect()}
         )
+        # np16 recall completes the router-bound story: the composite's
+        # recall tracks PLAIN IVF at matched nprobe (SCALE.md A/B), so at
+        # nprobe=nlist it must hit 1.0 — any gap would mean the graph
+        # stage itself is losing candidates
+        queries["ivfhnsw_recall_np16"] = recall(
+            {
+                (r["qid"], r["label"])
+                for r in eng.search_flat(
+                    "bench_ivfhnsw", 10, qdf48, params={"nprobe": 16, "efSearch": 64}
+                ).collect()
+            }
+        )
 
     # --- LSH ANN (training-free scale path): bucket-join + recall ----------
     # signatures are computed ONCE and cached — the steady-state cost the
@@ -382,6 +394,7 @@ def main() -> None:
         "ivf_recall_nprobe16",
         "hnsw_recall_ef128",
         "ivfhnsw_recall_np8",
+        "ivfhnsw_recall_np16",
         "lsh_recall_4x8",
         "host_load_1m",
         "control_q05_sec",
