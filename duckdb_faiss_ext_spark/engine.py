@@ -923,7 +923,14 @@ class FaissSparkEngine:
             probe_col = "cluster_id"
             probe_ids_fn = self._probe_ids_fn(idx, nprobe)
         partials = []
-        for qids, q in topk_ops.iter_query_blocks(queries_df, qid_col, vec_col):
+        # graph indexes have no executor-side block-join bulk path (segment
+        # replication would cost the BNL's full shuffle while beams only
+        # save compute) — bulk_queries instead upgrades the driver stream to
+        # executor-packed binary blocks (2.3x at 1M query rows, topk.py)
+        for qids, q in topk_ops.iter_query_blocks(
+            queries_df, qid_col, vec_col,
+            packed=bool(params.get("bulk_queries")),
+        ):
             for lo in range(0, len(qids), topk_ops.MAX_QUERY_BATCH):
                 cqids = qids[lo : lo + topk_ops.MAX_QUERY_BATCH]
                 cq = q[lo : lo + topk_ops.MAX_QUERY_BATCH]

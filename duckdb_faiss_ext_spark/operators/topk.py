@@ -70,7 +70,11 @@ MAX_QUERY_BLOCK = 65536
 
 
 def iter_query_blocks(
-    queries_df: DataFrame, qid_col: str, vec_col: str, dtype: type = np.float32
+    queries_df: DataFrame,
+    qid_col: str,
+    vec_col: str,
+    dtype: type = np.float32,
+    packed: bool = False,
 ) -> "Iterator[tuple[np.ndarray, np.ndarray]]":
     """Stream the query side to the driver in bounded blocks.
 
@@ -79,18 +83,113 @@ def iter_query_blocks(
     query side with toPandas(), which made similarity_join a driver OOM for a
     large left side (VERDICT r1 #3).  toLocalIterator pulls one partition at
     a time, so driver memory is bounded by max(partition, MAX_QUERY_BLOCK)
-    rows of (id, vector)."""
-    qids: list[int] = []
-    vecs: list = []
-    it = queries_df.select(qid_col, vec_col).toLocalIterator(prefetchPartitions=True)
-    for row in it:
-        qids.append(row[0])
-        vecs.append(row[1])
-        if len(qids) >= MAX_QUERY_BLOCK:
+    rows of (id, vector).
+
+    ``packed=False`` (default): per-row toLocalIterator — ~12 µs/row at
+    64 dim, the cheapest shape for ordinary query batches.
+
+    ``packed=True``: executors pack their partitions into binary block rows
+    (ids + one flattened float matrix as raw buffers) via one narrow
+    ``mapInArrow`` pass; the driver pulls those few compact rows and decodes
+    with ``np.frombuffer`` — no per-row Python Row objects.  Measured A/B at
+    64 dim on local[32]: 2.3x faster at 1M query rows (5.3 s vs 12.4 s) but
+    +0.17 s fixed cost (worker spin-up + extra job), so the crossover is
+    ~300k rows — callers opt in when they KNOW the query side is
+    corpus-scale (the engine wires ``params={'bulk_queries': 1}`` to this
+    for graph indexes, which have no executor-side block-join alternative)."""
+    if not packed:
+        qids: list[int] = []
+        vecs: list = []
+        it = queries_df.select(qid_col, vec_col).toLocalIterator(
+            prefetchPartitions=True
+        )
+        for row in it:
+            qids.append(row[0])
+            vecs.append(row[1])
+            if len(qids) >= MAX_QUERY_BLOCK:
+                yield np.asarray(qids, dtype=np.int64), np.asarray(vecs, dtype=dtype)
+                qids, vecs = [], []
+        if qids:
             yield np.asarray(qids, dtype=np.int64), np.asarray(vecs, dtype=dtype)
-            qids, vecs = [], []
-    if qids:
-        yield np.asarray(qids, dtype=np.int64), np.asarray(vecs, dtype=dtype)
+        return
+
+    import pyarrow as pa
+
+    np_t = np.dtype(dtype)
+    sql_vec = "array<double>" if np_t == np.float64 else "array<float>"
+
+    def pack(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        ids_buf: list = []
+        vec_buf: list = []
+        held = 0
+
+        def flush():
+            nonlocal ids_buf, vec_buf, held
+            ids = np.concatenate(ids_buf)
+            vecs = np.concatenate(vec_buf)
+            out = pa.RecordBatch.from_arrays(
+                [
+                    pa.array([ids.tobytes()], pa.binary()),
+                    pa.array([vecs.tobytes()], pa.binary()),
+                ],
+                names=["ids", "vecs"],
+            )
+            ids_buf, vec_buf, held = [], [], 0
+            return out
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            if len(flat) % n:
+                raise ValueError(
+                    f"iter_query_blocks: ragged query vectors "
+                    f"({len(flat)} values across {n} rows)"
+                )
+            x = np.ascontiguousarray(flat.reshape(n, -1), dtype=np_t)
+            lo = 0
+            while lo < n:
+                take = min(n - lo, MAX_QUERY_BLOCK - held)
+                ids_buf.append(ids[lo : lo + take])
+                vec_buf.append(x[lo : lo + take].reshape(-1))
+                held += take
+                lo += take
+                if held >= MAX_QUERY_BLOCK:
+                    yield flush()
+        if held:
+            yield flush()
+
+    packed = queries_df.select(
+        F.col(qid_col).cast("bigint"), F.col(vec_col).cast(sql_vec)
+    ).mapInArrow(pack, schema="ids binary, vecs binary")
+
+    # driver-side re-accumulation: partitions smaller than the block size
+    # arrive as sub-blocks; concatenate up to MAX_QUERY_BLOCK so the number
+    # of corpus passes tracks ceil(nq / MAX_QUERY_BLOCK), not the query
+    # side's partition count
+    acc_ids: list[np.ndarray] = []
+    acc_vecs: list[np.ndarray] = []
+    held = 0
+    for row in packed.toLocalIterator(prefetchPartitions=True):
+        ids = np.frombuffer(row["ids"], dtype=np.int64)
+        if not len(ids):
+            continue
+        vecs = np.frombuffer(row["vecs"], dtype=np_t).reshape(len(ids), -1)
+        acc_ids.append(ids)
+        acc_vecs.append(vecs)
+        held += len(ids)
+        while held >= MAX_QUERY_BLOCK:
+            ids_all = np.concatenate(acc_ids)
+            vecs_all = np.concatenate(acc_vecs)
+            yield ids_all[:MAX_QUERY_BLOCK], vecs_all[:MAX_QUERY_BLOCK]
+            acc_ids, acc_vecs = [ids_all[MAX_QUERY_BLOCK:]], [
+                vecs_all[MAX_QUERY_BLOCK:]
+            ]
+            held = len(acc_ids[0])
+    if held:
+        yield np.concatenate(acc_ids), np.concatenate(acc_vecs)
 
 
 def collect_queries(

@@ -392,6 +392,36 @@ def test_bulk_queries_ivf_matches_standard(engine, spark, vectors8, queries8):
     assert key(base) == key(bulk)
 
 
+def test_bulk_queries_graph_matches_standard(engine, spark, vectors8, queries8):
+    """On a graph index bulk_queries upgrades the driver stream to
+    executor-packed binary blocks (graphs have no block-join bulk path);
+    results must be identical to the per-row stream, and the packed
+    iterator must emit the same block partitioning as the per-row one."""
+    import numpy as np
+    from duckdb_faiss_ext_spark.operators import topk as T
+
+    engine.create("bulkg", 8, "IDMap,HNSW8", metric_type="INNER_PRODUCT")
+    engine.add("bulkg", _vec_df(spark, vectors8, np.arange(1000)))
+    q = _query_df(spark, queries8)
+    base = engine.search_flat("bulkg", 5, q, params={"efSearch": 64}).collect()
+    bulk = engine.search_flat(
+        "bulkg", 5, q, params={"efSearch": 64, "bulk_queries": 1}
+    ).collect()
+    key = lambda rows: sorted((r["qid"], r["rank"], r["label"]) for r in rows)
+    assert key(base) == key(bulk)
+    # iterator parity: same ids, same values, same block structure
+    pb = list(T.iter_query_blocks(q, "qid", "vector", packed=True))
+    pr = list(T.iter_query_blocks(q, "qid", "vector", packed=False))
+    assert [len(b[0]) for b in pb] == [len(b[0]) for b in pr]
+    ids_p = {int(i) for b in pb for i in b[0]}
+    ids_r = {int(i) for b in pr for i in b[0]}
+    assert ids_p == ids_r
+    mp = {int(i): v for b in pb for i, v in zip(b[0], b[1])}
+    mr = {int(i): v for b in pr for i, v in zip(b[0], b[1])}
+    for i in ids_p:
+        assert np.allclose(mp[i], mr[i])
+
+
 def test_disk_backed_ivfpq_codes_partitioned(engine, spark, vectors8, tmp_path):
     """IVFPQ + storage_path: the parquet slices hold m-byte CODES (not
     vectors), cluster-partitioned, and search prunes + self-hits."""
