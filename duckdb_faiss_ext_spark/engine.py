@@ -674,13 +674,20 @@ class FaissSparkEngine:
                 # would duplicate corpus rows and corrupt the graph search
                 # (the semi-join paths are dedup-safe by construction)
                 allowed = allowed.distinct()
-            # branch-decision count: one bounded scan of the allowed set per
+            # branch-decision count: one id-only scan of the allowed set per
             # filtered search — the same cost class as the reference, which
             # re-runs the filter SELECT on every faiss_search_filter call
             # (faiss_extension.cpp:988-996)
-            if has_graph and allowed.limit(
-                self.GRAPH_FILTER_BROADCAST_CAP + 1
-            ).count() <= self.GRAPH_FILTER_BROADCAST_CAP:
+            mode = str(params.get("graph_filter", "auto"))
+            use_beam = False
+            if has_graph and mode != "scan":
+                n_allowed = allowed.count()
+                within_cap = n_allowed <= self.GRAPH_FILTER_BROADCAST_CAP
+                use_beam = within_cap and (
+                    mode == "beam"
+                    or self._graph_filter_beam_wins(idx, params, k, n_allowed)
+                )
+            if use_beam:
                 # graph indexes keep their graphs under a filter: a BROADCAST
                 # left join stamps an `_allowed` marker onto the corpus
                 # without shuffling it (partition-aligned graph segments stay
@@ -695,10 +702,13 @@ class FaissSparkEngine:
             else:
                 corpus = corpus.join(allowed, "label", "left_semi")
                 if has_graph:
-                    # allowed set too large to broadcast: fall back to the
-                    # exact scan of survivors (recall 1.0).  At this
-                    # selectivity the survivor scan is within a small factor
-                    # of the corpus scan a beam would explore anyway.
+                    # exact scan of the survivors (recall 1.0): taken when
+                    # the allowed set exceeds the broadcast cap, when the
+                    # caller forces graph_filter='scan', or when the cost
+                    # model says widened beams would evaluate more vectors
+                    # than the scan (low selectivity — the 50k-row probe
+                    # measured masked beams 35x slower than the survivor
+                    # scan at p=1%)
                     corpus = corpus.drop("neighbors")
                     has_graph = False
         if idx.codebooks is not None:
@@ -891,6 +901,36 @@ class FaissSparkEngine:
     # join (ids only: 4M x ~16 B ≈ 64 MB broadcast); beyond it filtered
     # graph search falls back to the exact survivor scan
     GRAPH_FILTER_BROADCAST_CAP = 1 << 22
+
+    # masked-beam node evaluations cost ~2x a BLAS scan row (gather-based
+    # neighbor expansion vs one matmul pass) — the handicap the filtered
+    # cost model applies before preferring beams over the survivor scan
+    BEAM_EVAL_PENALTY = 2.0
+
+    def _graph_filter_beam_wins(
+        self, idx: FaissIndex, params: dict, k: int, n_allowed: int
+    ) -> bool:
+        """Cost model for filtered graph search (graph_filter='auto'): keep
+        the graphs only when masked beams are expected to evaluate fewer
+        vectors than the exact scan of the allowed survivors.
+
+        Beams widen ef to ~max(ef, 2k/sel) per segment, capped at the
+        segment size (nsw.py ef_run), and every segment walks once per
+        query: beam_evals ≈ n_segments * ef_run.  The survivor scan
+        evaluates exactly n_allowed rows in one BLAS pass.  At p=1% on a
+        50k corpus the widened beams measured 35x slower than the scan;
+        at p=90% the scan approaches the full corpus while beams stay at
+        base ef — the model picks each end correctly and crosses over
+        around sel ≈ n_segments*ef/n."""
+        n = max(int(idx.count), 1)
+        if n_allowed <= 0:
+            return False  # zero survivors: the semi-join path is free
+        seg_rows = int(idx.params.get("graph_partition_rows", self.GRAPH_ROWS))
+        ef = int(params.get("efSearch", self.DEFAULT_EF_SEARCH))
+        sel = n_allowed / n
+        n_segments = max(1, -(-n // seg_rows))
+        ef_run = min(seg_rows, max(ef, 2.0 * k / max(sel, 1e-9)))
+        return self.BEAM_EVAL_PENALTY * n_segments * ef_run < n_allowed
 
     def _nsw_search_flat(
         self,

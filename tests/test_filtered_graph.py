@@ -57,7 +57,12 @@ def _spy_nsw_topk(monkeypatch):
 def test_filtered_hnsw_beams_run_with_recall(spark, fidx, monkeypatch, p):
     """At p=1% and p=90% selectivity the graph path must run (beam kernel
     invoked with the allowed marker, neighbors retained — no exact-scan
-    fallback) and recall vs the exact filtered ground truth must clear 0.9."""
+    fallback) and recall vs the exact filtered ground truth must clear 0.9.
+
+    graph_filter='beam' forces the masked-beam plan: at p=1% the auto cost
+    model correctly prefers the (cheaper, recall-1.0) survivor scan, and
+    this test pins the beam MACHINERY itself — the IDSelectorBitmap
+    parity — at both selectivity extremes."""
     eng, x = fidx
     calls = _spy_nsw_topk(monkeypatch)
     allowed_mask = (np.arange(N) % 100) < p
@@ -68,7 +73,9 @@ def test_filtered_hnsw_beams_run_with_recall(spark, fidx, monkeypatch, p):
         "qid bigint, vector array<float>",
     )
     res = eng.search_flat(
-        "fgraph", K, q, params={"efSearch": 128}, allowed_df=allowed_df
+        "fgraph", K, q,
+        params={"efSearch": 128, "graph_filter": "beam"},
+        allowed_df=allowed_df,
     ).collect()
     # beams ran: the kernel saw the graph AND the allowed marker
     assert calls, "graph kernel was not invoked (exact-scan fallback took over)"
@@ -83,6 +90,32 @@ def test_filtered_hnsw_beams_run_with_recall(spark, fidx, monkeypatch, p):
         truth = _exact_filtered(x, x[qid], allowed_mask, K)
         recall = len(got & truth) / len(truth)
         assert recall >= 0.9, (qid, p, recall)
+
+
+def test_filtered_graph_auto_cost_model(spark, fidx, monkeypatch):
+    """graph_filter='auto' (default) picks the physical plan by expected
+    vector evaluations: the survivor exact scan at p=1% (beams widened by
+    1/sel would evaluate ~30x more nodes — recall 1.0 either way) and
+    masked beams at p=90% (the scan would touch ~the whole corpus).  Both
+    choices return only allowed labels."""
+    eng, x = fidx
+
+    for p, expect_beam in ((1, False), (90, True)):
+        calls = _spy_nsw_topk(monkeypatch)
+        allowed_df = spark.range(N).filter(F.col("id") % 100 < p).select("id")
+        q = spark.createDataFrame(
+            [(11, [float(v) for v in x[11]])], "qid bigint, vector array<float>"
+        )
+        res = eng.search_flat(
+            "fgraph", K, q, params={"efSearch": 128}, allowed_df=allowed_df
+        ).collect()
+        assert bool(calls) == expect_beam, (p, calls)
+        assert res and all(r["label"] % 100 < p for r in res)
+        if not expect_beam:
+            # scan path is exact: matches the filtered ground truth
+            truth = _exact_filtered(x, x[11], (np.arange(N) % 100) < p, K)
+            assert {r["label"] for r in res} == truth
+        monkeypatch.undo()
 
 
 def test_filtered_hnsw_large_set_falls_back_exact(spark, fidx, monkeypatch):

@@ -108,6 +108,18 @@ def test_scan_summary_structure(spark, sf_dir):
     assert "l_quantity" in (scans[0]["pushed_filters"] or "")
 
 
+def test_dedup_lsh_self_join_is_hash_equi_join(spark, sf_dir):
+    """MinHash LSH candidate generation must self-join on (band, bkey) as a
+    hash equi-join — a cartesian of the exploded band table is the n²
+    failure mode the banding exists to prevent."""
+    from duckdb_faiss_ext_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text", 4, 2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_grouped_simjoin_is_equi_join_not_cartesian(spark, sf_dir):
     """similarity_join_grouped (the bulk-IVF shape) must join blocks on the
     group key — a cartesian/BNL of the block tables would defeat cluster

@@ -150,6 +150,32 @@ def main() -> None:
     results["hnsw_knn48_ef128_sec"] = time.perf_counter() - t0
     results["hnsw_recall_ef128"] = len(hnsw_hits & exact_hits) / len(exact_hits)
 
+    # filtered GRAPH search @1% selectivity (r4): auto picks the survivor
+    # scan here (beams widened by 1/sel lose the cost model); 'beam' forces
+    # the masked-beam plan — the IDSelectorBitmap analog — so both physical
+    # strategies stay measured.  Recall is vs the exact FILTERED top-k.
+    allowed = idx.data.filter(F.col("label") % 100 == 0).select("label")
+    fexact_hits = {
+        (r["qid"], r["label"])
+        for r in eng.search_flat("scale", 10, qdf, allowed_df=allowed).collect()
+    }
+    for mode in ("auto", "beam"):
+        fparams = {"efSearch": 128, "graph_filter": mode}
+        eng.search_flat(
+            "scale_hnsw", 10, qdf, params=fparams, allowed_df=allowed
+        ).count()  # warm
+        t0 = time.perf_counter()
+        fhits = {
+            (r["qid"], r["label"])
+            for r in eng.search_flat(
+                "scale_hnsw", 10, qdf, params=fparams, allowed_df=allowed
+            ).collect()
+        }
+        results[f"hnsw_filtered_p1_{mode}_sec"] = time.perf_counter() - t0
+        results[f"hnsw_filtered_p1_{mode}_recall"] = (
+            len(fhits & fexact_hits) / len(fexact_hits)
+        )
+
     # the reference's headline composite shape (IVF2048_HNSW128 analog):
     # nprobe routes to clusters, a per-cluster NSW graph beams inside each
     t0 = time.perf_counter()
