@@ -681,7 +681,12 @@ class FaissSparkEngine:
             mode = str(params.get("graph_filter", "auto"))
             use_beam = False
             if has_graph and mode != "scan":
-                n_allowed = allowed.count()
+                # bounded: stops at cap+1 rows, and when the set is within
+                # the cap the bounded count IS the exact size — one job
+                # serves both the cap check and the cost model
+                n_allowed = allowed.limit(
+                    self.GRAPH_FILTER_BROADCAST_CAP + 1
+                ).count()
                 within_cap = n_allowed <= self.GRAPH_FILTER_BROADCAST_CAP
                 use_beam = within_cap and (
                     mode == "beam"

@@ -159,7 +159,10 @@ def main() -> None:
         (r["qid"], r["label"])
         for r in eng.search_flat("scale", 10, qdf, allowed_df=allowed).collect()
     }
-    for mode in ("auto", "beam"):
+    # forced beam at p=1% costs segments x (2k/sel)-widened walks — minutes
+    # at 1M; the 50k A/B already records that trade, so big probes measure
+    # only the auto choice
+    for mode in ("auto", "beam") if n <= 200_000 else ("auto",):
         fparams = {"efSearch": 128, "graph_filter": mode}
         eng.search_flat(
             "scale_hnsw", 10, qdf, params=fparams, allowed_df=allowed
