@@ -392,6 +392,34 @@ def test_bulk_queries_ivf_matches_standard(engine, spark, vectors8, queries8):
     assert key(base) == key(bulk)
 
 
+def test_bulk_queries_composes_with_filter(engine, spark, vectors8, queries8):
+    """bulk_queries and a filter compose on every index family: the allowed
+    restriction applies BEFORE the bulk path packs/joins, so results match
+    the standard filtered search exactly."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    q = _query_df(spark, queries8)
+    allowed = spark.range(1000).filter(F.col("id") % 3 == 0).select("id")
+    key = lambda rows: sorted((r["qid"], r["rank"], r["label"]) for r in rows)
+    for name, factory, extra in (
+        ("cmpflat", "IDMap,Flat", {}),
+        ("cmpivf", "IDMap,IVF4,Flat", {"nprobe": 4}),
+        ("cmpg", "IDMap,HNSW8", {"efSearch": 64}),
+    ):
+        engine.create(name, 8, factory, metric_type="INNER_PRODUCT")
+        engine.add(name, _vec_df(spark, vectors8, np.arange(1000)))
+        base = engine.search_flat(
+            name, 5, q, params=dict(extra), allowed_df=allowed
+        ).collect()
+        bulk = engine.search_flat(
+            name, 5, q, params={**extra, "bulk_queries": 1}, allowed_df=allowed
+        ).collect()
+        assert key(base) == key(bulk), name
+        assert all(r["label"] % 3 == 0 for r in bulk), name
+        engine.destroy(name)
+
+
 def test_bulk_queries_graph_matches_standard(engine, spark, vectors8, queries8):
     """On a graph index bulk_queries upgrades the driver stream to
     executor-packed binary blocks (graphs have no block-join bulk path);
