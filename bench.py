@@ -52,16 +52,31 @@ def timed(fn, warmup: bool = False):
     return time.perf_counter() - t0
 
 
+# quiet-host r4 measurements for keys that exist in NO recorded round yet
+# (no recorded baseline => no contention guard otherwise)
+LOCAL_BASELINES = {
+    "dedup_pipeline_full": 10.0,
+}
+
+
 def load_r1_baselines() -> dict:
-    """Per-query r1 timings (the recorded first-green baseline) for the
-    >2x auto-rerun rule; missing file => no reruns."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
-    try:
-        with open(path) as f:
-            q = json.load(f)["parsed"]["queries"]
-        return {k: v for k, v in q.items() if isinstance(v, (int, float))}
-    except Exception:
-        return {}
+    """Per-query reference timings for the >2x auto-rerun rule: the MIN of
+    each key across the recorded rounds (r1 = first-green baseline; later
+    rounds cover keys added since — r3's own dedup_minhash_lsh 40 s outlier
+    is neutralized by the min) plus quiet-host locals for unrecorded keys.
+    Missing files => fewer guarded keys, never an error."""
+    base = dict(LOCAL_BASELINES)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BENCH_r01.json", "BENCH_r03.json"):
+        try:
+            with open(os.path.join(here, fname)) as f:
+                q = json.load(f)["parsed"]["queries"]
+        except Exception:
+            continue
+        for k, v in q.items():
+            if isinstance(v, (int, float)):
+                base[k] = min(base[k], v) if k in base else v
+    return base
 
 
 def main() -> None:
