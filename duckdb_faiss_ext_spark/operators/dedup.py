@@ -26,7 +26,8 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
-from pyspark.sql.types import DoubleType
+
+from duckdb_faiss_ext_spark.functions.vector import cosine_batch_udf
 
 WHITESPACE = r"\s+"
 
@@ -35,22 +36,6 @@ def _words(text_col: str):
     return F.split(F.trim(F.col(text_col)), WHITESPACE)
 
 
-def _pair_cosine_fn(va: pd.Series, vb: pd.Series) -> pd.Series:
-    """Batch cosine for candidate-pair verification: one numpy pass per
-    Arrow batch (float64 — same precision as the JVM double expression it
-    replaces; see cosine_lsh_pairs docstring for the why)."""
-    if len(va) == 0:
-        return pd.Series([], dtype=np.float64)
-    a = np.asarray(list(va), dtype=np.float64)
-    b = np.asarray(list(vb), dtype=np.float64)
-    num = (a * b).sum(axis=1)
-    den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
-    return pd.Series(num / den)
-
-
-# DataType object, not a DDL string: string return types parse through the
-# active session, which does not exist at import time
-_pair_cosine = F.pandas_udf(_pair_cosine_fn, DoubleType())
 
 
 def _ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
@@ -637,7 +622,7 @@ def cosine_lsh_pairs(
     return (
         cand_ids.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos_full", _pair_cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos_full", cosine_batch_udf()(F.col("va"), F.col("vb")))
         .filter(F.col("cos_full") > threshold)
         .select("id_a", "id_b", "cos_full")
     )
