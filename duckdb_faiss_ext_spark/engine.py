@@ -679,6 +679,12 @@ class FaissSparkEngine:
             # re-runs the filter SELECT on every faiss_search_filter call
             # (faiss_extension.cpp:988-996)
             mode = str(params.get("graph_filter", "auto"))
+            if mode not in ("auto", "beam", "scan"):
+                # fail loud: a typo ('beams') silently falling back to the
+                # cost model would let a user believe they forced a plan
+                raise FaissSparkError(
+                    f"graph_filter must be 'auto', 'beam' or 'scan'; got {mode!r}"
+                )
             use_beam = False
             if has_graph and mode != "scan":
                 # bounded: stops at cap+1 rows, and when the set is within
@@ -933,7 +939,19 @@ class FaissSparkEngine:
         seg_rows = int(idx.params.get("graph_partition_rows", self.GRAPH_ROWS))
         ef = int(params.get("efSearch", self.DEFAULT_EF_SEARCH))
         sel = n_allowed / n
-        n_segments = max(1, -(-n // seg_rows))
+        if idx.spec.kind == "ivf":
+            # composite IVF_HNSW beams only the PROBED clusters' segments —
+            # pricing all ceil(n/seg) segments overestimated beams ~n/(probed
+            # rows) and pushed moderate-selectivity composite searches onto
+            # the slower scan (r4 review); the scan side shrinks the same
+            # way, since it too only reads the probed clusters
+            nlist = max(int(idx.spec.nlist), 1)
+            nprobe = min(int(params.get("nprobe", 1)), nlist)
+            cluster_rows = max(1, -(-n // nlist))
+            n_segments = nprobe * max(1, -(-cluster_rows // seg_rows))
+            n_allowed = max(1, int(n_allowed * nprobe / nlist))
+        else:
+            n_segments = max(1, -(-n // seg_rows))
         ef_run = min(seg_rows, max(ef, 2.0 * k / max(sel, 1e-9)))
         return self.BEAM_EVAL_PENALTY * n_segments * ef_run < n_allowed
 

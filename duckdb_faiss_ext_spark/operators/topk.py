@@ -137,18 +137,33 @@ def iter_query_blocks(
             ids_buf, vec_buf, held = [], [], 0
             return out
 
+        dim_seen = None
         for rb in batches:
             n = rb.num_rows
             if n == 0:
                 continue
-            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
-            if len(flat) % n:
+            qcol, vcol = rb.column(0), rb.column(1)
+            # integrity BEFORE reshape: ListArray.flatten() silently DROPS
+            # null lists, so a modulo check can pass while every subsequent
+            # vector is shifted (one null among 64 dim-64 rows still gives
+            # len % n == 0) — validate per-row lengths and nulls instead,
+            # and pin the dim across batches (the per-row path fails fast
+            # on the same inputs; the packed path must too)
+            if qcol.null_count or vcol.null_count:
                 raise ValueError(
-                    f"iter_query_blocks: ragged query vectors "
-                    f"({len(flat)} values across {n} rows)"
+                    "iter_query_blocks: null qid or vector in the query side"
                 )
-            x = np.ascontiguousarray(flat.reshape(n, -1), dtype=np_t)
+            lens = np.unique(vcol.value_lengths().to_numpy(zero_copy_only=False))
+            if len(lens) != 1 or (dim_seen is not None and lens[0] != dim_seen):
+                raise ValueError(
+                    "iter_query_blocks: ragged query vectors "
+                    f"(row lengths {lens.tolist()}, expected "
+                    f"{dim_seen if dim_seen is not None else 'uniform'})"
+                )
+            dim_seen = int(lens[0])
+            ids = qcol.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = vcol.flatten().to_numpy(zero_copy_only=False)
+            x = np.ascontiguousarray(flat.reshape(n, dim_seen), dtype=np_t)
             lo = 0
             while lo < n:
                 take = min(n - lo, MAX_QUERY_BLOCK - held)

@@ -118,6 +118,63 @@ def test_filtered_graph_auto_cost_model(spark, fidx, monkeypatch):
         monkeypatch.undo()
 
 
+def test_graph_filter_rejects_unknown_mode(spark, fidx):
+    """A typo'd graph_filter value must raise, not silently run 'auto' —
+    a user who thinks they forced a plan must not measure the other one."""
+    from duckdb_faiss_ext_spark.errors import FaissSparkError
+
+    eng, x = fidx
+    allowed_df = spark.range(N).filter(F.col("id") % 2 == 0).select("id")
+    q = spark.createDataFrame(
+        [(1, [float(v) for v in x[1]])], "qid bigint, vector array<float>"
+    )
+    with pytest.raises(FaissSparkError, match="graph_filter"):
+        eng.search_flat(
+            "fgraph", K, q, params={"graph_filter": "beams"}, allowed_df=allowed_df
+        )
+
+
+def test_cost_model_prices_composite_by_probed_clusters(spark, fidx):
+    """For IVF composites the model prices beams on the PROBED clusters'
+    segments (and shrinks the scan side the same way) — an all-segments
+    estimate pushed moderate-selectivity composite searches onto the scan."""
+    eng, _ = fidx
+
+    class _Spec:
+        kind = "ivf"
+        nlist = 16
+
+    class _Idx:
+        count = 1_000_000
+        params: dict = {}
+        spec = _Spec()
+
+    win = eng._graph_filter_beam_wins(
+        _Idx(), {"nprobe": 4, "efSearch": 128}, 10, 100_000
+    )
+    assert win  # p=10%: 4 probed segments of beams beat a 25k-row scan
+    assert not eng._graph_filter_beam_wins(
+        _Idx(), {"nprobe": 4, "efSearch": 128}, 10, 1_000
+    )  # p=0.1%: ~62 allowed rows in probed clusters — scan is free
+
+
+def test_packed_stream_rejects_null_and_ragged_vectors(spark):
+    """The packed query stream must fail loud on null/ragged vectors:
+    ListArray.flatten() drops null lists, so without the per-row length
+    check a single null would silently shift every later vector."""
+    from duckdb_faiss_ext_spark.operators import topk as T
+
+    rows = [(i, [float(j) for j in range(8)]) for i in range(64)]
+    rows[10] = (10, None)
+    df = spark.createDataFrame(rows, "qid bigint, vector array<float>")
+    with pytest.raises(Exception, match="null qid or vector"):
+        list(T.iter_query_blocks(df, "qid", "vector", packed=True))
+    rows2 = [(i, [float(j) for j in range(8 if i != 5 else 7)]) for i in range(64)]
+    df2 = spark.createDataFrame(rows2, "qid bigint, vector array<float>")
+    with pytest.raises(Exception, match="ragged query vectors"):
+        list(T.iter_query_blocks(df2, "qid", "vector", packed=True))
+
+
 def test_filtered_hnsw_large_set_falls_back_exact(spark, fidx, monkeypatch):
     """Allowed sets beyond the broadcast cap take the exact survivor-scan
     path (graphs dropped) — recall 1.0, never an OOM-sized broadcast."""
