@@ -110,6 +110,23 @@ class FaissSparkEngine:
             except Exception:
                 pass
 
+    def to_gpu(self, name: str, device: int = 0) -> None:
+        """faiss_to_gpu (faiss_extension.cpp:1044; gpu/gpu.cpp:48) — the one
+        reference function with no Spark analog: it swaps the in-process
+        index for a faiss::gpu copy, and this engine's 'index' is a
+        distributed DataFrame scored by CPU BLAS/numpy on executors.  The
+        reference's error ORDER is preserved (unknown index raises its own
+        error before any GPU work, gpu.cpp:40), then a clear unsupported
+        error — never a silent no-op a caller could mistake for an
+        accelerated index."""
+        self.registry.get(name)  # error-if-absent first, reference parity
+        raise FaissSparkError(
+            f"faiss_to_gpu is not supported: index {name!r} is a distributed "
+            "DataFrame, not an in-process FAISS index (the reference's GPU "
+            "path is CUDA-only, src/gpu/gpu.cpp). Searches already "
+            "parallelize across executor cores."
+        )
+
     @staticmethod
     def _unpersist_slices(idx: FaissIndex) -> None:
         for s in idx.slices:

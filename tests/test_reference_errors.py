@@ -92,3 +92,20 @@ def test_faiss6_create_params_hnsw(spark, training):
     rows = eng.search_flat("hnsw16_f6", 2, q).collect()
     assert len(rows) == 4
     eng.destroy("hnsw16_f6")
+
+
+def test_faiss_to_gpu_error_order_matches_reference(spark):
+    """faiss_to_gpu (faiss_extension.cpp:1044): unknown index raises ITS
+    error before any GPU work (gpu.cpp:40 'Could not find index'); a known
+    index raises a clear unsupported error — never a silent no-op."""
+    import pytest
+
+    from duckdb_faiss_ext_spark.errors import FaissSparkError, IndexNotFound
+
+    eng = FaissSparkEngine(spark)
+    with pytest.raises(IndexNotFound):
+        eng.to_gpu("no_such_index")
+    eng.create("gpu_probe", 4, "Flat")
+    with pytest.raises(FaissSparkError, match="not supported"):
+        eng.to_gpu("gpu_probe", device=0)
+    eng.destroy("gpu_probe")
