@@ -56,6 +56,7 @@ def timed(fn, warmup: bool = False):
 # (no recorded baseline => no contention guard otherwise)
 LOCAL_BASELINES = {
     "dedup_pipeline_full": 10.0,
+    "hnsw_filtered_p1": 0.6,
 }
 
 
@@ -288,6 +289,23 @@ def main() -> None:
             ).collect()
         }
         queries["hnsw_recall_ef128"] = recall(hnsw_hits)
+        # filtered graph search @1% (graph_filter='auto' picks the plan by
+        # expected evaluations — the r4 cost model, recorded per-round);
+        # recall is vs the exact FILTERED top-k on the Flat index
+        allowed = emb.filter(F.col("vec_id") % 100 < 1).select("vec_id")
+        fexact = {
+            (r["qid"], r["label"])
+            for r in eng.search_flat("bench_ip", 10, qdf48, allowed_df=allowed).collect()
+        }
+        frun = lambda: eng.search_flat(  # noqa: E731
+            "bench_hnsw", 10, qdf48, params={"efSearch": 128}, allowed_df=allowed
+        )
+        bench_entry("hnsw_filtered_p1", lambda: frun().count(), warmup=True)
+        queries["hnsw_filtered_p1_recall"] = round(
+            len({(r["qid"], r["label"]) for r in frun().collect()} & fexact)
+            / max(len(fexact), 1),
+            4,
+        )
 
     # composite IVF_HNSW (the reference's IVF2048_HNSW128 shape): nprobe
     # routes to clusters, per-cluster NSW graphs beam inside each
@@ -408,6 +426,7 @@ def main() -> None:
         "ivf_recall_nprobe4",
         "ivf_recall_nprobe16",
         "hnsw_recall_ef128",
+        "hnsw_filtered_p1_recall",
         "ivfhnsw_recall_np8",
         "ivfhnsw_recall_np16",
         "lsh_recall_4x8",
