@@ -1,0 +1,140 @@
+"""Disk-backed index probe: the corpora-larger-than-cache mode at 1M x 64.
+
+Memory-mode probes (tools/scale_probe.py) cover the cached path; this one
+measures `params={'storage_path': ...}` — parquet-slice appends (O(batch)
+per add, flat lineage) and searches that read from disk with IVF
+cluster-directory pruning — the layout the 100 TB deployment actually
+runs, where the corpus lives on shared storage, not executor memory.
+
+Measurements (appended to SCALE.md):
+- sliced ingest: 4 x 250k appends into an IVF32 disk index (per-slice sec
+  shows appends stay O(batch), not O(total));
+- cold IVF search nprobe=4: a FRESH engine loads nothing up front — the
+  scan reads only the probed clusters' parquet directories;
+- same search warm (OS page cache), and the full-probe (nprobe=32) scan
+  for the pruning ratio;
+- on-disk layout: cluster directory count and total bytes.
+
+Run: python tools/disk_probe.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth(spark, lo: int, hi: int, dim: int):
+    return spark.range(lo, hi, 1, 32).select(
+        F.col("id").alias("label"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.sin(F.col("id") * 1000 + j) * 43758.5453
+                - F.floor(F.sin(F.col("id") * 1000 + j) * 43758.5453)
+            ).cast("float"),
+        ).alias("vector"),
+    )
+
+
+def dir_stats(path: str) -> tuple[int, float]:
+    clusters = set()
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        if "cluster_id=" in os.path.basename(root):
+            clusters.add(os.path.basename(root))
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return len(clusters), total / 1e6
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim = 64
+    slices = 4
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+    from duckdb_faiss_ext_spark.session import get_spark
+
+    spark = get_spark("disk-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="disk_probe_")
+    path = os.path.join(work, "idx")
+    results: dict[str, float] = {}
+    try:
+        eng = FaissSparkEngine(spark)
+        eng.create(
+            "disk", dim, "IDMap,IVF32,Flat", metric_type="INNER_PRODUCT",
+            params={"storage_path": path},
+        )
+        per = n // slices
+        t_all = time.perf_counter()
+        for s in range(slices):
+            t0 = time.perf_counter()
+            eng.add("disk", synth(spark, s * per, (s + 1) * per, dim), validate=False)
+            results[f"add_slice{s}_sec"] = round(time.perf_counter() - t0, 2)
+        results["ingest_sec"] = round(time.perf_counter() - t_all, 2)
+        results["ingest_rows_per_sec"] = round(n / results["ingest_sec"], 1)
+        n_dirs, mb = dir_stats(path)
+        results["cluster_dirs"] = n_dirs
+        results["on_disk_mb"] = round(mb, 1)
+
+        qdf = synth(spark, 0, 48, dim).select(
+            F.col("label").alias("qid"), F.col("vector")
+        ).cache()
+        qdf.count()
+
+        # cold: disk-mode indexes cache nothing — every search reads the
+        # probed clusters' parquet directories (the engine instance holds
+        # only centroids + metadata)
+        t0 = time.perf_counter()
+        cnt = eng.search_flat("disk", 10, qdf, params={"nprobe": 4}).count()
+        results["ivf_np4_cold_sec"] = round(time.perf_counter() - t0, 2)
+        assert cnt == 480, cnt
+        t0 = time.perf_counter()
+        eng.search_flat("disk", 10, qdf, params={"nprobe": 4}).count()
+        results["ivf_np4_warm_sec"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        eng.search_flat("disk", 10, qdf, params={"nprobe": 32}).count()
+        results["ivf_np32_full_scan_sec"] = round(time.perf_counter() - t0, 2)
+        # batch-of-48 probes UNION across the chunk, so at nlist=32 nearly
+        # every directory is read regardless of nprobe (pruning needs
+        # nlist >> nq*nprobe — the 100 TB layout runs nlist in the tens of
+        # thousands).  A single query shows the directory pruning cleanly:
+        # np1 reads 1/32 of the data vs the same query at full probe.
+        q1 = qdf.limit(1).cache()
+        q1.count()
+        eng.search_flat("disk", 10, q1, params={"nprobe": 1}).count()  # warm
+        t0 = time.perf_counter()
+        eng.search_flat("disk", 10, q1, params={"nprobe": 1}).count()
+        results["ivf_q1_np1_sec"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        eng.search_flat("disk", 10, q1, params={"nprobe": 32}).count()
+        results["ivf_q1_np32_sec"] = round(time.perf_counter() - t0, 2)
+        results["host_load_1m"] = round(os.getloadavg()[0], 2)
+
+        lines = [
+            f"\n## disk-backed index probe n={n:,} dim=64 (storage_path mode)\n",
+            "| metric | value |",
+            "|---|---|",
+        ]
+        lines += [f"| {k} | {v} |" for k, v in results.items()]
+        out = "\n".join(lines) + "\n"
+        print(out)
+        with open(
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "SCALE.md"),
+            "a",
+        ) as f:
+            f.write(out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
