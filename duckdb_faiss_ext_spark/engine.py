@@ -672,6 +672,14 @@ class FaissSparkEngine:
         if idx.needs_training:
             raise FaissSparkError(f"Index {name} is not trained")
         params = {**idx.params, **(params or {})}
+        # validate graph_filter on EVERY search (not only filtered ones): a
+        # typo baked into create-time params must surface on first use, not
+        # only once a filter happens to be added
+        if str(params.get("graph_filter", "auto")) not in ("auto", "beam", "scan"):
+            raise FaissSparkError(
+                "graph_filter must be 'auto', 'beam' or 'scan'; got "
+                f"{params.get('graph_filter')!r}"
+            )
         corpus = idx.data
         has_graph = "neighbors" in corpus.columns
         allowed_col = None
@@ -696,11 +704,13 @@ class FaissSparkEngine:
             # re-runs the filter SELECT on every faiss_search_filter call
             # (faiss_extension.cpp:988-996)
             mode = str(params.get("graph_filter", "auto"))
-            if mode not in ("auto", "beam", "scan"):
-                # fail loud: a typo ('beams') silently falling back to the
-                # cost model would let a user believe they forced a plan
+            if mode == "beam" and not has_graph:
+                # forcing beams on a graphless index would silently run the
+                # other plan — the exact confusion the mode exists to prevent
                 raise FaissSparkError(
-                    f"graph_filter must be 'auto', 'beam' or 'scan'; got {mode!r}"
+                    f"graph_filter='beam' on index {idx.name!r}: no graphs "
+                    "to beam (Flat/IVF index, or graphs not built). Use "
+                    "'auto'/'scan', or a graph factory."
                 )
             use_beam = False
             if has_graph and mode != "scan":
@@ -711,6 +721,16 @@ class FaissSparkEngine:
                     self.GRAPH_FILTER_BROADCAST_CAP + 1
                 ).count()
                 within_cap = n_allowed <= self.GRAPH_FILTER_BROADCAST_CAP
+                if mode == "beam" and not within_cap:
+                    # same fail-loud contract: a forced beam must never be
+                    # silently downgraded to the scan plan
+                    raise FaissSparkError(
+                        "graph_filter='beam': allowed set exceeds the "
+                        f"broadcast cap ({self.GRAPH_FILTER_BROADCAST_CAP} "
+                        "ids) — a beam mask cannot be stamped without "
+                        "shuffling the graph corpus. Use 'auto'/'scan' or "
+                        "shrink the filter."
+                    )
                 use_beam = within_cap and (
                     mode == "beam"
                     or self._graph_filter_beam_wins(idx, params, k, n_allowed)

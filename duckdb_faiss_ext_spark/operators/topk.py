@@ -187,10 +187,21 @@ def iter_query_blocks(
     acc_ids: list[np.ndarray] = []
     acc_vecs: list[np.ndarray] = []
     held = 0
+    dim_global = None  # executors validate within a task; this closes the
+    # cross-partition hole (two internally-uniform partitions of different
+    # dims would otherwise surface as an unattributed concatenate error)
     for row in packed.toLocalIterator(prefetchPartitions=True):
         ids = np.frombuffer(row["ids"], dtype=np.int64)
         if not len(ids):
             continue
+        blk_dim = len(np.frombuffer(row["vecs"], dtype=np_t)) // len(ids)
+        if dim_global is None:
+            dim_global = blk_dim
+        elif blk_dim != dim_global:
+            raise ValueError(
+                "iter_query_blocks: ragged query vectors across partitions "
+                f"(dim {blk_dim} vs {dim_global})"
+            )
         vecs = np.frombuffer(row["vecs"], dtype=np_t).reshape(len(ids), -1)
         acc_ids.append(ids)
         acc_vecs.append(vecs)

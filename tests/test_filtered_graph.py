@@ -120,7 +120,9 @@ def test_filtered_graph_auto_cost_model(spark, fidx, monkeypatch):
 
 def test_graph_filter_rejects_unknown_mode(spark, fidx):
     """A typo'd graph_filter value must raise, not silently run 'auto' —
-    a user who thinks they forced a plan must not measure the other one."""
+    a user who thinks they forced a plan must not measure the other one.
+    The check runs on EVERY search (a typo baked into create-time params
+    surfaces on first use, filter or not)."""
     from duckdb_faiss_ext_spark.errors import FaissSparkError
 
     eng, x = fidx
@@ -132,6 +134,41 @@ def test_graph_filter_rejects_unknown_mode(spark, fidx):
         eng.search_flat(
             "fgraph", K, q, params={"graph_filter": "beams"}, allowed_df=allowed_df
         )
+    with pytest.raises(FaissSparkError, match="graph_filter"):
+        eng.search_flat("fgraph", K, q, params={"graph_filter": "beams"})
+
+
+def test_forced_beam_never_silently_downgrades(spark, fidx, monkeypatch):
+    """graph_filter='beam' must raise when beams cannot run — allowed set
+    over the broadcast cap, or a graphless index — never silently run the
+    scan plan the caller explicitly opted out of."""
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+    from duckdb_faiss_ext_spark.errors import FaissSparkError
+
+    eng, x = fidx
+    q = spark.createDataFrame(
+        [(1, [float(v) for v in x[1]])], "qid bigint, vector array<float>"
+    )
+    allowed_df = spark.range(N).filter(F.col("id") % 2 == 0).select("id")
+    monkeypatch.setattr(FaissSparkEngine, "GRAPH_FILTER_BROADCAST_CAP", 16)
+    with pytest.raises(FaissSparkError, match="broadcast cap"):
+        eng.search_flat(
+            "fgraph", K, q, params={"graph_filter": "beam"}, allowed_df=allowed_df
+        )
+    monkeypatch.undo()
+    eng.create("nog", DIM, "IDMap,Flat", metric_type="L2")
+    eng.add(
+        "nog",
+        spark.createDataFrame(
+            [(int(i), [float(v) for v in x[i]]) for i in range(50)],
+            "label bigint, vector array<float>",
+        ),
+    )
+    with pytest.raises(FaissSparkError, match="no graphs"):
+        eng.search_flat(
+            "nog", K, q, params={"graph_filter": "beam"}, allowed_df=allowed_df
+        )
+    eng.destroy("nog")
 
 
 def test_cost_model_prices_composite_by_probed_clusters(spark, fidx):

@@ -9,10 +9,11 @@ runs, where the corpus lives on shared storage, not executor memory.
 Measurements (appended to SCALE.md):
 - sliced ingest: 4 x 250k appends into an IVF32 disk index (per-slice sec
   shows appends stay O(batch), not O(total));
-- cold IVF search nprobe=4: a FRESH engine loads nothing up front — the
-  scan reads only the probed clusters' parquet directories;
-- same search warm (OS page cache), and the full-probe (nprobe=32) scan
-  for the pruning ratio;
+- FIRST IVF search nprobe=4 in this process (includes first-job scheduler
+  warm-up, and the files were just written so the OS page cache is hot —
+  true cold-storage reads are out of this probe's reach), then the same
+  search repeated, and the full-probe (nprobe=32) scan for the pruning
+  ratio;
 - on-disk layout: cluster directory count and total bytes.
 
 Run: python tools/disk_probe.py [n_rows]
@@ -31,17 +32,11 @@ import pyspark.sql.functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+from tools._synth import synth_vectors
+
+
 def synth(spark, lo: int, hi: int, dim: int):
-    return spark.range(lo, hi, 1, 32).select(
-        F.col("id").alias("label"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: (
-                F.sin(F.col("id") * 1000 + j) * 43758.5453
-                - F.floor(F.sin(F.col("id") * 1000 + j) * 43758.5453)
-            ).cast("float"),
-        ).alias("vector"),
-    )
+    return synth_vectors(spark, hi - lo, dim, lo=lo)
 
 
 def dir_stats(path: str) -> tuple[int, float]:
@@ -89,12 +84,13 @@ def main() -> None:
         ).cache()
         qdf.count()
 
-        # cold: disk-mode indexes cache nothing — every search reads the
-        # probed clusters' parquet directories (the engine instance holds
-        # only centroids + metadata)
+        # first search in-process: disk-mode indexes cache nothing engine-side
+        # (only centroids + metadata), but this timing still includes
+        # first-job warm-up and page-cache-hot files — labeled 'first', not
+        # 'cold' (r4 review)
         t0 = time.perf_counter()
         cnt = eng.search_flat("disk", 10, qdf, params={"nprobe": 4}).count()
-        results["ivf_np4_cold_sec"] = round(time.perf_counter() - t0, 2)
+        results["ivf_np4_first_sec"] = round(time.perf_counter() - t0, 2)
         assert cnt == 480, cnt
         t0 = time.perf_counter()
         eng.search_flat("disk", 10, qdf, params={"nprobe": 4}).count()

@@ -35,16 +35,9 @@ def main() -> None:
     spark = get_spark("hnsw-seg-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    gen = spark.range(0, n, 1, 32).select(
-        F.col("id").alias("label"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: (
-                F.sin(F.col("id") * 1000 + j) * 43758.5453
-                - F.floor(F.sin(F.col("id") * 1000 + j) * 43758.5453)
-            ).cast("float"),
-        ).alias("vector"),
-    ).persist()
+    from tools._synth import synth_vectors
+
+    gen = synth_vectors(spark, n, dim).persist()
     gen.count()
 
     eng = FaissSparkEngine(spark)

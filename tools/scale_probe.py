@@ -28,20 +28,11 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # deterministic hash-derived vectors, fully codegen (README.md:58 style)
-    gen = (
-        spark.range(0, n, 1, 32)
-        .select(
-            F.col("id").alias("label"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda j: (
-                    F.sin(F.col("id") * 1000 + j) * 43758.5453
-                    - F.floor(F.sin(F.col("id") * 1000 + j) * 43758.5453)
-                ).cast("float"),
-            ).alias("vector"),
-        )
-    )
+    # deterministic hash-derived vectors, fully codegen (README.md:58 style;
+    # ONE shared definition across probes — tools/_synth.py)
+    from tools._synth import synth_vectors
+
+    gen = synth_vectors(spark, n, dim)
 
     eng = FaissSparkEngine(spark)
     results: dict[str, float] = {}
