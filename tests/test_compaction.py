@@ -1,0 +1,138 @@
+"""Slice compaction — graph re-segmentation (VERDICT r4 task 2).
+
+The reference grows ONE faiss graph across incremental adds
+(faiss_extension.cpp:505-532); this engine builds a graph per add-slice,
+so a long stream of micro-adds accumulates micro-segments and beam cost
+is paid per (query, segment).  Compaction (automatic at MAX_SLICES, or
+explicit via ``compact()``) must rebuild full-size segments over the
+merged corpus.
+"""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+from conftest import gen_vectors
+
+from duckdb_faiss_ext_spark import FaissSparkEngine
+from duckdb_faiss_ext_spark.errors import FaissSparkError
+
+
+@pytest.fixture()
+def eng(spark):
+    e = FaissSparkEngine(spark)
+    yield e
+    for name in e.list_indexes():
+        e.destroy(name)
+
+
+def _vec_df(spark, x, lo):
+    return spark.createDataFrame(
+        [(lo + i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "label bigint, vector array<float>",
+    )
+
+
+def _segments(idx):
+    return idx.data.select("graph_seg").distinct().count()
+
+
+def test_max_slices_compaction_rebuilds_graphs(spark, eng):
+    """After the MAX_SLICES-th add, micro-segment graphs are rebuilt into
+    ceil(n / graph_partition_rows) full segments."""
+    eng.MAX_SLICES = 4
+    eng.create(
+        "cmp_hnsw", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64"},
+    )
+    x = gen_vectors(160, 8)
+    for i in range(4):
+        eng.add("cmp_hnsw", _vec_df(spark, x[i * 40 : (i + 1) * 40], i * 40))
+    idx = eng.registry.get("cmp_hnsw")
+    assert len(idx.slices) == 1  # compacted on the 4th add
+    # 160 rows at 64 rows/segment -> 3 segments (pre-compaction: 4 micro)
+    assert _segments(idx) == 3
+    assert idx.count == 160
+    # recall: every vector still finds itself through the rebuilt graphs
+    q = _vec_df(spark, x[::8], 0).select(
+        F.col("label").alias("qid"), "vector"
+    ).withColumn("qid", F.monotonically_increasing_id())
+    res = eng.search_flat("cmp_hnsw", 1, q, params={"efSearch": 64}).collect()
+    assert all(r["distance"] < 1e-5 for r in res)
+
+
+def test_micro_segments_accumulate_between_compactions(spark, eng):
+    eng.MAX_SLICES = 8
+    eng.create(
+        "cmp_acc", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64"},
+    )
+    x = gen_vectors(120, 8)
+    for i in range(3):
+        eng.add("cmp_acc", _vec_df(spark, x[i * 40 : (i + 1) * 40], i * 40))
+    idx = eng.registry.get("cmp_acc")
+    assert _segments(idx) == 3  # one micro-graph per add, no compaction yet
+    eng.compact("cmp_acc")
+    assert len(idx.slices) == 1
+    assert _segments(idx) == 2  # 120 rows / 64 -> 2 segments
+    res = eng.search_flat(
+        "cmp_acc", 1,
+        _vec_df(spark, x[:5], 0).select(F.col("label").alias("qid"), "vector"),
+        params={"efSearch": 64},
+    ).collect()
+    assert all(r["qid"] == r["label"] and r["distance"] < 1e-5 for r in res)
+
+
+def test_compact_flat_index_identical_results(spark, eng):
+    eng.create("cmp_flat", 8, "IDMap,Flat", metric_type="INNER_PRODUCT")
+    x = gen_vectors(90, 8)
+    for i in range(3):
+        eng.add("cmp_flat", _vec_df(spark, x[i * 30 : (i + 1) * 30], i * 30))
+    q = _vec_df(spark, gen_vectors(6, 8, 999), 0).select(
+        F.col("label").alias("qid"), "vector"
+    )
+    before = sorted(
+        (r["qid"], r["rank"], r["label"]) for r in eng.search_flat("cmp_flat", 5, q).collect()
+    )
+    eng.compact("cmp_flat")
+    idx = eng.registry.get("cmp_flat")
+    assert len(idx.slices) == 1 and idx.count == 90
+    after = sorted(
+        (r["qid"], r["rank"], r["label"]) for r in eng.search_flat("cmp_flat", 5, q).collect()
+    )
+    assert before == after
+
+
+def test_compact_ivf_hnsw_merges_cluster_pieces(spark, eng):
+    """Grouped (IVF_HNSW) compaction re-co-locates each cluster before the
+    rebuild, so a cluster split across slice partitions merges into
+    bounded per-cluster graphs."""
+    eng.create(
+        "cmp_ivfg", 8, "IDMap,IVF2_HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "256", "min_graph_rows": "0"},
+    )
+    x = gen_vectors(240, 8)
+    for i in range(4):
+        eng.add("cmp_ivfg", _vec_df(spark, x[i * 60 : (i + 1) * 60], i * 60))
+    idx = eng.registry.get("cmp_ivfg")
+    segs_before = _segments(idx)
+    eng.compact("cmp_ivfg")
+    segs_after = _segments(idx)
+    # 4 slices x >=1 graph per (slice, cluster) before; <= nlist segments
+    # after (each cluster fits one 256-row piece)
+    assert segs_after <= 2 < segs_before
+    res = eng.search_flat(
+        "cmp_ivfg", 1,
+        _vec_df(spark, x[:5], 0).select(F.col("label").alias("qid"), "vector"),
+        params={"nprobe": 2, "efSearch": 64},
+    ).collect()
+    assert all(r["qid"] == r["label"] and r["distance"] < 1e-5 for r in res)
+
+
+def test_compact_disk_mode_raises(spark, eng, tmp_path):
+    eng.create(
+        "cmp_disk", 8, "IDMap,Flat", metric_type="L2",
+        params={"storage_path": str(tmp_path / "cmp_disk")},
+    )
+    eng.add("cmp_disk", _vec_df(spark, gen_vectors(10, 8), 0))
+    with pytest.raises(FaissSparkError, match="disk-mode"):
+        eng.compact("cmp_disk")
