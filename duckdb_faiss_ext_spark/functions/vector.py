@@ -92,8 +92,27 @@ def cosine_batch_udf():
     def fn(va, vb):
         if len(va) == 0:
             return pd.Series([], dtype=np.float64)
-        a = np.asarray(list(va), dtype=np.float64)
-        b = np.asarray(list(vb), dtype=np.float64)
+        # explicit input validation (ADVICE r4): a null or ragged vector
+        # must fail with an attributable message, not an opaque numpy
+        # reshape/ufunc error — same contract as the packed query stream
+        if va.isna().any() or vb.isna().any():
+            raise ValueError(
+                "cosine_batch_udf: null vector in input (inputs must be "
+                "non-null uniform-dimension arrays)"
+            )
+        try:
+            a = np.asarray(list(va), dtype=np.float64)
+            b = np.asarray(list(vb), dtype=np.float64)
+        except ValueError as e:
+            raise ValueError(
+                "cosine_batch_udf: ragged vectors in input (inputs must be "
+                "non-null uniform-dimension arrays)"
+            ) from e
+        if a.ndim != 2 or b.ndim != 2 or a.shape[1] != b.shape[1]:
+            raise ValueError(
+                "cosine_batch_udf: ragged or dimension-mismatched vectors "
+                f"(left shape {a.shape}, right shape {b.shape})"
+            )
         num = (a * b).sum(axis=1)
         den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
         return pd.Series(num / den)

@@ -425,7 +425,11 @@ def neardup_components(
     solved on the driver (vectorized numpy min-label + pointer jumping on
     the collected edge list — exact, always converges) instead of paying
     per-round Spark job overhead; None forces the distributed path (the
-    1M probe uses that to measure propagation itself)."""
+    1M probe uses that to measure propagation itself).  DRIVER MEMORY
+    NOTE (ADVICE r4): the default cap admits up to 2^22 directed edges ≈
+    64 MB of int64 pairs on the driver, transiently 2-3x that during the
+    Arrow-to-pandas collect — on a thin driver pass ``small_collect=None``
+    (or a lower cap) to keep component-finding fully distributed."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

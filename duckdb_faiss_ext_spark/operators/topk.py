@@ -67,6 +67,18 @@ MAX_QUERY_BATCH = 8192  # queries per broadcast chunk (keeps driver+broadcast bo
 # computation and cluster-grouping; the driver never materializes more than
 # this many query vectors regardless of the query-side row count
 MAX_QUERY_BLOCK = 65536
+# byte budget per query block: a ROW cap alone is dim-dependent (65536 rows
+# at the reference's dim 1536 is ~400 MB of float32 on the driver and in
+# each executor-packed block row); the effective block is
+# min(MAX_QUERY_BLOCK, budget // row_bytes), so dim<=256 keeps the measured
+# 65536-row blocks and wide vectors shrink rows to hold bytes constant
+QUERY_BLOCK_BYTES = 64 << 20
+
+
+def _block_rows_for(dim: int, itemsize: int) -> int:
+    if dim <= 0:
+        return MAX_QUERY_BLOCK
+    return max(1, min(MAX_QUERY_BLOCK, QUERY_BLOCK_BYTES // (dim * itemsize)))
 
 
 def iter_query_blocks(
@@ -97,16 +109,20 @@ def iter_query_blocks(
     ~300k rows — callers opt in when they KNOW the query side is
     corpus-scale (the engine wires ``params={'bulk_queries': 1}`` to this
     for graph indexes, which have no executor-side block-join alternative)."""
+    np_item = np.dtype(dtype).itemsize
     if not packed:
         qids: list[int] = []
         vecs: list = []
+        eff_rows = MAX_QUERY_BLOCK
         it = queries_df.select(qid_col, vec_col).toLocalIterator(
             prefetchPartitions=True
         )
         for row in it:
+            if not qids:
+                eff_rows = _block_rows_for(len(row[1] or ()), np_item)
             qids.append(row[0])
             vecs.append(row[1])
-            if len(qids) >= MAX_QUERY_BLOCK:
+            if len(qids) >= eff_rows:
                 yield np.asarray(qids, dtype=np.int64), np.asarray(vecs, dtype=dtype)
                 qids, vecs = [], []
         if qids:
@@ -138,6 +154,7 @@ def iter_query_blocks(
             return out
 
         dim_seen = None
+        eff_rows = MAX_QUERY_BLOCK
         for rb in batches:
             n = rb.num_rows
             if n == 0:
@@ -161,42 +178,45 @@ def iter_query_blocks(
                     f"{dim_seen if dim_seen is not None else 'uniform'})"
                 )
             dim_seen = int(lens[0])
+            eff_rows = _block_rows_for(dim_seen, np_t.itemsize)
             ids = qcol.to_numpy(zero_copy_only=False).astype(np.int64)
             flat = vcol.flatten().to_numpy(zero_copy_only=False)
             x = np.ascontiguousarray(flat.reshape(n, dim_seen), dtype=np_t)
             lo = 0
             while lo < n:
-                take = min(n - lo, MAX_QUERY_BLOCK - held)
+                take = min(n - lo, eff_rows - held)
                 ids_buf.append(ids[lo : lo + take])
                 vec_buf.append(x[lo : lo + take].reshape(-1))
                 held += take
                 lo += take
-                if held >= MAX_QUERY_BLOCK:
+                if held >= eff_rows:
                     yield flush()
         if held:
             yield flush()
 
-    packed = queries_df.select(
+    packed_df = queries_df.select(
         F.col(qid_col).cast("bigint"), F.col(vec_col).cast(sql_vec)
     ).mapInArrow(pack, schema="ids binary, vecs binary")
 
     # driver-side re-accumulation: partitions smaller than the block size
-    # arrive as sub-blocks; concatenate up to MAX_QUERY_BLOCK so the number
-    # of corpus passes tracks ceil(nq / MAX_QUERY_BLOCK), not the query
+    # arrive as sub-blocks; concatenate up to the byte-budgeted block so
+    # the number of corpus passes tracks ceil(nq / block), not the query
     # side's partition count
     acc_ids: list[np.ndarray] = []
     acc_vecs: list[np.ndarray] = []
     held = 0
+    eff_rows = MAX_QUERY_BLOCK
     dim_global = None  # executors validate within a task; this closes the
     # cross-partition hole (two internally-uniform partitions of different
     # dims would otherwise surface as an unattributed concatenate error)
-    for row in packed.toLocalIterator(prefetchPartitions=True):
+    for row in packed_df.toLocalIterator(prefetchPartitions=True):
         ids = np.frombuffer(row["ids"], dtype=np.int64)
         if not len(ids):
             continue
         blk_dim = len(np.frombuffer(row["vecs"], dtype=np_t)) // len(ids)
         if dim_global is None:
             dim_global = blk_dim
+            eff_rows = _block_rows_for(blk_dim, np_t.itemsize)
         elif blk_dim != dim_global:
             raise ValueError(
                 "iter_query_blocks: ragged query vectors across partitions "
@@ -206,13 +226,11 @@ def iter_query_blocks(
         acc_ids.append(ids)
         acc_vecs.append(vecs)
         held += len(ids)
-        while held >= MAX_QUERY_BLOCK:
+        while held >= eff_rows:
             ids_all = np.concatenate(acc_ids)
             vecs_all = np.concatenate(acc_vecs)
-            yield ids_all[:MAX_QUERY_BLOCK], vecs_all[:MAX_QUERY_BLOCK]
-            acc_ids, acc_vecs = [ids_all[MAX_QUERY_BLOCK:]], [
-                vecs_all[MAX_QUERY_BLOCK:]
-            ]
+            yield ids_all[:eff_rows], vecs_all[:eff_rows]
+            acc_ids, acc_vecs = [ids_all[eff_rows:]], [vecs_all[eff_rows:]]
             held = len(acc_ids[0])
     if held:
         yield np.concatenate(acc_ids), np.concatenate(acc_vecs)
