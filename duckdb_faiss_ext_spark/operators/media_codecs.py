@@ -1,0 +1,274 @@
+"""Pure-numpy media codecs for the multimodal pipeline (VERDICT r4 task 3).
+
+No image/audio libraries exist in the runtime, so the decodable surface is
+the uncompressed public formats a numpy ``frombuffer`` can parse exactly:
+
+- **PPM (P6)** — binary RGB, the netpbm interchange format;
+- **BMP** — Windows bitmap, 24-bit uncompressed (BI_RGB) only;
+- **WAV** — RIFF PCM, 16-bit integer samples.
+
+Each decoder is strict: malformed or unsupported payloads raise
+``MediaDecodeError`` with the reason (compressed formats like JPEG/MP3/MP4
+are *detected* and rejected by ``sniff_format`` — wiring a real codec in a
+richer runtime replaces exactly these functions, the signatures are the
+contract).  ``sniff_format`` dispatches on magic bytes so a payload column
+can mix formats row by row.
+
+Features are deterministic numpy reductions over the decoded arrays —
+the Arrow-batched ``extract_features`` pipeline (operators/multimodal.py)
+routes decodable payloads here and falls back to the seeded stub embed
+for everything else.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+__all__ = [
+    "MediaDecodeError",
+    "sniff_format",
+    "decode_ppm",
+    "encode_ppm",
+    "decode_bmp",
+    "decode_wav",
+    "encode_wav",
+    "decode_image",
+    "image_grid_feature",
+    "audio_energy_feature",
+    "resize_nearest",
+]
+
+
+class MediaDecodeError(ValueError):
+    """Payload failed to decode: wrong magic, truncated, or an unsupported
+    sub-format (e.g. compressed BMP, float WAV)."""
+
+
+def sniff_format(payload: bytes) -> Optional[str]:
+    """Magic-byte format detection: 'ppm' | 'bmp' | 'wav' | None.
+
+    None means "no codec here" — the caller decides between the stub
+    feature path and a loud error."""
+    if payload is None or len(payload) < 4:
+        return None
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# ------------------------------------------------------------------ PPM (P6)
+
+
+def _ppm_tokens(payload: bytes, count: int, start: int) -> tuple[list[int], int]:
+    """Read ``count`` ASCII integer tokens from ``start``, skipping
+    whitespace and '#' comments (netpbm header grammar)."""
+    toks: list[int] = []
+    i = start
+    n = len(payload)
+    while len(toks) < count:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise MediaDecodeError("ppm: truncated header")
+        try:
+            toks.append(int(payload[i:j]))
+        except ValueError as e:
+            raise MediaDecodeError(f"ppm: non-numeric header token {payload[i:j]!r}") from e
+        i = j
+    return toks, i
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 binary PPM -> (height, width, 3) uint8 RGB."""
+    if not payload or payload[:2] != b"P6":
+        raise MediaDecodeError("ppm: missing P6 magic")
+    (w, h, maxval), i = _ppm_tokens(payload, 3, 2)
+    if w <= 0 or h <= 0:
+        raise MediaDecodeError(f"ppm: bad dimensions {w}x{h}")
+    if not 0 < maxval < 256:
+        raise MediaDecodeError(f"ppm: only 8-bit maxval supported, got {maxval}")
+    i += 1  # exactly ONE whitespace byte separates header from raster
+    need = w * h * 3
+    raster = payload[i : i + need]
+    if len(raster) != need:
+        raise MediaDecodeError(f"ppm: raster truncated ({len(raster)}/{need} bytes)")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> P6 binary PPM bytes."""
+    x = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if x.ndim != 3 or x.shape[2] != 3:
+        raise MediaDecodeError(f"encode_ppm: expected (h, w, 3), got {x.shape}")
+    h, w, _ = x.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + x.tobytes()
+
+
+# ----------------------------------------------------------------------- BMP
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed (BI_RGB) BMP -> (height, width, 3) uint8 RGB.
+
+    Handles both bottom-up (positive height, the common layout) and
+    top-down (negative height) row orders; rows are 4-byte aligned."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise MediaDecodeError("bmp: missing BM magic or truncated header")
+    data_off = int.from_bytes(payload[10:14], "little")
+    dib = int.from_bytes(payload[14:18], "little")
+    if dib < 40:
+        raise MediaDecodeError(f"bmp: unsupported DIB header size {dib}")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24:
+        raise MediaDecodeError(f"bmp: only 24-bit supported, got {bpp}-bit")
+    if comp != 0:
+        raise MediaDecodeError(f"bmp: only BI_RGB (uncompressed) supported, got compression {comp}")
+    if w <= 0 or h == 0:
+        raise MediaDecodeError(f"bmp: bad dimensions {w}x{h}")
+    top_down = h < 0
+    ah = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = stride * ah
+    raster = payload[data_off : data_off + need]
+    if len(raster) != need:
+        raise MediaDecodeError(f"bmp: raster truncated ({len(raster)}/{need} bytes)")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(ah, stride)
+    bgr = rows[:, : w * 3].reshape(ah, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return np.ascontiguousarray(rgb if top_down else rgb[::-1])
+
+
+# ----------------------------------------------------------------------- WAV
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF PCM16 WAV -> ((n_samples, n_channels) int16, sample_rate).
+
+    Walks the chunk list (fmt / data; LIST etc. are skipped), so files with
+    metadata chunks decode too."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise MediaDecodeError("wav: missing RIFF/WAVE magic")
+    i = 12
+    fmt = None
+    data = None
+    n = len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise MediaDecodeError("wav: fmt chunk truncated")
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise MediaDecodeError("wav: missing fmt or data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise MediaDecodeError(
+            f"wav: only PCM16 supported (format {audio_format}, {bits}-bit)"
+        )
+    if channels <= 0 or sample_rate <= 0:
+        raise MediaDecodeError(f"wav: bad fmt (channels {channels}, rate {sample_rate})")
+    usable = (len(data) // (2 * channels)) * 2 * channels
+    samples = np.frombuffer(data[:usable], dtype="<i2").reshape(-1, channels)
+    return samples, sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, channels) or (n,) int16 -> PCM16 RIFF WAV bytes."""
+    x = np.asarray(samples, dtype="<i2")
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2:
+        raise MediaDecodeError(f"encode_wav: expected (n,) or (n, ch), got {x.shape}")
+    ch = x.shape[1]
+    data = np.ascontiguousarray(x).tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunk = b"data" + len(data).to_bytes(4, "little") + data
+    body = b"WAVE" + fmt + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+# ------------------------------------------------------------------ features
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch PPM/BMP by magic -> (h, w, 3) uint8 RGB."""
+    kind = sniff_format(payload)
+    if kind == "ppm":
+        return decode_ppm(payload)
+    if kind == "bmp":
+        return decode_bmp(payload)
+    raise MediaDecodeError(f"no image codec for payload (sniffed {kind!r})")
+
+
+def image_grid_feature(pixels: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic image embed: g x g grid of grayscale block means
+    (g = ceil(sqrt(dim))), first ``dim`` cells, scaled to [0, 1] float32.
+    The classic tiny-thumbnail descriptor — enough structure for the
+    near-dup cosine path to work on REAL pixels."""
+    gray = np.asarray(pixels, dtype=np.float32).mean(axis=2) / 255.0
+    g = int(np.ceil(np.sqrt(dim)))
+    cells = [
+        c.mean()
+        for row in np.array_split(gray, g, axis=0)
+        for c in np.array_split(row, g, axis=1)
+    ]
+    return np.asarray(cells[:dim], dtype=np.float32)
+
+
+def audio_energy_feature(samples: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic audio embed: RMS energy of ``dim`` equal time windows
+    over the mono mix, scaled by int16 full-scale — float32[dim]."""
+    mono = np.asarray(samples, dtype=np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    if len(mono) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    out = np.asarray(
+        [np.sqrt(np.mean(w * w)) if len(w) else 0.0 for w in np.array_split(mono, dim)],
+        dtype=np.float32,
+    )
+    return out / np.float32(32768.0)
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (h, w, 3) -> (height, width, 3), the
+    center-of-cell index map (same convention as OpenCV INTER_NEAREST)."""
+    if width <= 0 or height <= 0:
+        raise MediaDecodeError(f"resize: bad target {width}x{height}")
+    h, w = pixels.shape[:2]
+    rows = np.minimum((np.arange(height) + 0.5) * h / height, h - 1).astype(np.int64)
+    cols = np.minimum((np.arange(width) + 0.5) * w / width, w - 1).astype(np.int64)
+    return np.ascontiguousarray(pixels[rows[:, None], cols[None, :]])

@@ -1,8 +1,6 @@
 """Multimodal (image/audio/video) column plumbing for training-data pipelines.
 
-Design (BASELINE.json north star; no decode libraries exist in this
-container, so the byte->pixels step is stubbed — everything Spark-side is
-real and tested):
+Design (BASELINE.json north star):
 
 - payloads are opaque BINARY columns + a typed metadata struct
   (modality/format/width/height/duration_ms/sample_rate), the standard
@@ -13,9 +11,14 @@ real and tested):
   and ``maxPartitionBytes`` so a partition of large blobs still fits executor
   memory; repartition by id before heavy extraction for even load.
 
-The stub decoder is deterministic (seeded from the payload bytes) so tests
-pin exact values; swap `_decode_stub` with a real codec (PIL/ffmpeg) on a
-cluster image that has one — the signature is the contract.
+Decode is REAL for the uncompressed public formats a pure-numpy codec can
+parse exactly — PPM (P6), 24-bit BMP, PCM16 WAV (operators/media_codecs.py,
+dispatched by magic bytes per row).  Compressed formats (JPEG/MP3/MP4) have
+no codec in this runtime: ``extract_features`` falls back to the
+deterministic seeded stub embed for them (pinned by tests), and
+``resize_images``/``sample_frames`` treat them as metadata-only — swapping
+in PIL/ffmpeg on a richer cluster image replaces only media_codecs
+functions; every signature here is the contract.
 """
 
 from __future__ import annotations
@@ -70,32 +73,50 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
-DECODE_IS_STUBBED = True  # flip when a real codec is wired in
+# formats decoded by the REAL pure-numpy codecs (media_codecs.py); others
+# fall back to the deterministic stub embed below
+REAL_DECODE_FORMATS = frozenset({"ppm", "bmp", "wav"})
 
 
 def _decode_stub(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic fake 'decode + embed': sha256-seeded feature vector.
-
-    Replaces PIL/ffmpeg decode (NOT available in this container).  Keeps the
-    exact shape/dtype contract a real decoder would have: float32[dim]."""
+    """Deterministic fake 'decode + embed' for formats WITHOUT a codec in
+    this runtime (JPEG/MP3/MP4 ...): sha256-seeded feature vector with the
+    exact shape/dtype contract a real decoder has — float32[dim]."""
     h = hashlib.sha256(payload or b"").digest()
     seed = int.from_bytes(h[:8], "big") % (2**32)
     rng = np.random.default_rng(seed)
     return rng.standard_normal(dim).astype(np.float32)
 
 
+def _embed_payload(payload: bytes, dim: int) -> np.ndarray:
+    """Real decode + deterministic embed when a codec exists (magic-byte
+    dispatch), stub embed otherwise."""
+    from duckdb_faiss_ext_spark.operators import media_codecs as C
+
+    kind = C.sniff_format(payload)
+    if kind in ("ppm", "bmp"):
+        return C.image_grid_feature(C.decode_image(payload), dim)
+    if kind == "wav":
+        samples, _sr = C.decode_wav(payload)
+        return C.audio_energy_feature(samples, dim)
+    return _decode_stub(payload, dim)
+
+
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """payload -> (n_bytes, content_hash, feature float32[dim]) per media row.
 
     Arrow-batched mapInPandas: numpy work per batch, no row-at-a-time Python.
-    The real-decoder swap point is `_decode_stub`."""
+    PPM/BMP payloads embed as a grayscale grid of block means over REAL
+    pixels; WAV as windowed RMS energies over REAL samples; formats with no
+    codec in this runtime take the seeded stub embed (media_codecs.py is the
+    swap point for richer cluster images)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
-            feats = [_decode_stub(p, dim) for p in payloads]
+            feats = [_embed_payload(p, dim) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -113,16 +134,48 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Stubbed image resize: passes metadata through with new dims; payload
-    transform raises until a codec is wired in (clearly-marked stub)."""
-    if DECODE_IS_STUBBED:
-        # metadata-only path: real pipelines use this to plan storage before
-        # running the (expensive, codec-bound) pixel pass
-        return df.withColumn("width", F.lit(width).cast("int")).withColumn(
-            "height", F.lit(height).cast("int")
-        )
-    raise NotImplementedError("wire a codec into _decode_stub first")
+def resize_images(
+    df: DataFrame, width: int, height: int, strict: bool = False
+) -> DataFrame:
+    """REAL image resize for decodable payloads: PPM/BMP pixels are decoded
+    (media_codecs.py), nearest-neighbor resampled to (width, height) and
+    re-encoded as PPM — payload, fmt, width and height all update.
+
+    Payloads with no codec in this runtime (JPEG ...) pass through with
+    metadata-only dims by default — the storage-planning shape real
+    pipelines run before the codec-bound pixel pass; ``strict=True`` makes
+    them raise instead (no silent partial processing when the caller needs
+    pixels)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from duckdb_faiss_ext_spark.operators import media_codecs as C
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            payloads, fmts = [], []
+            for p, fmt in zip(pdf["payload"], pdf["fmt"]):
+                raw = bytes(p) if p is not None else b""
+                if C.sniff_format(raw) in ("ppm", "bmp"):
+                    pixels = C.resize_nearest(C.decode_image(raw), width, height)
+                    payloads.append(C.encode_ppm(pixels))
+                    fmts.append("ppm")
+                elif strict:
+                    raise C.MediaDecodeError(
+                        f"resize_images(strict=True): no codec for format "
+                        f"{fmt!r} (payload magic not PPM/BMP)"
+                    )
+                else:
+                    payloads.append(raw)
+                    fmts.append(fmt)
+            out["payload"] = payloads
+            out["fmt"] = fmts
+            out["width"] = np.int32(width)
+            out["height"] = np.int32(height)
+            yield out
+
+    return df.mapInPandas(run, schema=df.schema)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -164,17 +217,35 @@ def media_stats(df: DataFrame) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table for tests/benches (no codec needed)."""
+    """Deterministic synthetic media table for tests/benches.
+
+    Image and audio rows carry REAL decodable payloads (P6 PPM pixels /
+    PCM16 WAV samples, seeded), so the decode -> feature -> resize pipeline
+    exercises actual codecs end-to-end; video rows keep opaque bytes with
+    an mp4 tag — the honest no-codec modality that exercises the stub
+    fallback."""
+    from duckdb_faiss_ext_spark.operators.media_codecs import encode_ppm, encode_wav
+
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        payload = bytes(rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8))
+        if modality == "image":
+            pixels = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+            payload, fmt = encode_ppm(pixels), "ppm"
+        elif modality == "audio":
+            t = np.arange(1600)
+            freq = 110.0 * (1 + i % 7)
+            wave = (8000 * np.sin(2 * np.pi * freq * t / 16000)).astype(np.int16)
+            payload, fmt = encode_wav(wave, 16000), "wav"
+        else:
+            payload = bytes(rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8))
+            fmt = "mp4"
         rows.append(
             (
                 i,
                 modality,
-                {"image": "jpeg", "audio": "wav", "video": "mp4"}[modality],
+                fmt,
                 payload,
                 64 if modality == "image" else None,
                 48 if modality == "image" else None,

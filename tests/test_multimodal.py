@@ -42,10 +42,53 @@ def test_media_stats(media):
     assert all(r["total_bytes"] > 0 for r in stats.values())
 
 
-def test_resize_metadata_path(media):
-    out = M.resize_images(media.filter("modality = 'image'"), 32, 32)
+def test_resize_real_pixels(media):
+    """resize_images decodes REAL PPM payloads, resamples, re-encodes."""
+    from duckdb_faiss_ext_spark.operators import media_codecs as C
+
+    images = media.filter("modality = 'image'")
+    out = M.resize_images(images, 32, 24)
     rows = out.collect()
-    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
+    assert all(r["width"] == 32 and r["height"] == 24 for r in rows)
+    originals = {r["media_id"]: bytes(r["payload"]) for r in images.collect()}
+    for r in rows:
+        pixels = C.decode_ppm(bytes(r["payload"]))
+        assert pixels.shape == (24, 32, 3)
+        expect = C.resize_nearest(C.decode_ppm(originals[r["media_id"]]), 32, 24)
+        assert (pixels == expect).all()
+
+
+def test_resize_strict_rejects_codecless_formats(media):
+    import pytest as _pytest
+
+    videos = M.resize_images(media.filter("modality = 'video'"), 8, 8, strict=True)
+    with _pytest.raises(Exception, match="no codec"):
+        videos.collect()
+    # default (non-strict): metadata-only passthrough, payload untouched
+    loose = M.resize_images(media.filter("modality = 'video'"), 8, 8).collect()
+    assert all(r["width"] == 8 and r["fmt"] == "mp4" for r in loose)
+
+
+def test_extract_features_real_decode(media):
+    """Image features are grid means over ACTUAL pixels; audio features are
+    RMS energies over ACTUAL samples — not the stub embed."""
+    import numpy as np
+
+    from duckdb_faiss_ext_spark.operators import media_codecs as C
+
+    feats = {r["media_id"]: r for r in M.extract_features(media, dim=16).collect()}
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    modality = {r["media_id"]: r["modality"] for r in media.collect()}
+    for mid, row in feats.items():
+        p = payloads[mid]
+        if modality[mid] == "image":
+            expect = C.image_grid_feature(C.decode_ppm(p), 16)
+            assert np.allclose(row["feature"], expect)
+        elif modality[mid] == "audio":
+            samples, _ = C.decode_wav(p)
+            expect = C.audio_energy_feature(samples, 16)
+            assert np.allclose(row["feature"], expect)
+            assert all(v >= 0 for v in row["feature"])  # energies, not noise
 
 
 def test_feature_join_into_knn(spark, media):
