@@ -57,6 +57,7 @@ def timed(fn, warmup: bool = False):
 LOCAL_BASELINES = {
     "dedup_pipeline_full": 10.0,
     "hnsw_filtered_p1": 0.6,
+    "bulk_knn": 1.4,  # r5 local, load ~7
 }
 
 
@@ -267,6 +268,20 @@ def main() -> None:
             for r in eng.search_flat("bench_ivf", 10, qdf48, params={"nprobe": 16}).collect()
         }
         queries["ivf_recall_nprobe16"] = recall(ivf16_hits)
+        # bulk-query path regression guard (VERDICT r4 task 6): the WHOLE
+        # embeddings table as the query side through the executor-side
+        # block equi-join (the plan corpus-scale query sides auto-route
+        # onto; forced here because sf0.1 sits under the auto threshold)
+        qall = emb.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+        )
+        bench_entry(
+            "bulk_knn",
+            lambda: eng.search_flat(
+                "bench_ivf", 10, qall, params={"nprobe": 4, "bulk_queries": 1}
+            ).count(),
+            warmup=True,
+        )
 
     # --- HNSW graph ANN (the reference's headline index shape) -------------
     @section("hnsw")
@@ -404,11 +419,18 @@ def main() -> None:
         from examples.dedup_pipeline import run_pipeline
 
         docs0 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        bench_entry(
-            "dedup_pipeline_full",
-            lambda: run_pipeline(docs0, emb),
-            warmup=False,
-        )
+        holder = {}
+
+        def run():
+            holder["stats"] = run_pipeline(docs0, emb)
+
+        bench_entry("dedup_pipeline_full", run, warmup=False)
+        # stage split (VERDICT r4 task 6): a decomposition of the entry
+        # above — recorded for attribution, EXCLUDED from the headline
+        # total (the dedup_stage_ prefix) so the pipeline isn't counted
+        # twice
+        for st, sec in holder["stats"]["timings"].items():
+            queries[f"dedup_stage_{st}"] = round(sec, 4)
 
     @section("text_quality_lang")
     def _tq():
@@ -444,6 +466,8 @@ def main() -> None:
             if k not in non_time_keys
             and not k.endswith("_ctrl_ratio")
             and not k.endswith("_reruns")
+            # stage splits decompose dedup_pipeline_full (already counted)
+            and not k.startswith("dedup_stage_")
         ),
         4,
     )

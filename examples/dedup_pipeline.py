@@ -37,6 +37,8 @@ from __future__ import annotations
 import os
 import sys
 
+import time
+
 import pyspark.sql.functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -50,11 +52,11 @@ MAX_DEGREE = 16
 def run_pipeline(
     docs0, emb, max_bucket: int = MAX_BUCKET, max_degree: int = MAX_DEGREE
 ) -> dict:
-    """Run stages 1-5 over (documents, embeddings) frames; returns counts.
-
-    The single definition of the canonical pipeline — bench.py times THIS
-    function, so the benched pipeline can never diverge from the example
-    (r4 review)."""
+    """Run stages 1-5 over (documents, embeddings) frames; returns counts
+    plus a ``timings`` dict of per-stage seconds (each stage materializes
+    its cached frame inside its own timer, so the split sums to the whole
+    and a regression in ONE stage is attributable per bench round —
+    VERDICT r4 task 6)."""
     from duckdb_faiss_ext_spark.operators.dedup import (
         cosine_lsh_pairs,
         exact_dedup,
@@ -63,17 +65,24 @@ def run_pipeline(
         ngram_jaccard_pairs,
     )
 
+    timings: dict = {}
+    t0 = time.perf_counter()
     n0 = docs0.count()
 
     # 1. exact dedup ---------------------------------------------------------
     docs = exact_dedup(docs0, "doc_id", "text").cache()
     n1 = docs.count()
+    timings["exact"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
 
     # 2+3. MinHash LSH candidates, Jaccard-verified --------------------------
     cand = minhash_lsh_pairs(
         docs, "doc_id", "text", 4, 2, shingle_n=3, max_bucket=max_bucket
     )
     cand_ids = cand.select("id_a", "id_b").distinct().cache()
+    n_cand = cand_ids.count()
+    timings["lsh_candidates"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     # verify ONLY the candidate pairs: semi-join the gram pipeline onto the
     # candidate id set so the exact-Jaccard join never sees non-candidates
     cand_docs = docs.join(
@@ -90,6 +99,9 @@ def run_pipeline(
         .join(cand_ids, ["id_a", "id_b"], "left_semi")
         .cache()
     )
+    n_ver = verified.count()
+    timings["jaccard_verify"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
 
     # 4. embedding near-dup (cosine > 0.95 via hyperplane-LSH buckets) -------
     # 24 planes / 4 bands = 6-bit bands: P(candidate | cos=0.95) ~ 0.95,
@@ -112,6 +124,9 @@ def run_pipeline(
         .select(F.col("id_a"), F.col("id_b"))
         .cache()
     )
+    n_sem = sem.count()
+    timings["semantic_lsh"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
 
     # 5. survivor selection: connected components over ALL near-dup edges ----
     all_pairs = verified.select("id_a", "id_b").union(sem).distinct()
@@ -119,13 +134,15 @@ def run_pipeline(
         docs, all_pairs, "doc_id", max_degree=max_degree
     ).cache()
     n2 = clean.count()
+    timings["survivors"] = time.perf_counter() - t0
     stats = {
         "input_docs": n0,
         "after_exact": n1,
-        "lsh_candidate_pairs": cand_ids.count(),
-        "jaccard_verified": verified.count(),
-        "semantic_neardups": sem.count(),
+        "lsh_candidate_pairs": n_cand,
+        "jaccard_verified": n_ver,
+        "semantic_neardups": n_sem,
         "clean_docs": n2,
+        "timings": timings,
     }
     docs.unpersist()
     cand_ids.unpersist()
