@@ -49,7 +49,7 @@ def main():
     eng.add("bp_ivf", corpus.select("id", "vector"), validate=False)
 
     for label, params in [
-        ("driver_blocks", {"nprobe": 4}),
+        ("driver_blocks", {"nprobe": 4, "bulk_queries": 0}),
         ("bulk_equi_join", {"nprobe": 4, "bulk_queries": 1}),
     ]:
         t0 = time.perf_counter()
@@ -60,6 +60,34 @@ def main():
             "sec": round(time.perf_counter() - t0, 2),
             "load_1m": round(os.getloadavg()[0], 1),
         }), flush=True)
+
+    # --- r5 auto-routing (VERDICT r4 task 1 done-criterion): NO bulk param —
+    # the engine must route a corpus-scale query side onto the bulk plan by
+    # itself, with results identical to the driver block stream
+    from duckdb_faiss_ext_spark.plans import explain_str
+
+    t0 = time.perf_counter()
+    auto = eng.search_flat("bp_ivf", 10, queries, params={"nprobe": 4})
+    routed_bulk = "Join" in explain_str(auto)
+    n_auto = auto.count()
+    auto_sec = time.perf_counter() - t0
+    drv = eng.search_flat(
+        "bp_ivf", 10, queries, params={"nprobe": 4, "bulk_queries": 0}
+    )
+    a = auto.select("qid", "rank", "label")
+    d = drv.select("qid", "rank", "label")
+    mismatch = a.exceptAll(d).count() + d.exceptAll(a).count()
+    print(json.dumps({
+        "probe": "bulk_search_auto_routed",
+        "n_queries": nq,
+        "routed_to_bulk_plan": bool(routed_bulk),
+        "rows_out": n_auto,
+        "sec": round(auto_sec, 2),
+        "result_mismatch_rows_vs_driver": mismatch,
+        "load_1m": round(os.getloadavg()[0], 1),
+    }), flush=True)
+    assert routed_bulk, "auto routing did NOT pick the bulk plan"
+    assert mismatch == 0, f"auto vs driver results differ in {mismatch} rows"
 
 
 if __name__ == "__main__":

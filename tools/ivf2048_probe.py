@@ -1,0 +1,127 @@
+"""IVF at reference-realistic nlist (VERDICT r4 task 5).
+
+The reference's headline factory is ``IVF2048_HNSW128,Flat``
+(Makefile:105) searched at nprobe=15 (go/benches_c.go:128); all prior
+local IVF probes used nlist=32.  This probe builds ``IDMap,IVF2048,Flat``
+at 1-4M x 64 and measures what nlist=2048 changes:
+
+- build cost with the 256/centroid training cap (the KMeans fit is a
+  524k-point k=2048 problem regardless of corpus size);
+- directory-pruning effectiveness: the fraction of corpus rows a 48-query
+  batch actually scans at each nprobe (probed-cluster row mass / total);
+- recall@10 vs exact IP at nprobe in {16, 64, 128}.
+
+Usage: python tools/ivf2048_probe.py [n_rows] [nlist] [dim]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyspark.sql.functions as F
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    nlist = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    dim = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+    from duckdb_faiss_ext_spark.session import get_spark
+    from tools._synth import synth_vectors
+
+    spark = get_spark("ivf2048-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = FaissSparkEngine(spark)
+
+    corpus = synth_vectors(spark, n, dim).persist()
+    corpus.count()
+    queries = corpus.limit(48).select(
+        F.col("label").alias("qid"), F.col("vector")
+    ).cache()
+    queries.count()
+
+    eng.create("iv_flat", dim, "IDMap,Flat", metric_type="INNER_PRODUCT")
+    eng.add("iv_flat", corpus)
+    t0 = time.perf_counter()
+    exact = {
+        (r["qid"], r["label"])
+        for r in eng.search_flat("iv_flat", 10, queries).collect()
+    }
+    exact_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    eng.create(
+        "iv_big", dim, f"IDMap,IVF{nlist},Flat", metric_type="INNER_PRODUCT"
+    )
+    eng.add("iv_big", corpus)
+    build_sec = time.perf_counter() - t0
+
+    idx = eng.registry.get("iv_big")
+    hist = {
+        r["cluster_id"]: r["c"]
+        for r in idx.data.groupBy("cluster_id").agg(F.count("*").alias("c")).collect()
+    }
+    total = sum(hist.values())
+    sizes = np.array(sorted(hist.values()))
+    qvec = np.array(
+        [r["vector"] for r in queries.collect()], dtype=np.float32
+    )
+
+    rows = []
+    for nprobe in (16, 64, 128):
+        run = lambda: eng.search_flat(  # noqa: E731
+            "iv_big", 10, queries, params={"nprobe": nprobe, "bulk_queries": 0}
+        )
+        run().count()  # warm
+        t0 = time.perf_counter()
+        run().count()
+        sec = time.perf_counter() - t0
+        hits = {(r["qid"], r["label"]) for r in run().collect()}
+        # scanned fraction: union of the batch's probed clusters (the JVM
+        # IN-filter's reach) AND the per-query average (the kernel's reach)
+        probe_fn = eng._probe_ids_fn(idx, nprobe)
+        probes = probe_fn(np.arange(len(qvec)), qvec)
+        union_rows = sum(hist.get(int(c), 0) for c in np.unique(probes))
+        perq_rows = float(
+            np.mean(
+                [sum(hist.get(int(c), 0) for c in row) for row in probes]
+            )
+        )
+        rows.append(
+            {
+                "nprobe": nprobe,
+                "search_sec": round(sec, 3),
+                "recall_at_10": round(len(hits & exact) / max(len(exact), 1), 4),
+                "scan_frac_batch_union": round(union_rows / total, 4),
+                "scan_frac_per_query": round(perq_rows / total, 5),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "n": n,
+                    "nlist": nlist,
+                    "dim": dim,
+                    "build_sec": round(build_sec, 2),
+                    "exact_search_sec": round(exact_sec, 3),
+                    "cluster_rows_p50": int(np.median(sizes)),
+                    "cluster_rows_p99": int(np.percentile(sizes, 99)),
+                    "cluster_rows_max": int(sizes.max()),
+                    "empty_clusters": int(nlist - len(sizes)),
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
