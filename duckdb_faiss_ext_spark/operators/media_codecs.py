@@ -5,6 +5,8 @@ the uncompressed public formats a numpy ``frombuffer`` can parse exactly:
 
 - **PPM (P6)** — binary RGB, the netpbm interchange format;
 - **BMP** — Windows bitmap, 24-bit uncompressed (BI_RGB) only;
+- **PNG** — 8-bit grayscale/RGB/RGBA, non-interlaced (stdlib ``zlib``
+  inflate + numpy unfilter; the most common scraped-web image format);
 - **WAV** — RIFF PCM, 16-bit integer samples.
 
 Each decoder is strict: malformed or unsupported payloads raise
@@ -28,10 +30,13 @@ import numpy as np
 
 __all__ = [
     "MediaDecodeError",
+    "IMAGE_FORMATS",
     "sniff_format",
     "decode_ppm",
     "encode_ppm",
     "decode_bmp",
+    "decode_png",
+    "encode_png",
     "decode_wav",
     "encode_wav",
     "decode_image",
@@ -39,6 +44,10 @@ __all__ = [
     "audio_energy_feature",
     "resize_nearest",
 ]
+
+# formats decode_image() can dispatch — callers route these through the real
+# pixel path and everything else through the stub embed
+IMAGE_FORMATS = frozenset({"ppm", "bmp", "png"})
 
 
 class MediaDecodeError(ValueError):
@@ -57,6 +66,8 @@ def sniff_format(payload: bytes) -> Optional[str]:
         return "ppm"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
@@ -154,6 +165,159 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb if top_down else rgb[::-1])
 
 
+# ----------------------------------------------------------------------- PNG
+
+# (filter id, color type) per the PNG spec (RFC 2083 / ISO 15948); decoded
+# with stdlib zlib only — no image libraries in this runtime
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk; stops at IEND.  Truncated chunk
+    lists raise."""
+    i = 8
+    n = len(payload)
+    while i + 8 <= n:
+        length = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) != length:
+            raise MediaDecodeError(f"png: chunk {ctype!r} truncated")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        i += 12 + length  # length + type + data + CRC
+    raise MediaDecodeError("png: no IEND chunk (truncated stream)")
+
+
+def _png_paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a pixel's channels (int16 math so
+    the |p-x| distances don't wrap)."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> (height, width, 3) uint8 RGB.
+
+    Critical chunks only; color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA) at bit depth 8.  IDAT is one zlib stream across chunks; rows
+    unfilter in numpy (Up fully vectorized; Sub/Average/Paeth run the
+    spec's left-to-right recurrence per pixel).  Alpha is dropped and gray
+    broadcast so every image format lands on the same (h, w, 3) contract
+    as PPM/BMP.  Rejected loudly: interlaced (Adam7), 16-bit, palette
+    (color type 3) — the documented swap point for a richer runtime."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise MediaDecodeError("png: missing PNG signature")
+    ihdr = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or len(ihdr) < 13:
+        raise MediaDecodeError("png: missing/short IHDR")
+    if not idat:
+        raise MediaDecodeError("png: no IDAT data")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype_id, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if w <= 0 or h <= 0:
+        raise MediaDecodeError(f"png: bad dimensions {w}x{h}")
+    if comp != 0 or filt != 0:
+        raise MediaDecodeError("png: nonstandard compression/filter method")
+    if interlace != 0:
+        raise MediaDecodeError("png: interlaced (Adam7) not supported")
+    if depth != 8:
+        raise MediaDecodeError(f"png: only bit depth 8 supported, got {depth}")
+    if ctype_id not in _PNG_CHANNELS:
+        raise MediaDecodeError(
+            f"png: color type {ctype_id} not supported (palette needs PLTE)"
+        )
+    ch = _PNG_CHANNELS[ctype_id]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise MediaDecodeError(f"png: IDAT inflate failed ({e})") from None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise MediaDecodeError(
+            f"png: decompressed size {len(raw)} != expected {h * (stride + 1)}"
+        )
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = lines[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    zero_px = np.zeros(ch, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = lines[y, 1:].copy()
+        if f == 0:
+            pass
+        elif f == 2:  # Up — vectorized over the whole row
+            cur += prev
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: left-recurrence per pixel
+            row = cur.reshape(w, ch)
+            up = prev.reshape(w, ch)
+            left = zero_px
+            for x in range(w):
+                if f == 1:
+                    row[x] += left
+                elif f == 3:
+                    row[x] += ((left.astype(np.uint16) + up[x]) >> 1).astype(np.uint8)
+                else:
+                    ul = up[x - 1] if x else zero_px
+                    row[x] += _png_paeth(left, up[x], ul).astype(np.uint8)
+                left = row[x]
+        else:
+            raise MediaDecodeError(f"png: bad filter byte {f} on row {y}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ctype_id == 0:
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if ctype_id == 2:
+        return np.ascontiguousarray(px)
+    if ctype_id == 4:
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+    return np.ascontiguousarray(px[:, :, :3])  # RGBA -> RGB
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> minimal valid PNG (color type 2, filter 0
+    rows, one IDAT).  The golden-test inverse of decode_png."""
+    import zlib
+
+    px = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise MediaDecodeError(f"encode_png: need (h, w, 3), got {px.shape}")
+    h, w = px.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    raster = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
 # ----------------------------------------------------------------------- WAV
 
 
@@ -224,12 +388,14 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch PPM/BMP by magic -> (h, w, 3) uint8 RGB."""
+    """Dispatch PPM/BMP/PNG by magic -> (h, w, 3) uint8 RGB."""
     kind = sniff_format(payload)
     if kind == "ppm":
         return decode_ppm(payload)
     if kind == "bmp":
         return decode_bmp(payload)
+    if kind == "png":
+        return decode_png(payload)
     raise MediaDecodeError(f"no image codec for payload (sniffed {kind!r})")
 
 
@@ -240,8 +406,12 @@ def image_grid_feature(pixels: np.ndarray, dim: int) -> np.ndarray:
     near-dup cosine path to work on REAL pixels."""
     gray = np.asarray(pixels, dtype=np.float32).mean(axis=2) / 255.0
     g = int(np.ceil(np.sqrt(dim)))
+    # images smaller than the grid yield EMPTY blocks from array_split, and
+    # an empty slice's .mean() is NaN — which would flow silently into
+    # indexes and cosine dedup (all-false comparisons, missed near-dups).
+    # Mirror audio_energy_feature's empty-window guard: empty cell -> 0.0.
     cells = [
-        c.mean()
+        c.mean() if c.size else 0.0
         for row in np.array_split(gray, g, axis=0)
         for c in np.array_split(row, g, axis=1)
     ]

@@ -11,11 +11,12 @@ Design (BASELINE.json north star):
   and ``maxPartitionBytes`` so a partition of large blobs still fits executor
   memory; repartition by id before heavy extraction for even load.
 
-Decode is REAL for the uncompressed public formats a pure-numpy codec can
-parse exactly — PPM (P6), 24-bit BMP, PCM16 WAV (operators/media_codecs.py,
-dispatched by magic bytes per row).  Compressed formats (JPEG/MP3/MP4) have
-no codec in this runtime: ``extract_features`` falls back to the
-deterministic seeded stub embed for them (pinned by tests), and
+Decode is REAL for the public formats a stdlib-only codec can parse
+exactly — PPM (P6), 24-bit BMP, 8-bit PNG (zlib inflate + numpy unfilter),
+PCM16 WAV (operators/media_codecs.py, dispatched by magic bytes per row).
+Formats with no codec in this runtime (JPEG/MP3/MP4) fall back:
+``extract_features`` takes the deterministic seeded stub embed for them
+(pinned by tests; same for corrupt payloads of decodable formats), and
 ``resize_images``/``sample_frames`` treat them as metadata-only — swapping
 in PIL/ffmpeg on a richer cluster image replaces only media_codecs
 functions; every signature here is the contract.
@@ -75,7 +76,7 @@ FRAME_SCHEMA = StructType(
 
 # formats decoded by the REAL pure-numpy codecs (media_codecs.py); others
 # fall back to the deterministic stub embed below
-REAL_DECODE_FORMATS = frozenset({"ppm", "bmp", "wav"})
+REAL_DECODE_FORMATS = frozenset({"ppm", "bmp", "png", "wav"})
 
 
 def _decode_stub(payload: bytes, dim: int) -> np.ndarray:
@@ -90,15 +91,24 @@ def _decode_stub(payload: bytes, dim: int) -> np.ndarray:
 
 def _embed_payload(payload: bytes, dim: int) -> np.ndarray:
     """Real decode + deterministic embed when a codec exists (magic-byte
-    dispatch), stub embed otherwise."""
+    dispatch), stub embed otherwise.
+
+    A payload whose first bytes sniff as a decodable format but whose body
+    is corrupt/truncated ALSO takes the stub embed: at corpus scale one bad
+    row must not fail the whole extraction job, and the module contract is
+    'stub for everything else'.  Strict per-row decoding lives in
+    resize_images(strict=True)."""
     from duckdb_faiss_ext_spark.operators import media_codecs as C
 
     kind = C.sniff_format(payload)
-    if kind in ("ppm", "bmp"):
-        return C.image_grid_feature(C.decode_image(payload), dim)
-    if kind == "wav":
-        samples, _sr = C.decode_wav(payload)
-        return C.audio_energy_feature(samples, dim)
+    try:
+        if kind in C.IMAGE_FORMATS:
+            return C.image_grid_feature(C.decode_image(payload), dim)
+        if kind == "wav":
+            samples, _sr = C.decode_wav(payload)
+            return C.audio_energy_feature(samples, dim)
+    except C.MediaDecodeError:
+        pass  # malformed despite the magic: fall through to the stub
     return _decode_stub(payload, dim)
 
 
@@ -106,7 +116,7 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """payload -> (n_bytes, content_hash, feature float32[dim]) per media row.
 
     Arrow-batched mapInPandas: numpy work per batch, no row-at-a-time Python.
-    PPM/BMP payloads embed as a grayscale grid of block means over REAL
+    PPM/BMP/PNG payloads embed as a grayscale grid of block means over REAL
     pixels; WAV as windowed RMS energies over REAL samples; formats with no
     codec in this runtime take the seeded stub embed (media_codecs.py is the
     swap point for richer cluster images)."""
@@ -137,7 +147,7 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
 def resize_images(
     df: DataFrame, width: int, height: int, strict: bool = False
 ) -> DataFrame:
-    """REAL image resize for decodable payloads: PPM/BMP pixels are decoded
+    """REAL image resize for decodable payloads: PPM/BMP/PNG pixels are decoded
     (media_codecs.py), nearest-neighbor resampled to (width, height) and
     re-encoded as PPM — payload, fmt, width and height all update.
 
@@ -157,14 +167,23 @@ def resize_images(
             payloads, fmts = [], []
             for p, fmt in zip(pdf["payload"], pdf["fmt"]):
                 raw = bytes(p) if p is not None else b""
-                if C.sniff_format(raw) in ("ppm", "bmp"):
-                    pixels = C.resize_nearest(C.decode_image(raw), width, height)
+                if C.sniff_format(raw) in C.IMAGE_FORMATS:
+                    try:
+                        pixels = C.resize_nearest(C.decode_image(raw), width, height)
+                    except C.MediaDecodeError:
+                        # sniffed decodable but malformed: strict callers want
+                        # the loud error, pipelines want the row passed through
+                        if strict:
+                            raise
+                        payloads.append(raw)
+                        fmts.append(fmt)
+                        continue
                     payloads.append(C.encode_ppm(pixels))
                     fmts.append("ppm")
                 elif strict:
                     raise C.MediaDecodeError(
                         f"resize_images(strict=True): no codec for format "
-                        f"{fmt!r} (payload magic not PPM/BMP)"
+                        f"{fmt!r} (payload magic not PPM/BMP/PNG)"
                     )
                 else:
                     payloads.append(raw)

@@ -92,3 +92,41 @@ def test_flat_bulk_results_match_driver(eng, emb):
     bulk = eng.search_flat("route_bnl", 4, q)  # 40 > 16 -> auto bulk
     driver = eng.search_flat("route_bnl", 4, q, params={"bulk_queries": 0})
     assert _rows(bulk) == _rows(driver)
+
+
+def test_limit_bigger_than_frame_does_not_force_bulk(eng, emb, spark):
+    """ADVICE r5: maxRows/rowCount are UPPER bounds — queries.limit(200k)
+    over a tiny frame must probe the real count and stay on the driver
+    stream, not auto-route 40 rows onto the bulk plan."""
+    eng.create("route_ub", 64, "IDMap,Flat", metric_type="INNER_PRODUCT")
+    eng.add("route_ub", emb.select("vec_id", "embedding"))
+    q = (
+        emb.limit(40)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("vector"))
+        .limit(200_000)
+    )
+    assert eng._query_rows_estimate(q, 1000) == 40
+    out = eng.search_flat("route_ub", 3, q)
+    assert "Join" not in _plan(out)
+
+
+def test_routing_probe_memoized_per_plan(eng, emb, spark):
+    """VERDICT r5 task 4: the bounded limit(cap+1).count() routing probe
+    runs AT MOST once per distinct query plan per session — the second
+    search of the same frame launches no extra probe job."""
+    eng.create("route_memo", 64, "IDMap,Flat", metric_type="INNER_PRODUCT")
+    eng.add("route_memo", emb.select("vec_id", "embedding"))
+    # a frame with NO static row count (filter blocks limit/local stats)
+    q = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    cap = eng.BULK_QUERY_THRESHOLD
+    before = len(eng._route_cache)
+    n1 = eng._query_rows_estimate(q, cap)
+    assert len(eng._route_cache) == before + 1
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    n2 = eng._query_rows_estimate(q, cap)  # same plan -> cache hit
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert n2 == n1
+    assert jobs_after == jobs_before  # zero extra Spark jobs

@@ -154,3 +154,129 @@ def test_resize_nearest_golden():
             assert np.array_equal(up[r, c], PPM_PIXELS[r // 2, c // 2])
     down = C.resize_nearest(up, 2, 2)
     assert np.array_equal(down, PPM_PIXELS)
+
+
+# ------------------------------------------------------------------- PNG
+
+
+def _png_filter_rows(px: np.ndarray, filters: list) -> bytes:
+    """Spec-forward filterer (RFC 2083 §6): build the raw (pre-zlib) stream
+    with a chosen filter id per row — the golden INPUT generator that
+    exercises decode_png's unfilter recurrences."""
+    h, w, ch = px.shape
+    flat = px.astype(np.int16)
+    out = b""
+    for y in range(h):
+        cur = flat[y].reshape(-1)
+        prev = flat[y - 1].reshape(-1) if y else np.zeros(w * ch, dtype=np.int16)
+        left = np.concatenate([np.zeros(ch, dtype=np.int16), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, dtype=np.int16), prev[:-ch]])
+        f = filters[y]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            filt = cur - pred
+        out += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+    return out
+
+
+def _png_raw(w, h, ctype, raw, depth=8, interlace=0):
+    """Assemble a PNG container around a pre-filtered raw stream."""
+    import zlib
+
+    def chunk(t, d):
+        return len(d).to_bytes(4, "big") + t + d + zlib.crc32(t + d).to_bytes(4, "big")
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(
+        [depth, ctype, 0, 0, interlace]
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_golden():
+    assert np.array_equal(C.decode_png(C.encode_png(PPM_PIXELS)), PPM_PIXELS)
+    assert C.sniff_format(C.encode_png(PPM_PIXELS)) == "png"
+
+
+def test_png_all_filters_decode():
+    """One row per filter id 0..4 — pins each unfilter recurrence against
+    the spec-forward filterer."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    raw = _png_filter_rows(px, [0, 1, 2, 3, 4])
+    assert np.array_equal(C.decode_png(_png_raw(7, 5, 2, raw)), px)
+
+
+def test_png_gray_and_rgba():
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(3, 4, 1), dtype=np.uint8)
+    raw = _png_filter_rows(gray, [0, 2, 4])
+    out = C.decode_png(_png_raw(4, 3, 0, raw))
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    raw = _png_filter_rows(rgba, [1, 3, 4])
+    out = C.decode_png(_png_raw(4, 3, 6, raw))
+    assert np.array_equal(out, rgba[:, :, :3])  # alpha dropped
+
+
+def test_png_split_idat_chunks():
+    """IDAT is ONE zlib stream across chunks — split it and decode."""
+    import zlib
+
+    def chunk(t, d):
+        return len(d).to_bytes(4, "big") + t + d + zlib.crc32(t + d).to_bytes(4, "big")
+
+    full = C.encode_png(PPM_PIXELS)
+    raw = _png_filter_rows(PPM_PIXELS, [0, 0])
+    comp = zlib.compress(raw)
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    split = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp[:5])
+        + chunk(b"IDAT", comp[5:])
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(C.decode_png(split), C.decode_png(full))
+
+
+def test_png_rejects_unsupported():
+    raw = _png_filter_rows(PPM_PIXELS, [0, 0])
+    with pytest.raises(C.MediaDecodeError, match="interlaced"):
+        C.decode_png(_png_raw(2, 2, 2, raw, interlace=1))
+    with pytest.raises(C.MediaDecodeError, match="bit depth 8"):
+        C.decode_png(_png_raw(2, 2, 2, raw, depth=16))
+    with pytest.raises(C.MediaDecodeError, match="color type 3"):
+        C.decode_png(_png_raw(2, 2, 3, raw))
+    with pytest.raises(C.MediaDecodeError, match="signature"):
+        C.decode_png(b"\x89PNX" + b"\x00" * 32)
+    good = C.encode_png(PPM_PIXELS)
+    with pytest.raises(C.MediaDecodeError):
+        C.decode_png(good[:-8])  # truncated: IEND gone
+    with pytest.raises(C.MediaDecodeError, match="inflate|size"):
+        C.decode_png(_png_raw(2, 2, 2, raw[:-3]))  # short raster
+
+
+def test_image_grid_feature_small_image_no_nan():
+    """ADVICE r5: image smaller than the feature grid must yield 0.0 for
+    empty cells, never NaN (NaN would silently break cosine dedup)."""
+    feat = C.image_grid_feature(PPM_PIXELS, 16)  # 2x2 image, 4x4 grid
+    assert feat.shape == (16,)
+    assert not np.isnan(feat).any()
+    # the populated corner cells still carry the real block means
+    expect4 = PPM_PIXELS.astype(np.float32).mean(axis=2).reshape(-1) / 255.0
+    assert np.allclose(sorted(feat[feat > 0]), sorted(expect4[expect4 > 0]))

@@ -105,3 +105,63 @@ def test_feature_join_into_knn(spark, media):
     )
     res = eng.search_flat("media_idx", 1, q).collect()
     assert all(r["label"] == r["qid"] and r["distance"] < 1e-5 for r in res)
+
+
+def test_corrupt_decodable_payload_falls_back_to_stub(spark):
+    """ADVICE r5: a payload that SNIFFS as PPM/BMP/WAV/PNG but is malformed
+    must take the stub embed, not fail the whole extraction job."""
+    import numpy as np
+
+    from duckdb_faiss_ext_spark.operators import multimodal as MM
+
+    bad_rows = [
+        (1, "image", "ppm", bytearray(b"P6\n9 9\n255\nshort"), 9, 9, None, None),
+        (2, "audio", "wav", bytearray(b"RIFF\x10\x00\x00\x00WAVEjunk"), None, None, 5, 8000),
+        (3, "image", "png", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16), 4, 4, None, None),
+    ]
+    df = spark.createDataFrame(bad_rows, schema=MM.MEDIA_SCHEMA)
+    out = MM.extract_features(df, dim=8).collect()
+    assert len(out) == 3
+    for r in out:
+        feat = np.asarray(r["feature"])
+        assert feat.shape == (8,)
+        assert not np.isnan(feat).any()
+        # and it matches the stub embed exactly (deterministic contract)
+        expect = MM._decode_stub(bytes([row for row in bad_rows if row[0] == r["media_id"]][0][3]), 8)
+        assert np.allclose(feat, expect)
+
+
+def test_resize_corrupt_payload_passthrough_and_strict(spark):
+    from duckdb_faiss_ext_spark.operators import media_codecs as C
+    from duckdb_faiss_ext_spark.operators import multimodal as MM
+
+    bad = bytearray(b"P6\n9 9\n255\nshort")
+    df = spark.createDataFrame(
+        [(1, "image", "ppm", bad, 9, 9, None, None)], schema=MM.MEDIA_SCHEMA
+    )
+    out = MM.resize_images(df, 4, 4).collect()
+    assert bytes(out[0]["payload"]) == bytes(bad)  # passed through untouched
+    with pytest.raises(Exception, match="truncated|MediaDecodeError"):
+        MM.resize_images(df, 4, 4, strict=True).collect()
+
+
+def test_extract_and_resize_png_payload(spark):
+    import numpy as np
+
+    from duckdb_faiss_ext_spark.operators import media_codecs as C
+    from duckdb_faiss_ext_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    payload = C.encode_png(px)
+    df = spark.createDataFrame(
+        [(1, "image", "png", bytearray(payload), 8, 8, None, None)],
+        schema=MM.MEDIA_SCHEMA,
+    )
+    feat = np.asarray(MM.extract_features(df, dim=16).collect()[0]["feature"])
+    assert np.allclose(feat, C.image_grid_feature(px, 16))  # REAL pixels
+    resized = MM.resize_images(df, 4, 4).collect()[0]
+    assert resized["fmt"] == "ppm"
+    assert np.array_equal(
+        C.decode_ppm(bytes(resized["payload"])), C.resize_nearest(px, 4, 4)
+    )
