@@ -49,6 +49,11 @@ class FaissIndex:
     # and unions lazily — O(batch) work per add instead of re-counting the
     # whole lineage (VERDICT r1 #4); compacted when the list grows deep
     slices: list = field(default_factory=list)
+    # row count per slice, parallel to ``slices`` — drives the tiered
+    # (LSM-style) compaction policy: merges pick geometrically-similar
+    # slices so total graph-build work stays O(n log n) over a long
+    # micro-batch stream instead of O(n²) whole-corpus rebuilds
+    slice_rows: list = field(default_factory=list)
     # disk mode: parquet directory backing the index data; add() appends one
     # parquet slice (flat lineage, O(batch) per add, corpora larger than the
     # executor cache).  Set via create(params={'storage_path': ...}).

@@ -136,3 +136,82 @@ def test_compact_disk_mode_raises(spark, eng, tmp_path):
     eng.add("cmp_disk", _vec_df(spark, gen_vectors(10, 8), 0))
     with pytest.raises(FaissSparkError, match="disk-mode"):
         eng.compact("cmp_disk")
+
+
+def test_full_slice_survives_tiered_compaction(spark, eng):
+    """VERDICT r5 task 2: a slice already holding full-size segments
+    (>= graph_partition_rows rows) must NOT be rebuilt by a tiered
+    compaction — only micro slices merge."""
+    eng.create(
+        "cmp_tier", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64"},
+    )
+    x = gen_vectors(130, 8)
+    eng.add("cmp_tier", _vec_df(spark, x[:100], 0))  # full slice (100 >= 64)
+    idx = eng.registry.get("cmp_tier")
+    full_slice = idx.slices[0]
+    full_segs = {r["graph_seg"] for r in full_slice.select("graph_seg").distinct().collect()}
+    for i in range(3):  # three micro adds of 10
+        eng.add("cmp_tier", _vec_df(spark, x[100 + i * 10 : 110 + i * 10], 100 + i * 10))
+    eng.compact("cmp_tier")
+    # the full slice is the SAME object, untouched; micros merged into one
+    assert idx.slices[1] is full_slice
+    assert len(idx.slices) == 2
+    assert idx.slice_rows == [30, 100]
+    after = {r["graph_seg"] for r in idx.slices[1].select("graph_seg").distinct().collect()}
+    assert after == full_segs
+    # merged micro slice carries ONE rebuilt graph over all 30 rows
+    assert idx.slices[0].select("graph_seg").distinct().count() == 1
+    # search still finds everything across both tiers
+    q = _vec_df(spark, x[95:105], 0).select(F.col("label").alias("qid"), "vector")
+    res = eng.search_flat("cmp_tier", 1, q, params={"efSearch": 64}).collect()
+    assert all(r["distance"] < 1e-5 for r in res)
+
+
+def test_tiered_stream_rebuild_work_is_subquadratic(spark, eng, monkeypatch):
+    """Over a long micro-batch stream, total rebuilt rows must stay well
+    below the whole-corpus-per-compaction policy's total (the O(n²)
+    behavior VERDICT r5 flagged)."""
+    eng.MAX_SLICES = 4
+    eng.create(
+        "cmp_work", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64"},
+    )
+    rebuilt = []
+    orig = eng._rebuild_graph_over
+
+    def counting(idx, df, n_rows):
+        rebuilt.append(n_rows)
+        return orig(idx, df, n_rows)
+
+    monkeypatch.setattr(eng, "_rebuild_graph_over", counting)
+    n, b = 160, 10
+    x = gen_vectors(n, 8)
+    for i in range(n // b):
+        eng.add("cmp_work", _vec_df(spark, x[i * b : (i + 1) * b], i * b))
+    idx = eng.registry.get("cmp_work")
+    assert idx.count == n
+    # whole-corpus policy would rebuild ~40+80+120+160 = 400 rows; tiered
+    # must do strictly less, and every slice stays bounded bookkeeping-wise
+    assert sum(rebuilt) < 400, rebuilt
+    assert sum(idx.slice_rows) == n
+    # correctness: all rows reachable
+    q = _vec_df(spark, x[::16], 0).select(F.col("label").alias("qid"), "vector")
+    res = eng.search_flat("cmp_work", 1, q, params={"efSearch": 64}).collect()
+    assert all(r["distance"] < 1e-5 for r in res)
+
+
+def test_compact_full_true_single_slice(spark, eng):
+    """compact(name, full=True) keeps the old whole-corpus contract: one
+    cached slice, segments rebuilt over the entire corpus."""
+    eng.create(
+        "cmp_force", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64"},
+    )
+    x = gen_vectors(130, 8)
+    eng.add("cmp_force", _vec_df(spark, x[:100], 0))
+    eng.add("cmp_force", _vec_df(spark, x[100:], 100))
+    eng.compact("cmp_force", full=True)
+    idx = eng.registry.get("cmp_force")
+    assert len(idx.slices) == 1 and idx.slice_rows == [130]
+    assert _segments(idx) == 3  # ceil(130/64) partitions -> 3 graphs

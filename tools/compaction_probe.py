@@ -1,21 +1,28 @@
-"""Graph re-compaction probe (VERDICT r4 task 2 done-criterion).
+"""Graph re-compaction probe (VERDICT r4 task 2 / r5 task 2 criteria).
 
 Streams ``n_total / batch`` micro-batch adds into an ``IDMap,HNSW32``
 index and compares against the single-bulk-add build on THREE axes —
 ingest cost, search latency (48 queries, efSearch=128), recall@10 vs
 exact IP — under two compaction policies:
 
-- ``micro_rebuild``  — the r5 engine: every MAX_SLICES adds the union is
-  materialized AND segment graphs are rebuilt over it (plus one final
-  explicit ``compact()`` after the last add, the streaming steady state);
+- ``micro_rebuild``  — the r6 engine: TIERED (LSM-style) compaction every
+  MAX_SLICES adds — only geometrically-similar micro slices merge and
+  rebuild their graphs; slices already holding full-size segments are
+  untouched (plus one final explicit ``compact()``, the streaming steady
+  state).  ``rebuilt_rows`` counts every row that passed through a merge
+  rebuild; ``write_amplification`` = (initial builds + rebuilds)/n —
+  linear-total-work means this stays a small constant as n grows (the r5
+  whole-corpus policy grew it with stream length).
 - ``micro_norebuild`` — the r4 behavior, reproduced by patching
   ``_compact_index`` to the persist-only path: micro-graphs accumulate
   (one per add between compactions), beam cost is paid per (query,
   segment).
 
-Pass criterion: micro_rebuild search latency and recall within ~1.2x of
-bulk.  (Reference contrast: faiss inserts into ONE growing graph —
-faiss_extension.cpp:505-532 — so its streamed index never fragments.)
+Pass criteria: micro_rebuild search latency and recall within ~1.2x of
+bulk, AND write_amplification a small constant (~2-3x, vs the r5 policy's
+n/(MAX_SLICES*batch) growth).  (Reference contrast: faiss inserts into
+ONE growing graph — faiss_extension.cpp:505-532 — so its streamed index
+never fragments.)
 
 Usage: python tools/compaction_probe.py [n_total] [batch] [dim]
 """
@@ -105,14 +112,24 @@ def main() -> None:
             # reproduce the r4 persist-only compaction for the A/B
             orig = FaissSparkEngine._compact_index
 
-            def persist_only(self, idx):
+            def persist_only(self, idx, full=False):
                 compacted = idx.data.persist()
                 compacted.count()
                 self._unpersist_slices(idx)
                 idx.data = compacted
                 idx.slices = [compacted]
+                idx.slice_rows = [int(idx.count)]
 
             FaissSparkEngine._compact_index = persist_only
+        rebuilt = []
+        if rebuild:
+            orig_rb = eng._rebuild_graph_over
+
+            def counting(idx, df, n_rows, _o=orig_rb):
+                rebuilt.append(int(n_rows))
+                return _o(idx, df, n_rows)
+
+            eng._rebuild_graph_over = counting
         try:
             t0 = time.perf_counter()
             eng.create(name, dim, "IDMap,HNSW32", metric_type="INNER_PRODUCT")
@@ -124,6 +141,8 @@ def main() -> None:
         finally:
             if not rebuild:
                 FaissSparkEngine._compact_index = orig
+            else:
+                eng._rebuild_graph_over = orig_rb
         sec, rec = search_stats(name)
         out = {
             "scenario": "micro_rebuild" if rebuild else "micro_norebuild",
@@ -133,6 +152,10 @@ def main() -> None:
             "search_sec": round(sec, 3),
             "recall_at_10": round(rec, 4),
         }
+        if rebuild:
+            out["rebuilt_rows"] = sum(rebuilt)
+            out["n_merges"] = len(rebuilt)
+            out["write_amplification"] = round((n_total + sum(rebuilt)) / n_total, 2)
         eng.destroy(name)
         return out
 
