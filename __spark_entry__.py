@@ -329,10 +329,117 @@ def _with_recall(flat, exact):
     )
 
 
-def ann_ivf_knn(spark, sf):
+# per-qid recall floors for the ann_* ORACLE rows (VERDICT r5 task 5):
+# generous margins under the measured per-qid minima at sf0.001/sf0.01
+# (IVF 0.4/0.6, LSH 1.0, HNSW 1.0, IVFPQ 0.3/0.5) — the MEAN floors in
+# tests/test_ann_recall_floors.py stay the quality gate; these per-qid
+# floors only need to hold deterministically so the invariant table
+# hash-matches its constant oracle
+ANN_QID_FLOORS = {
+    "ann_ivf_knn": 0.2,
+    "ann_lsh_knn": 0.7,
+    "ann_hnsw_knn": 0.7,
+    "ann_ivfpq_knn": 0.15,
+}
+
+# the constant oracle every ann_* invariant frame must hash-match: ten
+# queries, k-padded to 10 rows each, recall floor met, admission invariant
+# held — all deterministic given the seeded KMeans/hyperplanes
+_ANN_ORACLE = (
+    "SELECT CAST(qid AS BIGINT) AS qid, CAST(10 AS BIGINT) AS k_returned, "
+    "TRUE AS recall_ok, TRUE AS admissible "
+    "FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9)) AS t(qid) "
+    "ORDER BY qid"
+)
+
+
+def _ann_invariant_frame(flat_recall, floor, admissible) -> DataFrame:
+    """Collapse a recall-carrying ANN result into ONE deterministic row per
+    query: (qid, k_returned, recall_ok, admissible).
+
+    With seeded KMeans/hyperplanes the ANN searches are deterministic, so
+    these booleans are CONSTANTS — which turns the former rows-only
+    `no_oracle` entries into hash-green checks against a constant VALUES
+    oracle (VERDICT r5 task 5): k-padding contract (k_returned), recall
+    floor vs the exact top-k computed INSIDE the query (recall_ok), and an
+    entry-specific admission invariant (admissible: from-probed-clusters-
+    only for IVF/IVFPQ, exact-distance recompute for LSH/HNSW)."""
+    per = flat_recall.groupBy("qid").agg(
+        F.count("*").alias("k_returned"),
+        F.min("recall").alias("_rec"),
+    )
+    return (
+        per.join(admissible, "qid", "left")
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("k_returned").cast("bigint").alias("k_returned"),
+            (F.col("_rec") >= F.lit(floor)).alias("recall_ok"),
+            F.coalesce(F.col("ok"), F.lit(False)).alias("admissible"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _ivf_admissible(spark, eng, index_name, flat, q, nprobe: int, desc: bool) -> DataFrame:
+    """(qid, ok): every returned label belongs to one of the qid's nprobe
+    probed clusters — the IVF pruning-path admission invariant, recomputed
+    independently from the trained centroids (tiny driver-side math: nq x
+    nlist scores)."""
+    import numpy as np
+
+    idx = eng.registry.get(index_name)
+    cents = idx.centroids  # (nlist, dim) float32
+    qrows = q.collect()
+    allowed = []
+    for r in qrows:
+        v = np.asarray(r["vector"], dtype=np.float32)
+        if desc:  # INNER_PRODUCT: highest first
+            scores = cents @ v
+            top = np.argsort(-scores, kind="stable")[:nprobe]
+        else:  # L2: nearest first
+            d2 = ((cents - v) ** 2).sum(axis=1)
+            top = np.argsort(d2, kind="stable")[:nprobe]
+        allowed.extend((int(r["qid"]), int(c)) for c in top)
+    allowed_df = spark.createDataFrame(allowed, "qid bigint, cluster_id int")
+    lbl_cluster = idx.data.select("label", "cluster_id")
+    hits = flat.select("qid", "label").join(lbl_cluster, "label")
+    return (
+        hits.join(
+            F.broadcast(allowed_df.withColumn("_a", F.lit(1))),
+            ["qid", "cluster_id"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg((F.count("*") == F.count("_a")).alias("ok"))
+    )
+
+
+def _score_exact_admissible(flat, e, q, score_col, tol: float = 1e-3) -> DataFrame:
+    """(qid, ok): every returned distance equals the metric recomputed from
+    the raw corpus/query vectors within ``tol`` — the exact-scoring
+    admission invariant for ANN paths that re-rank candidates exactly
+    (LSH) or score true vectors (HNSW)."""
+    corpus = e.select(F.col("vec_id").alias("label"), F.col("embedding").alias("_tv"))
+    qv = q.select("qid", F.col("vector").alias("_qv"))
+    j = (
+        flat.select("qid", "label", "distance")
+        .join(corpus, "label")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("_s", score_col(F.col("_qv"), F.col("_tv")))
+    )
+    return j.groupBy("qid").agg(
+        (F.max(F.abs(F.col("distance") - F.col("_s"))) < tol).alias("ok")
+    )
+
+
+def ann_ivf_knn(spark, sf, detail: bool = False):
     """ANN scale path: IVF(8) with nprobe=4 cluster pruning through the
-    engine (approximate by design -> rows-only check; the `recall` column
-    self-evidences vs the exact IP top-k, floor pinned in pytest/bench)."""
+    engine.  Returns the per-query invariant row (qid, k_returned,
+    recall_ok, admissible) checked against a constant VALUES oracle:
+    admissible = all hits from probed clusters only (recomputed from the
+    trained centroids), recall_ok vs the exact IP top-k computed in-query.
+    ``detail=True`` returns the raw (qid, rank, label, distance, recall)
+    frame for the pytest mean-recall floor."""
     from duckdb_faiss_ext_spark import FaissSparkEngine
 
     e = _emb(spark, sf)
@@ -343,7 +450,11 @@ def ann_ivf_knn(spark, sf):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
     )
     flat = eng.search_flat("_entry_ivf", 10, q, params={"nprobe": 4})
-    return _with_recall(flat, _exact_topk(e, 10, V.inner_product))
+    rec = _with_recall(flat, _exact_topk(e, 10, V.inner_product))
+    if detail:
+        return rec
+    adm = _ivf_admissible(spark, eng, "_entry_ivf", flat, q, nprobe=4, desc=True)
+    return _ann_invariant_frame(rec, ANN_QID_FLOORS["ann_ivf_knn"], adm)
 
 
 def knn_majority_vote(spark, sf):
@@ -377,11 +488,13 @@ def knn_majority_vote(spark, sf):
     )
 
 
-def ann_lsh_knn(spark, sf):
+def ann_lsh_knn(spark, sf, detail: bool = False):
     """ANN scale path #2: random-hyperplane LSH bucket-join ANN for cosine
-    (approximate candidate set, exact re-ranked distances -> rows-only
-    check; recall vs exact asserted in pytest, measured in bench).  Unlike
-    IVF this needs NO training pass — signatures are data-independent."""
+    (approximate candidate set, exact re-ranked distances).  Unlike IVF
+    this needs NO training pass — signatures are data-independent.
+    Returns the per-query invariant row (see _ann_invariant_frame):
+    admissible = every returned distance matches the exact cosine
+    recomputed from raw vectors (the re-rank contract)."""
     from duckdb_faiss_ext_spark.operators.lsh import lsh_ann_cosine
 
     e = _emb(spark, sf)
@@ -390,16 +503,22 @@ def ann_lsh_knn(spark, sf):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
     )
     flat = lsh_ann_cosine(corpus, q, 10, 64, n_planes=4, n_tables=8)
-    return _with_recall(flat, _exact_topk(e, 10, V.cosine_similarity))
+    rec = _with_recall(flat, _exact_topk(e, 10, V.cosine_similarity))
+    if detail:
+        return rec
+    adm = _score_exact_admissible(flat, e, q, V.cosine_similarity)
+    return _ann_invariant_frame(rec, ANN_QID_FLOORS["ann_lsh_knn"], adm)
 
 
-def ann_hnsw_knn(spark, sf):
+def ann_hnsw_knn(spark, sf, detail: bool = False):
     """ANN scale path #4: the reference's HEADLINE index shape — HNSW graph
     search ('IDMap,HNSW128,Flat', Makefile:105; efSearch plumbing
     faiss_extension.cpp:691-702) as per-segment navigable-small-world graphs
     (operators/nsw.py): Malkov-diversified edges + reverse links, multi-entry
-    beam honoring efSearch, bounded nq*k merge.  Approximate -> rows-only
-    check; recall floor and touched-fraction pinned in tests/test_nsw.py."""
+    beam honoring efSearch, bounded nq*k merge.  Returns the per-query
+    invariant row (see _ann_invariant_frame): admissible = every returned
+    distance matches the exact IP recomputed from raw vectors; recall
+    floor and touched-fraction pinned in tests/test_nsw.py."""
     from duckdb_faiss_ext_spark import FaissSparkEngine
 
     e = _emb(spark, sf)
@@ -410,16 +529,22 @@ def ann_hnsw_knn(spark, sf):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
     )
     flat = eng.search_flat("_entry_hnsw", 10, q, params={"efSearch": "128"})
-    return _with_recall(flat, _exact_topk(e, 10, V.inner_product))
+    rec = _with_recall(flat, _exact_topk(e, 10, V.inner_product))
+    if detail:
+        return rec
+    adm = _score_exact_admissible(flat, e, q, V.inner_product)
+    return _ann_invariant_frame(rec, ANN_QID_FLOORS["ann_hnsw_knn"], adm)
 
 
-def ann_ivfpq_knn(spark, sf):
+def ann_ivfpq_knn(spark, sf, detail: bool = False):
     """ANN scale path #3: IVF + PQ through the engine factory — the
     reference's 'IVFn,PQm' index strings (faiss::index_factory surface,
     faiss_extension.cpp:112; Makefile:105) re-expressed Spark-first: KMeans
     coarse quantizer prunes to nprobe clusters, rows store 8-byte PQ codes
-    (32x compression), scoring is ADC lookup tables.  Approximate ->
-    rows-only check; recall and compression pinned in tests/test_pq.py."""
+    (32x compression), scoring is ADC lookup tables.  Returns the
+    per-query invariant row (see _ann_invariant_frame): admissible = all
+    hits from probed clusters only; recall and compression pinned in
+    tests/test_pq.py."""
     from duckdb_faiss_ext_spark import FaissSparkEngine
 
     e = _emb(spark, sf)
@@ -430,7 +555,11 @@ def ann_ivfpq_knn(spark, sf):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
     )
     flat = eng.search_flat("_entry_ivfpq", 10, q, params={"nprobe": 4})
-    return _with_recall(flat, _exact_topk(e, 10, V.l2sq, desc=False))
+    rec = _with_recall(flat, _exact_topk(e, 10, V.l2sq, desc=False))
+    if detail:
+        return rec
+    adm = _ivf_admissible(spark, eng, "_entry_ivfpq", flat, q, nprobe=4, desc=False)
+    return _ann_invariant_frame(rec, ANN_QID_FLOORS["ann_ivfpq_knn"], adm)
 
 
 def vector_centroids(spark, sf):
@@ -1288,6 +1417,13 @@ def oracle_sql() -> dict[str, str]:
             )
             + " AS BIGINT) AS simhash FROM s"
         ),
-        # rows-only (no oracle): ann_ivf_knn / ann_lsh_knn / ann_ivfpq_knn /
-        # ann_hnsw_knn (approximate by design)
+        # ann_* entries: the query emits DETERMINISTIC per-query invariant
+        # booleans (seeded KMeans/planes), so the oracle is the constant
+        # TRUE table — k-padding + recall-floor + admission all hash-checked
+        # (VERDICT r5 task 5; the approximate NEIGHBOR SETS themselves stay
+        # non-oracled by nature, which is exactly what the booleans encode)
+        "ann_ivf_knn": _ANN_ORACLE,
+        "ann_lsh_knn": _ANN_ORACLE,
+        "ann_hnsw_knn": _ANN_ORACLE,
+        "ann_ivfpq_knn": _ANN_ORACLE,
     }
