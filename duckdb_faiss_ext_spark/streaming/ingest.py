@@ -24,7 +24,10 @@ def stream_add(engine, index_name: str, stream_df: DataFrame, **write_opts) -> S
     ``params={'storage_path': dir}`` — each micro-batch then appends one
     parquet slice and the index keeps a FLAT lineage (a single scan node)
     no matter how many batches arrive; memory-mode indexes instead grow a
-    lazy union that is compacted every MAX_SLICES adds."""
+    lazy union compacted TIERED every MAX_SLICES adds (only small slices
+    merge and rebuild graphs, so total build work over the stream's life
+    is O(n log n) — steady-state contract in README 'Streaming adds into
+    graph indexes')."""
 
     def feed(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
