@@ -11,7 +11,15 @@ at 1-4M x 64 and measures what nlist=2048 changes:
   batch actually scans at each nprobe (probed-cluster row mass / total);
 - recall@10 vs exact IP at nprobe in {16, 64, 128}.
 
-Usage: python tools/ivf2048_probe.py [n_rows] [nlist] [dim]
+4th arg ``normalize=1`` L2-normalizes the synth corpus first — the regime
+the reference actually runs (its trained embeddings are unit-norm, like
+testdata embeddings.parquet).  On UNNORMALIZED data the IP coarse
+quantizer concentrates mass on large-norm centroids (faiss IP-IVF
+convention: assignment maximizes <x, c>), leaving most clusters empty and
+pruning ineffective — measured in SCALE.md r6; normalized vectors restore
+balanced cells.
+
+Usage: python tools/ivf2048_probe.py [n_rows] [nlist] [dim] [normalize]
 """
 
 import json
@@ -29,6 +37,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     nlist = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     dim = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    normalize = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
 
     from duckdb_faiss_ext_spark import FaissSparkEngine
     from duckdb_faiss_ext_spark.session import get_spark
@@ -38,7 +47,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     eng = FaissSparkEngine(spark)
 
-    corpus = synth_vectors(spark, n, dim).persist()
+    corpus = synth_vectors(spark, n, dim)
+    if normalize:
+        # unit-norm, JVM-side: x / ||x|| (the reference's embedding regime)
+        nrm = F.sqrt(F.aggregate("vector", F.lit(0.0), lambda a, v: a + v * v))
+        corpus = corpus.select(
+            "label",
+            F.transform("vector", lambda v: (v / nrm).cast("float")).alias("vector"),
+        )
+    corpus = corpus.persist()
     corpus.count()
     queries = corpus.limit(48).select(
         F.col("label").alias("qid"), F.col("vector")
@@ -110,6 +127,7 @@ def main() -> None:
                     "n": n,
                     "nlist": nlist,
                     "dim": dim,
+                    "normalized": normalize,
                     "build_sec": round(build_sec, 2),
                     "exact_search_sec": round(exact_sec, 3),
                     "cluster_rows_p50": int(np.median(sizes)),
