@@ -27,10 +27,14 @@ def test_every_oracle_has_a_query():
 
 def test_rows_only_entries_are_last():
     """Time-budgeted harnesses process dict order; hash-checkable queries
-    must come before the rows-only tail."""
+    must come before any rows-only tail.  Since r6 every entry is oracled
+    (the ann_* invariants hash against constant tables), so the expected
+    tail is empty."""
     qs, osql = entry.queries(), entry.oracle_sql()
     names = list(qs)
-    first_rows_only = next(i for i, n in enumerate(names) if n not in osql)
+    first_rows_only = next(
+        (i for i, n in enumerate(names) if n not in osql), len(names)
+    )
     assert all(n not in osql for n in names[first_rows_only:]), (
         "oracled query found after a rows-only entry"
     )
