@@ -58,6 +58,8 @@ LOCAL_BASELINES = {
     "dedup_pipeline_full": 10.0,
     "hnsw_filtered_p1": 0.6,
     "bulk_knn": 1.4,  # r5 local, load ~7
+    "wide1536_knn": 0.95,  # r6 local, load ~6
+    "wide1536_simjoin": 2.44,  # r6 local, load ~6
 }
 
 
