@@ -215,3 +215,49 @@ def test_compact_full_true_single_slice(spark, eng):
     idx = eng.registry.get("cmp_force")
     assert len(idx.slices) == 1 and idx.slice_rows == [130]
     assert _segments(idx) == 3  # ceil(130/64) partitions -> 3 graphs
+
+
+def test_full_slices_concat_merge_without_rebuild(spark, eng, monkeypatch):
+    """Once more than FULL_SLICE_FANOUT full slices accumulate, compaction
+    concat-merges them (one persist) WITHOUT any graph rebuild — graph rows
+    are self-contained, graph_seg survives re-layout."""
+    eng.create(
+        "cmp_cat", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "32"},
+    )
+    n_adds, batch = 10, 40  # every slice >= 32 rows -> full on arrival
+    x = gen_vectors(n_adds * batch, 8)
+    for i in range(n_adds):
+        eng.add("cmp_cat", _vec_df(spark, x[i * batch : (i + 1) * batch], i * batch))
+    idx = eng.registry.get("cmp_cat")
+    segs_before = {
+        r["graph_seg"] for r in idx.data.select("graph_seg").distinct().collect()
+    }
+    calls = []
+    monkeypatch.setattr(
+        eng, "_rebuild_graph_over",
+        lambda *a, **k: calls.append(1) or (_ for _ in ()).throw(AssertionError("rebuild ran")),
+    )
+    eng.compact("cmp_cat")
+    assert not calls  # concat only, no graph build
+    assert len(idx.slices) < n_adds
+    assert sum(idx.slice_rows) == n_adds * batch
+    segs_after = {
+        r["graph_seg"] for r in idx.data.select("graph_seg").distinct().collect()
+    }
+    assert segs_after == segs_before  # identical graphs, new physical layout
+    q = _vec_df(spark, x[::40], 0).select(F.col("label").alias("qid"), "vector")
+    res = eng.search_flat("cmp_cat", 1, q, params={"efSearch": 64}).collect()
+    assert all(r["distance"] < 1e-5 for r in res)
+
+
+def test_compact_loaded_index_falls_back_to_full(spark, eng, tmp_path):
+    """A loaded index has no slice bookkeeping; explicit compact() takes the
+    safe whole-index path instead of silently doing nothing."""
+    eng.create("cmp_src", 8, "IDMap,Flat", metric_type="L2")
+    eng.add("cmp_src", _vec_df(spark, gen_vectors(50, 8), 0))
+    eng.save("cmp_src", str(tmp_path / "cmp_src"))
+    eng.load("cmp_ld", str(tmp_path / "cmp_src"))
+    eng.compact("cmp_ld")
+    idx = eng.registry.get("cmp_ld")
+    assert len(idx.slices) == 1 and idx.slice_rows == [50]
