@@ -136,13 +136,16 @@ class FaissSparkEngine:
 
     @staticmethod
     def _unpersist_slices(idx: FaissIndex) -> None:
-        for s in idx.slices:
+        # unpersist the cache HANDLES (slice itself, or the raw parent cache
+        # a lazy labeled projection reads through — unlabeled-add fast path)
+        for s in idx.slice_caches if idx.slice_caches else idx.slices:
             try:
                 s.unpersist()
             except Exception:
                 pass
         idx.slices = []
         idx.slice_rows = []
+        idx.slice_caches = []
 
     def list_indexes(self) -> list[str]:
         return self.registry.names()
@@ -419,26 +422,32 @@ class FaissSparkEngine:
         cache_frame: Optional[DataFrame] = None,
     ) -> None:
         """``cache_frame``: an already-materialized parent cache that ``vecs``
-        is a narrow projection over — registered as the slice's cache so no
-        second persist+count pass runs (the unlabeled-add fast path)."""
+        is a narrow projection over — registered as the slice's UNPERSIST
+        HANDLE so no second persist+count pass runs (the unlabeled-add fast
+        path).  The slice stored in ``idx.slices`` is always the LABELED
+        frame: compaction rebuilds ``idx.data`` from the slice union, and a
+        raw label-less store there silently dropped every auto-assigned
+        label at the MAX_SLICES-th unlabeled add (ADVICE r6 high)."""
         if cache_frame is not None:
             batch_n = int(pre_count)
-            store = cache_frame
+            cache = cache_frame
         else:
             vecs = vecs.persist()
             batch_n = vecs.count()  # O(batch): only the new slice materializes
-            store = vecs
+            cache = vecs
         if rebuild:
             self._unpersist_slices(idx)
             idx.data = vecs
             idx.count = batch_n
-            idx.slices = [store]
+            idx.slices = [vecs]
             idx.slice_rows = [batch_n]
+            idx.slice_caches = [cache]
             return
         idx.data = vecs if idx.data is None else idx.data.unionByName(vecs)
         idx.count += batch_n
-        idx.slices.append(store)
+        idx.slices.append(vecs)
         idx.slice_rows.append(batch_n)
+        idx.slice_caches.append(cache)
         if len(idx.slices) >= self.MAX_SLICES:
             self._compact_index(idx)
 
@@ -539,13 +548,16 @@ class FaissSparkEngine:
         drop = set(picked)
         keep = [s for i, s in enumerate(idx.slices) if i not in drop]
         keep_rows = [r for i, r in enumerate(idx.slice_rows) if i not in drop]
+        caches = idx.slice_caches or list(idx.slices)
+        keep_caches = [c for i, c in enumerate(caches) if i not in drop]
         for i in drop:
             try:
-                idx.slices[i].unpersist()
+                caches[i].unpersist()
             except Exception:
                 pass
         idx.slices = [merged] + keep
         idx.slice_rows = [merged_rows] + keep_rows
+        idx.slice_caches = [merged] + keep_caches
         idx.data = self._union_slices(idx.slices)
 
     def _compact_index(self, idx: FaissIndex, full: bool = False) -> None:
@@ -563,9 +575,14 @@ class FaissSparkEngine:
             idx.data = compacted
             idx.slices = [compacted]
             idx.slice_rows = [int(idx.count)]
+            idx.slice_caches = [compacted]
             return
         sizes = list(idx.slice_rows)
-        if not idx.slices or len(sizes) != len(idx.slices):
+        if (
+            not idx.slices
+            or len(sizes) != len(idx.slices)
+            or len(idx.slice_caches) != len(idx.slices)
+        ):
             # no slice bookkeeping (loaded index) or counts out of step:
             # fall back to the safe whole-index compaction once; counts are
             # tracked from then on

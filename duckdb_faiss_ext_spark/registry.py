@@ -54,6 +54,13 @@ class FaissIndex:
     # slices so total graph-build work stays O(n log n) over a long
     # micro-batch stream instead of O(n²) whole-corpus rebuilds
     slice_rows: list = field(default_factory=list)
+    # unpersist handle per slice, parallel to ``slices``.  Usually the slice
+    # frame itself; for the unlabeled-add fast path it is the RAW persisted
+    # parent cache the labeled slice projects over (the slice stored in
+    # ``slices`` is then a lazy narrow projection and must NOT be the raw
+    # store — tiered compaction unions ``slices``, and a label-less store
+    # there silently drops the auto-assigned labels; ADVICE r6 high)
+    slice_caches: list = field(default_factory=list)
     # disk mode: parquet directory backing the index data; add() appends one
     # parquet slice (flat lineage, O(batch) per add, corpora larger than the
     # executor cache).  Set via create(params={'storage_path': ...}).

@@ -261,3 +261,55 @@ def test_compact_loaded_index_falls_back_to_full(spark, eng, tmp_path):
     eng.compact("cmp_ld")
     idx = eng.registry.get("cmp_ld")
     assert len(idx.slices) == 1 and idx.slice_rows == [50]
+
+
+def _unlabeled_df(spark, x):
+    return spark.createDataFrame(
+        [([float(v) for v in row],) for row in x], "vector array<float>"
+    )
+
+
+def test_unlabeled_adds_survive_auto_compaction(spark, eng):
+    """ADVICE r6 high: the unlabeled fast path stored the RAW label-less
+    parent cache as the slice; the MAX_SLICES-th add's compaction unioned
+    vector-only stores, dropping every auto-assigned label (and the next
+    add raised NUM_COLUMNS_MISMATCH).  The slice list must hold the labeled
+    projection — auto-ids survive compaction and further adds work."""
+    eng.MAX_SLICES = 3
+    eng.create("cmp_auto", 4, "IDMap,Flat", metric_type="INNER_PRODUCT")
+    x = np.eye(4, dtype=np.float32)
+    for i in range(4):  # 3rd add triggers compaction; 4th must still work
+        eng.add("cmp_auto", _unlabeled_df(spark, x[i : i + 1]))
+    idx = eng.registry.get("cmp_auto")
+    assert idx.count == 4
+    assert "label" in idx.data.columns
+    assert sorted(r["label"] for r in idx.data.select("label").collect()) == [0, 1, 2, 3]
+    res = eng.search_flat("cmp_auto", 1, _vec_df(spark, x, 0).select(
+        F.col("label").alias("qid"), "vector"
+    )).collect()
+    assert {r["qid"]: r["label"] for r in res} == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_unlabeled_graph_adds_survive_auto_compaction(spark, eng):
+    """Same ADVICE r6 scenario through the graph (HNSW) build path: the
+    graph slice is a transformed frame (no fast path), but mixed streams
+    of labeled and graph adds share the compaction machinery — pin that
+    auto-id bookkeeping stays consistent there too."""
+    eng.MAX_SLICES = 3
+    eng.create(
+        "cmp_auto_g", 8, "HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64"},
+    )
+    x = gen_vectors(120, 8)
+    for i in range(4):
+        eng.add("cmp_auto_g", _unlabeled_df(spark, x[i * 30 : (i + 1) * 30]))
+    idx = eng.registry.get("cmp_auto_g")
+    assert idx.count == 120
+    labels = sorted(r["label"] for r in idx.data.select("label").collect())
+    assert labels == list(range(120))
+    res = eng.search_flat(
+        "cmp_auto_g", 1,
+        _vec_df(spark, x[::10], 0).select(F.col("label").alias("qid"), "vector"),
+        params={"efSearch": 64},
+    ).collect()
+    assert all(r["distance"] < 1e-5 for r in res)
