@@ -477,6 +477,10 @@ class FaissSparkEngine:
         after a burst of micro-batch adds."""
         idx = self.registry.get(name)
         if idx.storage_path:
+            if idx.data is not None and self._is_graph_index(idx):
+                # graph disk mode: tiered merge-rewrite of small parquet
+                # slice directories (VERDICT r6 task 1)
+                return self._compact_disk_graph(idx, full=full)
             raise FaissSparkError(
                 f"compact({name!r}): disk-mode indexes append parquet slices "
                 "(already a flat single-scan lineage); graph re-segmentation "
@@ -517,10 +521,13 @@ class FaissSparkEngine:
             and "neighbors" in idx.data.columns
         )
 
-    def _rebuild_graph_over(self, idx: FaissIndex, df: DataFrame, n_rows: int) -> DataFrame:
+    def _rebuild_graph_frame(self, idx: FaissIndex, df: DataFrame, n_rows: int) -> DataFrame:
         """Rebuild full-size NSW segments over ``df`` (a slice union):
         strip adjacency down to (label, vector[, cluster_id]) and run the
-        same per-slice build add() uses, re-co-locating clusters first."""
+        same per-slice build add() uses, re-co-locating clusters first.
+        Returns the built frame WITHOUT forcing a persist — the memory
+        path caches it (``_rebuild_graph_over``), the disk path writes it
+        to a parquet slice directory (``_compact_disk_graph``)."""
         cols = ["label", "vector"] + (
             ["cluster_id"] if "cluster_id" in df.columns else []
         )
@@ -534,12 +541,16 @@ class FaissSparkEngine:
             n_parts = max(1, -(-max(int(n_rows), 1) // rows))
             base = base.repartitionByRange(n_parts, "cluster_id", "label")
         built = self._build_graph_slice(idx, base)
+        idx._edgeless_checked = False  # segment layout changed
+        return built
+
+    def _rebuild_graph_over(self, idx: FaissIndex, df: DataFrame, n_rows: int) -> DataFrame:
+        built = self._rebuild_graph_frame(idx, df, n_rows)
         if not built.is_cached:
             # grouped (IVF) builds return unpersisted — materialize BEFORE
             # dropping the slice caches the build reads from
             built = built.persist()
             built.count()
-        idx._edgeless_checked = False  # segment layout changed
         return built
 
     def _replace_slices(self, idx: FaissIndex, picked: list, merged, merged_rows: int) -> None:
@@ -635,7 +646,12 @@ class FaissSparkEngine:
     def _add_disk(self, idx: FaissIndex, vecs: DataFrame, rebuild: bool) -> None:
         """Append the slice to the index's parquet directory: flat lineage
         (a single scan node no matter how many adds), cluster-partitioned
-        layout for IVF pruning, corpora bigger than the executor cache."""
+        layout for IVF pruning, corpora bigger than the executor cache.
+        Graph slices (carrying NSW adjacency) go to their own per-slice
+        directories instead so tiered compaction can merge-rewrite them
+        (``_add_disk_graph``)."""
+        if "neighbors" in vecs.columns:
+            return self._add_disk_graph(idx, vecs, rebuild)
         data_path = os.path.join(idx.storage_path, "data.parquet")
         vecs = vecs.persist()
         batch_n = vecs.count()
@@ -648,6 +664,177 @@ class FaissSparkEngine:
         vecs.unpersist()
         idx.data = self.spark.read.parquet(data_path)
         idx.count = batch_n if rebuild else idx.count + batch_n
+
+    # ------------------------------------------- disk-backed graph segments
+    # VERDICT r6 task 1: the reference's headline factories are HNSW-family
+    # (Makefile:105) with file persistence independent of RAM
+    # (faiss_extension.cpp:188-241).  Disk mode for graph indexes stores one
+    # parquet DIRECTORY PER ADD-SLICE under <storage_path>/graph_slices/
+    # with row counts in graph_manifest.json; the index frame is the
+    # unionByName of the per-slice reads (depth bounded by tiered
+    # compaction, which merge-REWRITES small slice directories instead of
+    # re-caching — nothing ever needs to fit executor cache).  NSW graph
+    # rows are self-contained (neighbors reference co-segment LABELS,
+    # nsw.py), so any physical re-layout keeps every graph valid.
+
+    def _graph_manifest_path(self, idx: FaissIndex) -> str:
+        return os.path.join(idx.storage_path, "graph_manifest.json")
+
+    def _graph_manifest_load(self, idx: FaissIndex) -> dict:
+        path = self._graph_manifest_path(idx)
+        if not os.path.exists(path):
+            return {"seq": 0, "slices": []}
+        with open(path) as f:
+            return json.load(f)
+
+    def _graph_manifest_save(self, idx: FaissIndex, man: dict) -> None:
+        os.makedirs(idx.storage_path, exist_ok=True)
+        tmp = self._graph_manifest_path(idx) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self._graph_manifest_path(idx))
+
+    def _graph_slice_root(self, idx: FaissIndex) -> str:
+        return os.path.join(idx.storage_path, "graph_slices")
+
+    def _write_graph_slice(self, idx: FaissIndex, man: dict, df: DataFrame) -> str:
+        """Write ``df`` as a new slice directory, returning its name."""
+        man["seq"] = int(man["seq"]) + 1
+        d = f"s{man['seq']:06d}"
+        writer = df.write.mode("overwrite")
+        if "cluster_id" in df.columns:
+            # cluster-partitioned layout: nprobe pruning becomes directory
+            # pruning on every slice scan (same as the non-graph disk path)
+            writer = writer.partitionBy("cluster_id")
+        writer.parquet(os.path.join(self._graph_slice_root(idx), d))
+        return d
+
+    def _refresh_disk_graph_data(self, idx: FaissIndex, man: dict) -> None:
+        root = self._graph_slice_root(idx)
+        frames = [
+            self.spark.read.parquet(os.path.join(root, e["dir"]))
+            for e in man["slices"]
+        ]
+        # canonical column order: a partitioned read appends cluster_id last
+        # while the written frame had it inline
+        order = ["label", "vector", "neighbors", "graph_seg"]
+        cols = order + [c for c in frames[0].columns if c not in order]
+        idx.data = self._union_slices([f.select(*cols) for f in frames])
+
+    def _add_disk_graph(self, idx: FaissIndex, vecs: DataFrame, rebuild: bool) -> None:
+        import shutil
+
+        old_slices = []
+        man = self._graph_manifest_load(idx)
+        if rebuild:
+            old_slices, man["slices"] = man["slices"], []
+        vecs = vecs.persist()
+        batch_n = vecs.count()
+        d = self._write_graph_slice(idx, man, vecs)
+        vecs.unpersist()
+        man["slices"].append({"dir": d, "rows": int(batch_n)})
+        for e in old_slices:
+            shutil.rmtree(
+                os.path.join(self._graph_slice_root(idx), e["dir"]),
+                ignore_errors=True,
+            )
+        self._graph_manifest_save(idx, man)
+        self._refresh_disk_graph_data(idx, man)
+        idx.count = batch_n if rebuild else idx.count + batch_n
+        if len(man["slices"]) >= self.MAX_SLICES:
+            self._compact_disk_graph(idx)
+
+    def _compact_disk_graph(self, idx: FaissIndex, full: bool = False) -> None:
+        """Tiered compaction for disk-backed graph indexes: same merge
+        policy as memory mode (``_pick_merge_set``), but the merged result
+        is WRITTEN to a new slice directory and the picked directories are
+        deleted — per-compaction work is O(picked rows), never O(corpus),
+        and no step requires the corpus in executor cache.  Full slice
+        directories are never graph-rebuilt; past FULL_SLICE_FANOUT their
+        parquet part-files are concat-merged by FILE MOVE (no Spark job)."""
+        import shutil
+
+        man = self._graph_manifest_load(idx)
+        sizes = [e["rows"] for e in man["slices"]]
+        if not sizes:
+            return
+        root = self._graph_slice_root(idx)
+        full_rows = int(idx.params.get("graph_partition_rows", self.GRAPH_ROWS))
+        if full:
+            picked = list(range(len(sizes)))
+        else:
+            micro = [i for i, r in enumerate(sizes) if r < full_rows]
+            picked = self._pick_merge_set(sizes, micro)
+            if not picked and len(sizes) >= self.MAX_SLICES and len(micro) >= 2:
+                # pathological size spread: still bound the directory count
+                picked = sorted(micro, key=lambda i: sizes[i])[:2]
+        if picked and (full or len(picked) >= 2):
+            merged_rows = sum(sizes[i] for i in picked)
+            union = self._union_slices(
+                [
+                    self.spark.read.parquet(
+                        os.path.join(root, man["slices"][i]["dir"])
+                    )
+                    for i in picked
+                ]
+            )
+            built = self._rebuild_graph_frame(idx, union, merged_rows)
+            d = self._write_graph_slice(idx, man, built)
+            try:
+                built.unpersist()  # plain-HNSW builds self-persist
+            except Exception:
+                pass
+            drop = set(picked)
+            kept = [e for i, e in enumerate(man["slices"]) if i not in drop]
+            for i in drop:
+                shutil.rmtree(
+                    os.path.join(root, man["slices"][i]["dir"]),
+                    ignore_errors=True,
+                )
+            man["slices"] = [{"dir": d, "rows": int(merged_rows)}] + kept
+            self._graph_manifest_save(idx, man)
+            sizes = [e["rows"] for e in man["slices"]]
+        fulls = [i for i, r in enumerate(sizes) if r >= full_rows]
+        if len(fulls) > self.FULL_SLICE_FANOUT:
+            picked = self._pick_merge_set(sizes, fulls)
+            if len(picked) >= 2:
+                self._concat_disk_slices(idx, man, picked)
+        self._refresh_disk_graph_data(idx, man)
+
+    def _concat_disk_slices(self, idx: FaissIndex, man: dict, picked: list) -> None:
+        """Merge full slice directories by MOVING parquet part-files into
+        the first picked directory (graph rows are self-contained, so a
+        physical re-layout never invalidates a graph; cluster_id=N
+        partition subdirs merge by matching relative path).  Pure
+        filesystem renames — no graph rebuild, no Spark job."""
+        import shutil
+
+        root = self._graph_slice_root(idx)
+        dst_e = man["slices"][picked[0]]
+        dst = os.path.join(root, dst_e["dir"])
+        total = int(dst_e["rows"])
+        for i in picked[1:]:
+            e = man["slices"][i]
+            src = os.path.join(root, e["dir"])
+            for dirpath, _dirs, files in os.walk(src):
+                rel = os.path.relpath(dirpath, src)
+                out_dir = dst if rel == "." else os.path.join(dst, rel)
+                for fname in files:
+                    if not fname.endswith(".parquet"):
+                        continue  # _SUCCESS / CRC markers
+                    os.makedirs(out_dir, exist_ok=True)
+                    os.replace(
+                        os.path.join(dirpath, fname),
+                        # prefix with the source slice name: part-file UUIDs
+                        # are already unique, this makes collisions impossible
+                        os.path.join(out_dir, f"{e['dir']}-{fname}"),
+                    )
+            total += int(e["rows"])
+            shutil.rmtree(src, ignore_errors=True)
+        drop = set(picked[1:])
+        man["slices"] = [e for i, e in enumerate(man["slices"]) if i not in drop]
+        dst_e["rows"] = total
+        self._graph_manifest_save(idx, man)
 
     # rows per NSW graph segment: bounds the O(rows^2) per-partition build
     # while keeping the beam's touched fraction small (beam evals are ~constant

@@ -1,0 +1,218 @@
+"""Disk-backed graph segments (VERDICT r6 task 1).
+
+The reference's headline factories are HNSW-family (Makefile:105) and its
+indexes persist to files independent of RAM (faiss_extension.cpp:188-241).
+Disk mode (``storage_path``) for graph factories stores one parquet
+directory per add-slice with a row-count manifest; tiered compaction
+merge-REWRITES small slice directories (never the whole corpus) and
+concat-merges full directories by file move.
+"""
+
+import json
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+from conftest import gen_vectors
+
+from duckdb_faiss_ext_spark import FaissSparkEngine
+
+
+@pytest.fixture()
+def eng(spark):
+    e = FaissSparkEngine(spark)
+    yield e
+    for name in e.list_indexes():
+        e.destroy(name)
+
+
+def _vec_df(spark, x, lo):
+    return spark.createDataFrame(
+        [(lo + i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "label bigint, vector array<float>",
+    )
+
+
+def _manifest(path):
+    with open(os.path.join(path, "graph_manifest.json")) as f:
+        return json.load(f)
+
+
+def _search_map(eng, name, x, k=1, step=7, params=None):
+    q = _vec_df(eng.spark, x[::step], 0).select(
+        F.col("label").alias("qid"), "vector"
+    )
+    res = eng.search_flat(name, k, q, params=params or {"efSearch": 64}).collect()
+    return {(r["qid"], r["rank"]): (r["label"], round(r["distance"], 5)) for r in res}
+
+
+def test_disk_hnsw_roundtrip_matches_memory(spark, eng, tmp_path):
+    """HNSW with storage_path: same adds, search results identical to the
+    memory-mode index (seeded build => identical graphs)."""
+    x = gen_vectors(150, 8)
+    eng.create(
+        "dg_mem", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64"},
+    )
+    eng.create(
+        "dg_dsk", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": str(tmp_path / "dg")},
+    )
+    for i in range(3):
+        batch = _vec_df(spark, x[i * 50 : (i + 1) * 50], i * 50)
+        eng.add("dg_mem", batch)
+        eng.add("dg_dsk", batch)
+    assert _search_map(eng, "dg_dsk", x, k=3) == _search_map(eng, "dg_mem", x, k=3)
+    man = _manifest(str(tmp_path / "dg"))
+    assert [e["rows"] for e in man["slices"]] == [50, 50, 50]
+    # every slice is its own parquet directory
+    root = str(tmp_path / "dg" / "graph_slices")
+    assert sorted(os.listdir(root)) == [e["dir"] for e in sorted(man["slices"], key=lambda e: e["dir"])]
+
+
+def test_disk_graph_tiered_compaction_rewrites_micros(spark, eng, tmp_path):
+    """Explicit compact() on a disk graph index merges micro slice dirs into
+    one rewritten dir (full segments form), deletes the old dirs, and
+    search stays self-hit-exact."""
+    path = str(tmp_path / "dgc")
+    eng.create(
+        "dgc", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": path},
+    )
+    x = gen_vectors(120, 8)
+    for i in range(4):
+        eng.add("dgc", _vec_df(spark, x[i * 30 : (i + 1) * 30], i * 30))
+    before = _manifest(path)
+    assert len(before["slices"]) == 4
+    eng.compact("dgc")
+    man = _manifest(path)
+    assert len(man["slices"]) == 1 and man["slices"][0]["rows"] == 120
+    assert sorted(os.listdir(os.path.join(path, "graph_slices"))) == [
+        man["slices"][0]["dir"]
+    ]
+    idx = eng.registry.get("dgc")
+    assert idx.data.count() == 120
+    # 120 rows / 64 per segment -> 2 full segments
+    assert idx.data.select("graph_seg").distinct().count() == 2
+    res = _search_map(eng, "dgc", x)
+    assert all(lbl == qid * 7 and _d < 1e-5 for (qid, _r), (lbl, _d) in res.items())
+
+
+def test_disk_graph_full_slice_never_rebuilt(spark, eng, monkeypatch, tmp_path):
+    """A slice directory already holding full-size segments is untouched by
+    tiered compaction: same files on disk afterwards."""
+    path = str(tmp_path / "dgf")
+    eng.create(
+        "dgf", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": path},
+    )
+    x = gen_vectors(160, 8)
+    eng.add("dgf", _vec_df(spark, x[:100], 0))  # full slice (100 >= 64)
+    full_dir = _manifest(path)["slices"][0]["dir"]
+    files_before = set(os.listdir(os.path.join(path, "graph_slices", full_dir)))
+    for i in range(3):  # three micro slices
+        eng.add("dgf", _vec_df(spark, x[100 + i * 20 : 100 + (i + 1) * 20], 100 + i * 20))
+    eng.compact("dgf")
+    man = _manifest(path)
+    assert {e["dir"] for e in man["slices"]} >= {full_dir}
+    assert set(os.listdir(os.path.join(path, "graph_slices", full_dir))) == files_before
+    micro_rows = sorted(e["rows"] for e in man["slices"] if e["dir"] != full_dir)
+    assert micro_rows == [60]  # 3 x 20 merged into one rewritten dir
+    assert eng.registry.get("dgf").data.count() == 160
+
+
+def test_disk_graph_auto_compaction_at_max_slices(spark, eng, tmp_path):
+    path = str(tmp_path / "dga")
+    eng.MAX_SLICES = 3
+    eng.create(
+        "dga", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": path},
+    )
+    x = gen_vectors(120, 8)
+    for i in range(4):
+        eng.add("dga", _vec_df(spark, x[i * 30 : (i + 1) * 30], i * 30))
+    man = _manifest(path)
+    assert len(man["slices"]) < 4  # auto-compacted on the 3rd add
+    assert sum(e["rows"] for e in man["slices"]) == 120
+    res = _search_map(eng, "dga", x)
+    assert all(lbl == qid * 7 and d < 1e-5 for (qid, _r), (lbl, d) in res.items())
+
+
+def test_disk_graph_concat_merge_moves_files(spark, eng, monkeypatch, tmp_path):
+    """More than FULL_SLICE_FANOUT full slice dirs concat-merge by file
+    move: no graph rebuild runs, graphs are bit-identical afterwards."""
+    path = str(tmp_path / "dgm")
+    eng.create(
+        "dgm", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "32", "storage_path": path},
+    )
+    n_adds, batch = 10, 40  # every slice >= 32 rows -> full on arrival
+    x = gen_vectors(n_adds * batch, 8)
+    for i in range(n_adds):
+        eng.add("dgm", _vec_df(spark, x[i * batch : (i + 1) * batch], i * batch))
+    idx = eng.registry.get("dgm")
+    segs_before = {
+        r["graph_seg"] for r in idx.data.select("graph_seg").distinct().collect()
+    }
+    calls = []
+    monkeypatch.setattr(
+        eng, "_rebuild_graph_frame",
+        lambda *a, **k: calls.append(1) or (_ for _ in ()).throw(AssertionError("rebuild ran")),
+    )
+    eng.compact("dgm")
+    assert not calls  # concat only, no graph build
+    man = _manifest(path)
+    assert len(man["slices"]) < n_adds
+    assert sum(e["rows"] for e in man["slices"]) == n_adds * batch
+    segs_after = {
+        r["graph_seg"] for r in idx.data.select("graph_seg").distinct().collect()
+    }
+    assert segs_after == segs_before
+    res = _search_map(eng, "dgm", x, step=40)
+    assert all(d < 1e-5 for (_q, _r), (_l, d) in res.items())
+
+
+def test_disk_ivf_hnsw_roundtrip_and_compaction(spark, eng, tmp_path):
+    """IVF_HNSW composite in disk mode: cluster-partitioned slice dirs,
+    per-cluster graphs survive compaction, nprobe search self-hits."""
+    path = str(tmp_path / "dgi")
+    eng.create(
+        "dgi", 8, "IDMap,IVF4_HNSW8,Flat", metric_type="L2",
+        params={
+            "storage_path": path,
+            "graph_partition_rows": "64",
+            "min_graph_rows": "0",
+        },
+    )
+    x = gen_vectors(240, 8)
+    for i in range(4):
+        eng.add("dgi", _vec_df(spark, x[i * 60 : (i + 1) * 60], i * 60))
+    man = _manifest(path)
+    first = man["slices"][0]["dir"]
+    parts = [
+        d for d in os.listdir(os.path.join(path, "graph_slices", first))
+        if d.startswith("cluster_id=")
+    ]
+    assert parts  # cluster-partitioned layout
+    eng.compact("dgi", full=True)
+    man = _manifest(path)
+    assert len(man["slices"]) == 1 and man["slices"][0]["rows"] == 240
+    res = _search_map(eng, "dgi", x, params={"nprobe": 4, "efSearch": 64})
+    assert all(lbl == qid * 7 and d < 1e-5 for (qid, _r), (lbl, d) in res.items())
+
+
+def test_disk_graph_save_load_roundtrip(spark, eng, tmp_path):
+    """faiss_save/faiss_load of a disk-mode graph index: the saved parquet is
+    independent of the storage_path slices and searches identically."""
+    path = str(tmp_path / "dgs")
+    eng.create(
+        "dgs", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": path},
+    )
+    x = gen_vectors(100, 8)
+    for i in range(2):
+        eng.add("dgs", _vec_df(spark, x[i * 50 : (i + 1) * 50], i * 50))
+    eng.save("dgs", str(tmp_path / "saved"))
+    eng.load("dgs2", str(tmp_path / "saved"))
+    assert _search_map(eng, "dgs2", x, k=2) == _search_map(eng, "dgs", x, k=2)
