@@ -976,15 +976,76 @@ class FaissSparkEngine:
             sample = vec_df
             if n > cap:
                 sample = vec_df.sample(fraction=min(1.0, cap * 1.2 / n), seed=42).limit(cap)
-            ml_df = sample.select(
-                array_to_vector(F.col("vector").cast("array<double>")).alias("features")
-            )
-            km = KMeans(k=nlist, seed=42, maxIter=20, featuresCol="features")
-            model = km.fit(ml_df)
-            idx.centroids = np.array(
-                [np.asarray(c) for c in model.clusterCenters()], dtype=np.float32
-            )
+            # one cache serves both the KMeans fit and the degeneracy check
+            # below — O(nlist) rows, never the corpus
+            sample = sample.persist()
+            try:
+                ml_df = sample.select(
+                    array_to_vector(F.col("vector").cast("array<double>")).alias("features")
+                )
+                km = KMeans(k=nlist, seed=42, maxIter=20, featuresCol="features")
+                model = km.fit(ml_df)
+                idx.centroids = np.array(
+                    [np.asarray(c) for c in model.clusterCenters()], dtype=np.float32
+                )
+                self._warn_if_degenerate_assignment(idx, sample)
+            finally:
+                sample.unpersist()
         idx.trained = True
+
+    def _warn_if_degenerate_assignment(self, idx: FaissIndex, sample: DataFrame) -> None:
+        """Loud train-time warning when the coarse assignment histogram is
+        degenerate (VERDICT r6 task 4).  The hazard is SILENT: IP coarse
+        assignment maximizes <x,c>, so unnormalized embeddings collapse onto
+        the largest-norm centroids — at nlist=2048 on unnormalized synth,
+        1941/2048 clusters were empty and nprobe pruning bought nothing
+        (SCALE.md r6).  MLlib's clusterSizes can't catch this (KMeans
+        assigns by L2 regardless of the index metric), so the histogram is
+        recomputed under the INDEX metric on the cached TRAINING SAMPLE —
+        one O(nlist)-row job, never a corpus scan."""
+        nlist = idx.spec.nlist
+        if nlist < 2:
+            return
+        cents = idx.centroids
+        metric = idx.metric
+        marg = idx.metric_arg
+        bc = self.spark.sparkContext.broadcast(cents)
+        from duckdb_faiss_ext_spark.metrics import is_descending
+
+        desc = is_descending(metric)
+
+        def assign(v: pd.Series) -> pd.Series:
+            x = np.asarray(list(v), dtype=np.float32)
+            ids, _ = topk_indices(pairwise(x, bc.value, metric, marg), 1, desc)
+            return pd.Series(ids[:, 0].astype(np.int32))
+
+        hist = (
+            sample.select(F.pandas_udf(assign, "int")(F.col("vector")).alias("cid"))
+            .groupBy("cid")
+            .count()
+            .collect()
+        )
+        n = sum(r["count"] for r in hist)
+        if not n:
+            return
+        empty = nlist - len(hist)
+        biggest = max(r["count"] for r in hist)
+        # max-cluster trip point: 20% of rows, relaxed to 5x the even share
+        # for small nlist (at nlist=4 a 25% cluster is the EXPECTED size)
+        if empty > nlist // 2 or biggest > max(0.2 * n, 5.0 * n / nlist):
+            import warnings
+
+            warnings.warn(
+                f"Index {idx.name} ({idx.spec.factory!r}, metric {metric}): "
+                f"degenerate coarse assignment on the training sample — "
+                f"{empty}/{nlist} clusters empty, largest cluster holds "
+                f"{biggest / n:.0%} of sampled rows.  nprobe pruning will "
+                "buy little or nothing at search time.  With INNER_PRODUCT "
+                "at high nlist this usually means UNNORMALIZED embeddings "
+                "collapsing onto the largest-norm centroids — unit-normalize "
+                "the vectors or use COSINE/L2 (README 'Sizing the knobs at "
+                "scale', SCALE.md r6)."
+            )
 
     def _assign_clusters(self, idx: FaissIndex, vecs: DataFrame) -> DataFrame:
         """Assign each vector to its nearest centroid under the index metric

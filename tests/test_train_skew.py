@@ -1,0 +1,65 @@
+"""Train-time degenerate-assignment warning (VERDICT r6 task 4).
+
+IP coarse assignment on UNNORMALIZED data silently collapses onto the
+largest-norm centroids (1941/2048 empty clusters at the 1M probe,
+SCALE.md r6) — the engine must warn at train time, under the INDEX metric
+(MLlib clusterSizes are L2-based and blind to this)."""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from duckdb_faiss_ext_spark import FaissSparkEngine
+
+
+@pytest.fixture()
+def eng(spark):
+    e = FaissSparkEngine(spark)
+    yield e
+    for name in e.list_indexes():
+        e.destroy(name)
+
+
+def _vec_df(spark, x):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "label bigint, vector array<float>",
+    )
+
+
+def test_warns_on_unnormalized_ip(spark, eng):
+    """The SCALE.md r6 hazard in miniature: IP + high nlist + wildly varying
+    norms -> most points assign to the few largest-norm centroids."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2000, 8)).astype(np.float32)
+    x *= rng.lognormal(0.0, 2.0, size=(2000, 1)).astype(np.float32)  # heavy norm spread
+    eng.create("skew", 8, "IDMap,IVF32,Flat", metric_type="INNER_PRODUCT")
+    with pytest.warns(UserWarning, match="degenerate coarse assignment"):
+        eng.add("skew", _vec_df(spark, x))
+
+
+def test_silent_on_normalized_testdata(spark, eng):
+    """The testdata embeddings are unit-norm: no warning."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eng.create("ok", 64, "IDMap,IVF8,Flat", metric_type="INNER_PRODUCT")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        eng.add("ok", emb.select("vec_id", "embedding"))
+    res = eng.search_flat(
+        "ok", 1,
+        emb.limit(3).selectExpr("vec_id as qid", "embedding as vector"),
+        params={"nprobe": 8},
+    ).collect()
+    assert all(r["qid"] == r["label"] for r in res)
+
+
+def test_silent_on_l2_small_nlist(spark, eng):
+    """L2 with small nlist on well-spread data: the 5x-even-share guard
+    keeps legitimately uneven small-nlist histograms quiet."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((500, 8)).astype(np.float32)
+    eng.create("l2s", 8, "IDMap,IVF4,Flat", metric_type="L2")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        eng.add("l2s", _vec_df(spark, x))
