@@ -1047,9 +1047,12 @@ class FaissSparkEngine:
                 "scale', SCALE.md r6)."
             )
 
-    def _assign_clusters(self, idx: FaissIndex, vecs: DataFrame) -> DataFrame:
-        """Assign each vector to its nearest centroid under the index metric
-        (FAISS coarse quantization).  Broadcast centroids + Arrow batches."""
+    def _cluster_assign_udf(self, idx: FaissIndex):
+        """Arrow-batched nearest-centroid assignment under the index metric
+        (FAISS coarse quantization) — broadcast centroids, one matmul per
+        batch.  Exposed separately from ``_assign_clusters`` so the build
+        breakdown probe can time the assignment pass without the range
+        shuffle (SCALE.md r7)."""
         cents = idx.centroids
         metric = idx.metric
         marg = idx.metric_arg
@@ -1064,8 +1067,12 @@ class FaissSparkEngine:
             ids, _ = topk_indices(scores, 1, desc)
             return pd.Series(ids[:, 0].astype(np.int32))
 
-        assign_udf = F.pandas_udf(assign, "int")
-        assigned = vecs.withColumn("cluster_id", assign_udf(F.col("vector")))
+        return F.pandas_udf(assign, "int")
+
+    def _assign_clusters(self, idx: FaissIndex, vecs: DataFrame) -> DataFrame:
+        assigned = vecs.withColumn(
+            "cluster_id", self._cluster_assign_udf(idx)(F.col("vector"))
+        )
         # co-locate clusters with RANGE partitioning on (cluster_id, label):
         # cluster runs stay contiguous (so the nprobe pre-filter skips cheap,
         # and save()'s cluster-partitioned parquet prunes on load) while a

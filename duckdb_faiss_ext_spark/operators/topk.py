@@ -63,6 +63,11 @@ RESULT_ELEM = StructType(
 
 
 MAX_QUERY_BATCH = 8192  # queries per broadcast chunk (keeps driver+broadcast bounded)
+
+# probe-mask density above which one full BLAS call + where-mask beats the
+# per-cluster sub-matmul loop (sparse probing is where grouped scoring wins:
+# MACs track the per-query scan fraction instead of nq x batch-union)
+DENSE_MASK_THRESHOLD = 0.5
 # queries held on the driver at once: one super-block is the unit of probe-mask
 # computation and cluster-grouping; the driver never materializes more than
 # this many query vectors regardless of the query-side row count
@@ -273,6 +278,9 @@ def partial_topk(
 
     desc = is_descending(metric)
     dim = int(q.shape[1])
+    # snapshot: closure vars pickle by VALUE to executors (a module global
+    # would re-resolve worker-side, ignoring driver-side test overrides)
+    dense_thr = DENSE_MASK_THRESHOLD
     spark = corpus_df.sparkSession
     bq = spark.sparkContext.broadcast((qids, np.asarray(q, dtype=dtype), probe_mask))
     cols = [label_col, vec_col] + ([cluster_col] if cluster_col else [])
@@ -298,12 +306,44 @@ def partial_topk(
                     [np.asarray(v, dtype=dtype) for v in vec_arr.to_pylist()]
                 )
             labels = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            scores = pairwise(q_, x, metric, metric_arg, dtype=dtype)
             if mask_ is not None and cluster_col is not None:
                 clusters = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
                 allowed = mask_[:, clusters]  # (nq, batch)
-                fill = -np.inf if desc else np.inf
-                scores = np.where(allowed, scores, np.float32(fill))
+                fill = np.float32(-np.inf if desc else np.inf)
+                density = allowed.mean() if allowed.size else 0.0
+                if density > dense_thr:
+                    # probing is dense (small nlist / high nprobe): one BLAS
+                    # call + where-mask beats per-cluster slicing overhead
+                    scores = pairwise(q_, x, metric, metric_arg, dtype=dtype)
+                    scores = np.where(allowed, scores, fill)
+                else:
+                    # sparse probing: score ONLY (probing query, cluster-row)
+                    # pairs — per-cluster sub-matmuls make the MAC count
+                    # track the PER-QUERY scan fraction (sum_c rows_c *
+                    # nq_probing_c) instead of nq * batch-union.  The old
+                    # full-matmul-then-mask paid the whole nq x batch
+                    # product, which is why a 48-query batch at nlist=2048
+                    # ran at union coverage (73-98%) even though each query
+                    # probed 5% of rows (SCALE.md r6 point 2 / VERDICT r6
+                    # task 5).  The scatter writes are ~1/dim of the saved
+                    # MACs; cluster runs are contiguous after the engine's
+                    # repartitionByRange so the argsort is near-free.
+                    scores = np.full((len(q_), n), fill, dtype=dtype)
+                    order = np.argsort(clusters, kind="stable")
+                    sc = clusters[order]
+                    cuts = np.flatnonzero(np.diff(sc)) + 1
+                    starts = np.concatenate(([0], cuts))
+                    ends = np.concatenate((cuts, [len(sc)]))
+                    for s, e in zip(starts, ends):
+                        qsel = np.flatnonzero(mask_[:, sc[s]])
+                        if not len(qsel):
+                            continue
+                        rows = order[s:e]
+                        scores[np.ix_(qsel, rows)] = pairwise(
+                            q_[qsel], x[rows], metric, metric_arg, dtype=dtype
+                        )
+            else:
+                scores = pairwise(q_, x, metric, metric_arg, dtype=dtype)
             idx, sc = topk_indices(scores, k, desc)
             nq, kk = idx.shape
             out_q = np.repeat(qids_, kk)
@@ -380,9 +420,12 @@ def exact_knn_flat(
             if mask is not None and cluster_col is not None:
                 # JVM-side scan reduction: rows in clusters no query probes
                 # never reach the Python kernel.  On cluster-partitioned
-                # storage this IN-filter becomes partition/row-group pruning —
-                # the actual IVF scale win (the per-query mask below only
-                # avoids arithmetic).
+                # storage this IN-filter becomes partition/row-group pruning
+                # (the I/O lever); inside the kernel the probe mask drives
+                # per-cluster sub-matmuls, so the MACs track the per-query
+                # scan fraction even when the chunk's cluster-union covers
+                # most of the corpus (the compute lever — SCALE.md r6
+                # point 2).
                 probed = [int(c) for c in np.where(mask.any(axis=0))[0]]
                 chunk_corpus = corpus_df.filter(F.col(cluster_col).isin(probed))
             partials.append(
