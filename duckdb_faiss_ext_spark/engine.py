@@ -311,6 +311,12 @@ class FaissSparkEngine:
         idx = self.registry.get(name)
         if not idx.mutable:
             raise ImmutableIndex(name)
+        # any index mutation drops memoized routing estimates: a query
+        # frame whose source has grown since its first probe gets a fresh
+        # estimate on the next search (ADVICE r6 — coarse but free; the
+        # memo exists to bound PER-SEARCH probe jobs, not to persist
+        # across ingest events)
+        self._route_cache.clear()
         vecs, labeled = self._normalize_add_df(idx, df)
         self._latch_label_mode(idx, labeled)
         cache_parent = None
@@ -476,6 +482,7 @@ class FaissSparkEngine:
         automatically (tiered) every MAX_SLICES adds; call it directly
         after a burst of micro-batch adds."""
         idx = self.registry.get(name)
+        self._route_cache.clear()  # same staleness rule as add()
         if idx.storage_path:
             if idx.data is not None and self._is_graph_index(idx):
                 # graph disk mode: tiered merge-rewrite of small parquet
@@ -1122,8 +1129,19 @@ class FaissSparkEngine:
             qe = queries_df._jdf.queryExecution()
             op = qe.optimizedPlan()
             rc = op.stats().rowCount()
-            if rc.isDefined() and int(rc.get().toString()) <= cap:
-                return int(rc.get().toString())
+            if rc.isDefined() and int(str(rc.get())) <= cap:
+                return int(str(rc.get()))
+            if rc.isDefined() and op.getClass().getSimpleName() in (
+                "LocalRelation",
+                "InMemoryRelation",
+            ):
+                # ROOT local/cached relations carry an EXACT rowCount — a
+                # big one proves bigness for free (ADVICE r6).  Anything
+                # else (notably GlobalLimit, whose rowCount is the limit
+                # itself over an uncounted child) stays an upper bound and
+                # must not route a small batch onto the bulk plan (ADVICE
+                # r5), so > cap falls through to the bounded probe.
+                return int(str(rc.get()))
             mr = op.maxRows()
             if mr.isDefined() and int(mr.get()) <= cap:
                 return int(mr.get())  # upper bound proves smallness

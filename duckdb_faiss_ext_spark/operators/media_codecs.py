@@ -261,14 +261,23 @@ def decode_png(payload: bytes) -> np.ndarray:
             pass
         elif f == 2:  # Up — vectorized over the whole row
             cur += prev
-        elif f in (1, 3, 4):  # Sub/Average/Paeth: left-recurrence per pixel
+        elif f == 1:  # Sub — o[x] = sum(raw[0..x]) mod 256: one cumsum
+            cur = (
+                np.cumsum(cur.reshape(w, ch), axis=0, dtype=np.uint64) & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif f in (3, 4):  # Average/Paeth: true left-recurrences (the
+            # floor-half / predictor choice depends on the PREVIOUS output
+            # pixel), so these stay per-pixel Python — O(w*h) interpreter
+            # steps, orders slower than the vectorized paths (ADVICE r6).
+            # Paeth is what real encoders emit most, so corpus-scale PNG
+            # decode wants a C-level codec swapped in (multimodal.py
+            # documents the dispatch point); this stdlib path is the
+            # correctness baseline, golden-pinned in test_media_codecs.
             row = cur.reshape(w, ch)
             up = prev.reshape(w, ch)
             left = zero_px
             for x in range(w):
-                if f == 1:
-                    row[x] += left
-                elif f == 3:
+                if f == 3:
                     row[x] += ((left.astype(np.uint16) + up[x]) >> 1).astype(np.uint8)
                 else:
                     ul = up[x - 1] if x else zero_px

@@ -46,7 +46,7 @@ BLOCK_ROWS = 16384
 # co-resides 2-3 of them (VERDICT r4 wrong #2).  The effective block size is
 # min(block_rows, block_bytes // row_bytes), so dim<=1024 workloads keep the
 # measured 16384-row blocks and wide-vector workloads shrink rows to hold
-# bytes constant.  Probe: tools/simjoin_probe.py --dim 1536 (SCALE.md r5).
+# bytes constant.  Probe: tools/simjoin_probe.py --dim 1536 (SCALE.md r6).
 BLOCK_BYTES = 64 << 20
 
 # left rows scored per matmul inside a task (bounds the (chunk, rn) score

@@ -130,3 +130,34 @@ def test_routing_probe_memoized_per_plan(eng, emb, spark):
     jobs_after = len(tracker.getJobIdsForGroup(None) or [])
     assert n2 == n1
     assert jobs_after == jobs_before  # zero extra Spark jobs
+
+
+def test_exact_bigness_free_for_cached_frame(eng, emb, spark):
+    """ADVICE r6: a materialized cached query side carries an EXACT Catalyst
+    rowCount — bigness is proven without a probe job (the route cache stays
+    empty because no probe ran)."""
+    q = (
+        emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("vector"))
+        .cache()
+    )
+    try:
+        n = q.count()  # materialize -> InMemoryRelation stats become exact
+        before = len(eng._route_cache)
+        assert eng._query_rows_estimate(q, cap=10) == n  # n > cap, still free
+        assert len(eng._route_cache) == before  # no probe was memoized
+    finally:
+        q.unpersist()
+
+
+def test_route_cache_cleared_on_add(eng, emb, spark):
+    """ADVICE r6: index mutation invalidates memoized routing estimates so a
+    growing query source gets re-probed on the next search."""
+    eng.create("route_inv", 64, "IDMap,Flat", metric_type="INNER_PRODUCT")
+    eng.add("route_inv", emb.select("vec_id", "embedding"))
+    q = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    eng._query_rows_estimate(q, eng.BULK_QUERY_THRESHOLD)
+    assert len(eng._route_cache) == 1
+    eng.add("route_inv", emb.limit(5).select("vec_id", "embedding"))
+    assert len(eng._route_cache) == 0
