@@ -7,14 +7,17 @@ the uncompressed public formats a numpy ``frombuffer`` can parse exactly:
 - **BMP** — Windows bitmap, 24-bit uncompressed (BI_RGB) only;
 - **PNG** — 8-bit grayscale/RGB/RGBA, non-interlaced (stdlib ``zlib``
   inflate + numpy unfilter; the most common scraped-web image format);
+- **JPEG** — baseline sequential DCT, 8-bit, up to 2x2 sampling
+  (operators/jpeg.py — pure-numpy Huffman + IDCT; progressive and
+  arithmetic-coded files reject loudly);
 - **WAV** — RIFF PCM, 16-bit integer samples.
 
 Each decoder is strict: malformed or unsupported payloads raise
-``MediaDecodeError`` with the reason (compressed formats like JPEG/MP3/MP4
-are *detected* and rejected by ``sniff_format`` — wiring a real codec in a
-richer runtime replaces exactly these functions, the signatures are the
-contract).  ``sniff_format`` dispatches on magic bytes so a payload column
-can mix formats row by row.
+``MediaDecodeError`` with the reason (the remaining no-codec formats —
+progressive JPEG, MP3, MP4 — are *detected* and rejected by
+``sniff_format`` / the decoder; wiring a richer codec replaces exactly
+these functions, the signatures are the contract).  ``sniff_format``
+dispatches on magic bytes so a payload column can mix formats row by row.
 
 Features are deterministic numpy reductions over the decoded arrays —
 the Arrow-batched ``extract_features`` pipeline (operators/multimodal.py)
@@ -47,7 +50,7 @@ __all__ = [
 
 # formats decode_image() can dispatch — callers route these through the real
 # pixel path and everything else through the stub embed
-IMAGE_FORMATS = frozenset({"ppm", "bmp", "png"})
+IMAGE_FORMATS = frozenset({"ppm", "bmp", "png", "jpeg"})
 
 
 class MediaDecodeError(ValueError):
@@ -68,6 +71,8 @@ def sniff_format(payload: bytes) -> Optional[str]:
         return "bmp"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
@@ -405,6 +410,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if kind == "png":
         return decode_png(payload)
+    if kind == "jpeg":
+        # local import: jpeg.py imports MediaDecodeError from this module
+        from duckdb_faiss_ext_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise MediaDecodeError(f"no image codec for payload (sniffed {kind!r})")
 
 

@@ -13,8 +13,9 @@ Design (BASELINE.json north star):
 
 Decode is REAL for the public formats a stdlib-only codec can parse
 exactly — PPM (P6), 24-bit BMP, 8-bit PNG (zlib inflate + numpy unfilter),
-PCM16 WAV (operators/media_codecs.py, dispatched by magic bytes per row).
-Formats with no codec in this runtime (JPEG/MP3/MP4) fall back:
+baseline JPEG (pure-numpy Huffman + IDCT, operators/jpeg.py), PCM16 WAV
+(operators/media_codecs.py, dispatched by magic bytes per row).
+Formats with no codec in this runtime (progressive JPEG/MP3/MP4) fall back:
 ``extract_features`` takes the deterministic seeded stub embed for them
 (pinned by tests; same for corrupt payloads of decodable formats), and
 ``resize_images``/``sample_frames`` treat them as metadata-only — swapping

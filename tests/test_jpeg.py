@@ -1,0 +1,125 @@
+"""Baseline JPEG codec (VERDICT r6 task 6).
+
+Golden strategy mirrors PNG: a spec-forward encoder (encode_jpeg, with
+per-image canonical DHT tables — the decoder runs the same generic table
+builder web/camera files exercise) generates inputs; decode must
+round-trip within quantization error.  Rejects pin the honest-stub
+boundary (progressive, 12-bit, bad Huffman)."""
+
+import numpy as np
+import pytest
+
+from duckdb_faiss_ext_spark.operators import media_codecs as C
+from duckdb_faiss_ext_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+def _grad(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+    g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+    b = ((xx + yy) * 255 // max(h + w - 2, 1)).astype(np.uint8)
+    return np.stack([r, g, b], axis=2)
+
+
+def test_roundtrip_444_near_lossless():
+    px = _grad(16, 24)
+    out = decode_jpeg(encode_jpeg(px, quant=1))
+    assert out.shape == px.shape and out.dtype == np.uint8
+    # quant=1: error budget = DCT rounding + color transform, a few LSB
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 6
+    assert np.abs(out.astype(float) - px).mean() < 2.0
+
+
+def test_roundtrip_nonmultiple_of_8():
+    px = _grad(13, 19)  # edge-padding + crop path
+    out = decode_jpeg(encode_jpeg(px, quant=1))
+    assert out.shape == (13, 19, 3)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 6
+
+
+def test_roundtrip_420_subsampled():
+    px = _grad(32, 32)
+    out = decode_jpeg(encode_jpeg(px, quant=1, subsample=True))
+    assert out.shape == (32, 32, 3)
+    # chroma is 2x2-averaged + nearest-upsampled: smooth gradients survive
+    assert np.abs(out.astype(float) - px).mean() < 6.0
+    # luminance survives almost exactly even at 4:2:0
+    lum = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]  # noqa: E731
+    assert np.abs(lum(out.astype(float)) - lum(px.astype(float))).mean() < 2.0
+
+
+def test_roundtrip_coarse_quant_degrades_gracefully():
+    px = _grad(16, 16)
+    out = decode_jpeg(encode_jpeg(px, quant=16))
+    assert out.shape == px.shape
+    assert np.abs(out.astype(float) - px).mean() < 12.0  # lossy but sane
+
+
+def test_roundtrip_grayscale_frame():
+    px = _grad(10, 12)
+    out = decode_jpeg(encode_jpeg(px, quant=1, gray=True))
+    assert out.shape == (10, 12, 3)
+    # single-component frame decodes Y replicated across RGB
+    assert np.array_equal(out[..., 0], out[..., 1])
+    lum = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    assert np.abs(out[..., 0].astype(float) - lum).max() <= 4
+
+
+def test_constant_image_and_extremes():
+    for val in (0, 128, 255):
+        px = np.full((8, 8, 3), val, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quant=1))
+        assert np.abs(out.astype(int) - int(val)).max() <= 2
+
+
+def test_dispatch_through_decode_image():
+    px = _grad(9, 9)
+    payload = encode_jpeg(px, quant=1)
+    assert C.sniff_format(payload) == "jpeg"
+    out = C.decode_image(payload)
+    assert out.shape == (9, 9, 3)
+
+
+def test_reject_progressive_sof2():
+    px = _grad(8, 8)
+    payload = bytearray(encode_jpeg(px))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(C.MediaDecodeError, match="progressive"):
+        decode_jpeg(bytes(payload))
+
+
+def test_reject_12bit_precision():
+    px = _grad(8, 8)
+    payload = bytearray(encode_jpeg(px))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 4] = 12  # SOF precision byte
+    with pytest.raises(C.MediaDecodeError, match="12-bit"):
+        decode_jpeg(bytes(payload))
+
+
+def test_reject_truncated_entropy():
+    px = _grad(16, 16)
+    payload = encode_jpeg(px)
+    with pytest.raises(C.MediaDecodeError):
+        decode_jpeg(payload[: len(payload) // 2])
+
+
+def test_reject_missing_soi():
+    with pytest.raises(C.MediaDecodeError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02\x03")
+
+
+def test_malformed_jpeg_takes_stub_in_multimodal():
+    """A payload that SNIFFS as jpeg but is corrupt must fall back to the
+    stub embed in the pipeline (corpus-scale: one bad blob never kills a
+    batch)."""
+    from duckdb_faiss_ext_spark.operators.multimodal import _decode_stub, _embed_payload
+
+    bad = b"\xff\xd8\xff\xe0 definitely not a real jpeg body"
+    feat = _embed_payload(bad, 8)
+    assert feat.shape == (8,)
+    assert np.allclose(feat, _decode_stub(bad, 8))  # fell back, didn't raise
+    # a VALID jpeg takes the REAL pixel path (differs from the stub)
+    good = encode_jpeg(_grad(16, 16), quant=1)
+    assert not np.allclose(_embed_payload(good, 8), _decode_stub(good, 8))

@@ -129,7 +129,8 @@ def test_sniff_format():
     assert C.sniff_format(PPM_2X2) == "ppm"
     assert C.sniff_format(_bmp_24(PPM_PIXELS)) == "bmp"
     assert C.sniff_format(C.encode_wav(np.array([1], dtype=np.int16), 8000)) == "wav"
-    assert C.sniff_format(b"\xff\xd8\xff\xe0 jpeg") is None
+    assert C.sniff_format(b"\xff\xd8\xff\xe0 jpeg") == "jpeg"  # r7: real codec
+    assert C.sniff_format(b"\xff\xd8\x00 not jpeg") is None
     assert C.sniff_format(None) is None
 
 
