@@ -462,7 +462,7 @@ class FaissSparkEngine:
     FULL_SLICE_FANOUT = 8
 
     def compact(self, name: str, full: bool = False) -> None:
-        """Explicitly compact a memory-mode index.
+        """Explicitly compact an index's add-slices.
 
         Default is the TIERED (LSM-style) policy: only geometrically-similar
         small slices merge — graph factories rebuild NSW adjacency over just
@@ -480,7 +480,13 @@ class FaissSparkEngine:
         slice, graphs rebuilt over the entire merged, repartitioned corpus
         (useful before save() or after deletes-by-rebuild).  Runs
         automatically (tiered) every MAX_SLICES adds; call it directly
-        after a burst of micro-batch adds."""
+        after a burst of micro-batch adds.
+
+        Disk mode (``storage_path``): graph indexes apply the SAME tiered
+        policy to their parquet slice DIRECTORIES (merge-rewrite on disk,
+        ``_compact_disk_graph`` — r7); non-graph disk indexes append into
+        one directory (already a flat single-scan lineage) and raise
+        here."""
         idx = self.registry.get(name)
         self._route_cache.clear()  # same staleness rule as add()
         if idx.storage_path:
