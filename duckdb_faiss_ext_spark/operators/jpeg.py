@@ -413,14 +413,20 @@ def _mag_bits(v: int) -> tuple[int, int]:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quant: int = 1, subsample: bool = False, gray: bool = False
+    pixels: np.ndarray,
+    quant: int = 1,
+    subsample: bool = False,
+    gray: bool = False,
+    restart: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF bytes.
 
     ``quant``: uniform quantizer step for every coefficient (1 = near
     lossless, bigger = lossier).  ``subsample=True`` writes 4:2:0 chroma
     (2x2-averaged), exercising the decoder's MCU interleave + upsample.
-    ``gray=True`` writes a single-component (luminance-only) frame."""
+    ``gray=True`` writes a single-component (luminance-only) frame.
+    ``restart``: emit a DRI segment and RSTn markers every that many MCUs
+    (exercises the decoder's byte-align + predictor-reset path)."""
     px = np.asarray(pixels, dtype=np.float64)
     if px.ndim != 3 or px.shape[2] != 3:
         raise MediaDecodeError(f"encode_jpeg: need (h, w, 3), got {px.shape}")
@@ -488,21 +494,27 @@ def encode_jpeg(
         return int(zz[0])
 
     # interleave order: MCU raster, Y blocks then Cb then Cr
-    def iter_mcu_blocks():
+    def iter_mcus():
         for my in range(mcus_y):
             for mx in range(mcus_x):
-                for by in range(vf):
-                    for bx in range(hf):
-                        yield 0, zy[my * vf + by, mx * hf + bx]
-                yield 1, zcb[my, mx]
-                yield 2, zcr[my, mx]
+                blocks = [
+                    (0, zy[my * vf + by, mx * hf + bx])
+                    for by in range(vf)
+                    for bx in range(hf)
+                ]
+                blocks.append((1, zcb[my, mx]))
+                blocks.append((2, zcr[my, mx]))
+                yield blocks
 
     dc_syms = {0: [], 1: []}
     ac_syms = {0: [], 1: []}
     pred = [0, 0, 0]
-    for comp, zz in iter_mcu_blocks():
-        cls = 0 if comp == 0 else 1
-        pred[comp] = block_symbols(pred[comp], zz, dc_syms[cls], ac_syms[cls])
+    for m, mcu in enumerate(iter_mcus()):
+        if restart and m and m % restart == 0:
+            pred = [0, 0, 0]  # DC predictors reset at restart boundaries
+        for comp, zz in mcu:
+            cls = 0 if comp == 0 else 1
+            pred[comp] = block_symbols(pred[comp], zz, dc_syms[cls], ac_syms[cls])
     # EOB/size symbols must exist even for constant images
     for cls in (0, 1):
         dc_syms[cls].append(0)
@@ -521,33 +533,38 @@ def encode_jpeg(
     # ---- entropy-code the scan
     bw = _BitWriter()
     pred = [0, 0, 0]
-    for comp, zz in iter_mcu_blocks():
-        cls = 0 if comp == 0 else 1
-        dc_codes, ac_codes = tables[(0, cls)], tables[(1, cls)]
-        size, bits = _mag_bits(int(zz[0]) - pred[comp])
-        pred[comp] = int(zz[0])
-        c, ln = dc_codes[size]
-        bw.write(c, ln)
-        if size:
-            bw.write(bits, size)
-        run = 0
-        for k in range(1, 64):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, ln = ac_codes[0xF0]
-                bw.write(c, ln)
-                run -= 16
-            s, bits = _mag_bits(v)
-            c, ln = ac_codes[(run << 4) | s]
+    for m, mcu in enumerate(iter_mcus()):
+        if restart and m and m % restart == 0:
+            bw.flush()  # byte-align, then a raw RSTn marker (never stuffed)
+            bw.out += bytes([0xFF, 0xD0 + ((m // restart - 1) % 8)])
+            pred = [0, 0, 0]
+        for comp, zz in mcu:
+            cls = 0 if comp == 0 else 1
+            dc_codes, ac_codes = tables[(0, cls)], tables[(1, cls)]
+            size, bits = _mag_bits(int(zz[0]) - pred[comp])
+            pred[comp] = int(zz[0])
+            c, ln = dc_codes[size]
             bw.write(c, ln)
-            bw.write(bits, s)
+            if size:
+                bw.write(bits, size)
             run = 0
-        if run:
-            c, ln = ac_codes[0x00]
-            bw.write(c, ln)
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    bw.write(c, ln)
+                    run -= 16
+                s, bits = _mag_bits(v)
+                c, ln = ac_codes[(run << 4) | s]
+                bw.write(c, ln)
+                bw.write(bits, s)
+                run = 0
+            if run:
+                c, ln = ac_codes[0x00]
+                bw.write(c, ln)
     bw.flush()
 
     def seg(marker, body):
@@ -564,6 +581,8 @@ def encode_jpeg(
     sof += bytes([3, 0x11, 0])  # Cr
     out += seg(0xC0, bytes(sof))
     out += seg(0xC4, bytes(dht_payload))
+    if restart:
+        out += seg(0xDD, int(restart).to_bytes(2, "big"))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += seg(0xDA, sos)
     out += bw.out

@@ -123,3 +123,34 @@ def test_malformed_jpeg_takes_stub_in_multimodal():
     # a VALID jpeg takes the REAL pixel path (differs from the stub)
     good = encode_jpeg(_grad(16, 16), quant=1)
     assert not np.allclose(_embed_payload(good, 8), _decode_stub(good, 8))
+
+
+def test_roundtrip_with_restart_markers():
+    """DRI + RSTn every 2 MCUs: the decoder's byte-align + DC-predictor
+    reset path round-trips identically to the no-restart encoding."""
+    px = _grad(24, 40)  # 3 x 5 = 15 MCUs at 4:4:4
+    payload = encode_jpeg(px, quant=1, restart=2)
+    assert b"\xff\xdd" in payload  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in payload for i in range(8))
+    out = decode_jpeg(payload)
+    ref = decode_jpeg(encode_jpeg(px, quant=1))
+    assert np.array_equal(out, ref)
+
+
+def test_restart_markers_with_subsampling():
+    px = _grad(32, 48)
+    out = decode_jpeg(encode_jpeg(px, quant=1, subsample=True, restart=1))
+    ref = decode_jpeg(encode_jpeg(px, quant=1, subsample=True))
+    assert np.array_equal(out, ref)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_roundtrip_random_images(seed):
+    """Property-style: random (non-smooth) images survive quant=1 within
+    the DCT rounding budget at 4:4:4."""
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quant=1))
+    assert out.shape == (h, w, 3)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 8
