@@ -989,6 +989,15 @@ class FaissSparkEngine:
             sample = vec_df
             if n > cap:
                 sample = vec_df.sample(fraction=min(1.0, cap * 1.2 / n), seed=42).limit(cap)
+            # GlobalLimit collapses the sample to ONE partition, which ran
+            # the whole k=nlist fit single-core: the r7 breakdown probe
+            # measured the in-engine 1M/2048 fit at 2273 s vs ~85 s for the
+            # same problem fit in parallel (SCALE.md r7 — THE dominant cost
+            # of every high-nlist build since r1, hiding as "ambient load").
+            # One bounded repartition (<= cap rows) restores parallelism.
+            sample = sample.repartition(
+                max(2, self.spark.sparkContext.defaultParallelism)
+            )
             # one cache serves both the KMeans fit and the degeneracy check
             # below — O(nlist) rows, never the corpus
             sample = sample.persist()

@@ -71,7 +71,9 @@ def main() -> None:
         "cluster_id", eng._cluster_assign_udf(idx)(F.col("vector"))
     )
     t0 = time.perf_counter()
-    assigned.count()
+    # force the UDF: a bare count() prunes the assignment column entirely
+    # (the first run of this probe measured 0.09 s of nothing)
+    assigned.agg(F.sum("cluster_id")).collect()
     out["assign_only_sec"] = round(time.perf_counter() - t0, 2)
     out["load_after_assign"] = loadavg()
 
