@@ -58,8 +58,11 @@ LOCAL_BASELINES = {
     "dedup_pipeline_full": 10.0,
     "hnsw_filtered_p1": 0.6,
     "bulk_knn": 1.4,  # r5 local, load ~7
-    "wide1536_knn": 0.95,  # r6 local, load ~6
-    "wide1536_simjoin": 2.44,  # r6 local, load ~6
+    "wide1536_knn": 0.876,  # r7 quiet reruns 0.876/0.953 (SCALE.md r7)
+    # r7 standalone quiet reruns measured 3.578 (load 1.35) and 3.138
+    # (load 6.5) — the r6 declared 2.44 was a lucky draw, not the central
+    # value; min of the recorded quiet runs is the honest guard
+    "wide1536_simjoin": 3.138,
 }
 
 
