@@ -1196,6 +1196,20 @@ class FaissSparkEngine:
             "executor-side bulk plan" if params["bulk_queries"] else "driver block stream",
         )
 
+    @staticmethod
+    def _coarse_scores(q: np.ndarray, cents: np.ndarray, metric: str, marg: float) -> np.ndarray:
+        """Query-to-centroid scores for PROBE SELECTION, float64-computed
+        then rounded to float32.  Selection must be identical across every
+        execution path (driver mask, executor explode-udf, PQ LUT path) for
+        the auto-router's result-identity contract — but float32 BLAS
+        results differ in the last ulp with matrix SHAPE, and a 1-ulp flip
+        at the nprobe boundary admits a DIFFERENT CLUSTER on one path (the
+        r7 quiet 300k probe caught 108 mismatched result rows from exactly
+        this).  f64 accumulation rounded to f32 is shape-independent for
+        all practical purposes (a flip now needs the true score within
+        ~1e-16 of an f32 rounding boundary)."""
+        return pairwise(q, cents, metric, marg, dtype=np.float64).astype(np.float32)
+
     def _probe_mask_fn(self, idx: FaissIndex, nprobe: int):
         """(qids, q) -> (nq, nlist) boolean mask of probed clusters."""
         cents = idx.centroids
@@ -1205,7 +1219,7 @@ class FaissSparkEngine:
         def fn(qids: np.ndarray, q: np.ndarray) -> np.ndarray:
             from duckdb_faiss_ext_spark.metrics import is_descending
 
-            scores = pairwise(q, cents, metric, marg)
+            scores = self._coarse_scores(q, cents, metric, marg)
             ids, _ = topk_indices(scores, min(nprobe, cents.shape[0]), is_descending(metric))
             mask = np.zeros((q.shape[0], cents.shape[0]), dtype=bool)
             rows = np.arange(q.shape[0])[:, None]
@@ -1643,7 +1657,7 @@ class FaissSparkEngine:
 
         def fn(v: pd.Series) -> pd.Series:
             x = np.asarray(list(v), dtype=np.float32)
-            scores = pairwise(x, bc.value, metric, marg)
+            scores = FaissSparkEngine._coarse_scores(x, bc.value, metric, marg)
             ids, _ = topk_indices(scores, np_, desc)
             return pd.Series([row.astype(np.int32).tolist() for row in ids])
 
@@ -1658,7 +1672,7 @@ class FaissSparkEngine:
         def fn(qids: np.ndarray, q: np.ndarray) -> np.ndarray:
             from duckdb_faiss_ext_spark.metrics import is_descending
 
-            scores = pairwise(q, cents, metric, marg)
+            scores = self._coarse_scores(q, cents, metric, marg)
             ids, _ = topk_indices(
                 scores, min(nprobe, cents.shape[0]), is_descending(metric)
             )
