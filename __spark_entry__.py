@@ -942,7 +942,12 @@ def dedup_simhash(spark, sf):
 
 
 def text_stats(spark, sf):
-    """Token / regex-token / char / punctuation counts."""
+    """Token / regex-token / char / punctuation counts + content fingerprints.
+
+    r8: absorbed the former text_fingerprint contract row (normalized-md5 +
+    min-shingle winnowing fingerprint) so the contract stays at EXACTLY 50
+    entries with ann_hnsw_knn inside (VERDICT r7 task 1); the fingerprint
+    functions keep their own pytest pins in tests/test_text.py."""
     from duckdb_faiss_ext_spark.functions import text as T
 
     d = _t(spark, sf, "documents")
@@ -952,6 +957,8 @@ def text_stats(spark, sf):
         T.regex_token_count("text").alias("rtc"),
         T.char_count("text").alias("cc"),
         T.punct_count("text").alias("pc"),
+        T.fingerprint("text").alias("fp"),
+        T.min_shingle_fingerprint("text", 5).alias("msfp"),
     )
 
 
@@ -969,18 +976,6 @@ def text_lang(spark, sf):
 
     d = _t(spark, sf, "documents")
     return d.select("doc_id", T.lang_id("text").alias("lang_guess"))
-
-
-def text_fingerprint(spark, sf):
-    """Content fingerprints: normalized-md5 + min-shingle (winnowing-style)."""
-    from duckdb_faiss_ext_spark.functions import text as T
-
-    d = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        T.fingerprint("text").alias("fp"),
-        T.min_shingle_fingerprint("text", 5).alias("msfp"),
-    )
 
 
 # -------------------------------------------------------------------- entry
@@ -1025,7 +1020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tests/test_engine.py);
     - ann_pq_knn replaced by ann_ivfpq_knn (PQ now rides the engine factory);
     - q25_distinct_count folded into q05 (COUNT(DISTINCT) as a fourth agg)
-      to make room for ann_hnsw_knn.
+      to make room for ann_hnsw_knn;
+    - text_fingerprint folded into text_stats (r8) to make room for
+      media_jpeg_decode while keeping ann_hnsw_knn inside the cap.
     Order: oracled queries first, rows-only (no-oracle) entries last, so a
     time-budgeted harness still hash-checks everything checkable."""
     return {
@@ -1060,7 +1057,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "text_quality": text_quality,
         "text_lang": text_lang,
-        "text_fingerprint": text_fingerprint,
+        # text_fingerprint merged into text_stats (r8): same table, same
+        # functions — fp/msfp columns now hash-check inside text_stats and
+        # keep direct pytest pins (tests/test_text.py:54,63)
         "dedup_exact": dedup_exact,
         # dedup_minhash_sig pruned from the 50-entry budget (r4): the
         # signature construction is transitively oracled inside
@@ -1395,12 +1394,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM p WHERE cos_full > 0.4"
         ),
         "text_stats": (
+            "WITH w AS (SELECT doc_id, text, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents) "
             "SELECT doc_id, "
-            "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tc, "
+            "CAST(len(ws) AS BIGINT) AS tc, "
             "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS rtc, "
             "CAST(length(text) AS BIGINT) AS cc, "
-            "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS pc "
-            "FROM documents"
+            "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS pc, "
+            "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+            "list_min(list_transform(generate_series(1, greatest(len(ws) - 4, 1)), "
+            "i -> md5(array_to_string(ws[i:i+4], ' ')))) AS msfp "
+            "FROM w"
         ),
         "text_quality": (
             "WITH s AS (SELECT doc_id, "
@@ -1434,15 +1438,6 @@ def oracle_sql() -> dict[str, str]:
             "WHEN de > 0 AND en < de AND es < de AND fr <= de THEN 'de' "
             "WHEN fr > 0 AND en < fr AND es < fr AND de < fr THEN 'fr' "
             "ELSE 'und' END AS lang_guess FROM s"
-        ),
-        "text_fingerprint": (
-            "WITH w AS (SELECT doc_id, text, "
-            "string_split_regex(trim(text), '\\s+') AS ws FROM documents) "
-            "SELECT doc_id, "
-            "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
-            "list_min(list_transform(generate_series(1, greatest(len(ws) - 4, 1)), "
-            "i -> md5(array_to_string(ws[i:i+4], ' ')))) AS msfp "
-            "FROM w"
         ),
         # the selected feature columns (byte length + sha256 hex) ARE
         # SQL-expressible even though the numpy feature vector is not —
