@@ -490,7 +490,17 @@ class FaissSparkEngine:
         idx = self.registry.get(name)
         self._route_cache.clear()  # same staleness rule as add()
         if idx.storage_path:
-            if idx.data is not None and self._is_graph_index(idx):
+            # detect graph disk mode from the FACTORY SPEC plus the on-disk
+            # manifest, not from idx.data: a fresh engine pointed at an
+            # existing storage_path has slices on disk but idx.data is None
+            # until hydrated (ADVICE r7)
+            is_graph = idx.spec.hnsw_m > 0 and idx.codebooks is None
+            if is_graph and idx.data is None:
+                man = self._graph_manifest_load(idx)
+                if man["slices"]:
+                    self._refresh_disk_graph_data(idx, man)
+                    idx.count = sum(int(e["rows"]) for e in man["slices"])
+            if is_graph and idx.data is not None:
                 # graph disk mode: tiered merge-rewrite of small parquet
                 # slice directories (VERDICT r6 task 1)
                 return self._compact_disk_graph(idx, full=full)
@@ -722,8 +732,31 @@ class FaissSparkEngine:
         writer.parquet(os.path.join(self._graph_slice_root(idx), d))
         return d
 
+    @staticmethod
+    def _slice_dir_has_parquet(path: str) -> bool:
+        for _dirpath, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def _refresh_disk_graph_data(self, idx: FaissIndex, man: dict) -> None:
         root = self._graph_slice_root(idx)
+        # prune entries whose directory holds no part-files: the only way
+        # that happens is a crash inside _concat_disk_slices AFTER the
+        # files were moved into the destination slice but BEFORE the
+        # manifest save — the rows already live in the destination, so the
+        # stale entry is dropped (and persisted dropped) rather than
+        # failing every subsequent read (ADVICE r7 crash-safety)
+        live = [
+            e for e in man["slices"]
+            if self._slice_dir_has_parquet(os.path.join(root, e["dir"]))
+        ]
+        if len(live) != len(man["slices"]):
+            man["slices"] = live
+            self._graph_manifest_save(idx, man)
+        if not man["slices"]:
+            idx.data = None
+            return
         frames = [
             self.spark.read.parquet(os.path.join(root, e["dir"]))
             for e in man["slices"]
@@ -746,12 +779,16 @@ class FaissSparkEngine:
         d = self._write_graph_slice(idx, man, vecs)
         vecs.unpersist()
         man["slices"].append({"dir": d, "rows": int(batch_n)})
+        # persist the manifest BEFORE deleting superseded slice dirs: a
+        # crash here leaves only unreferenced orphan directories (garbage-
+        # collected by a later compaction), never a manifest pointing at
+        # missing data (ADVICE r7)
+        self._graph_manifest_save(idx, man)
         for e in old_slices:
             shutil.rmtree(
                 os.path.join(self._graph_slice_root(idx), e["dir"]),
                 ignore_errors=True,
             )
-        self._graph_manifest_save(idx, man)
         self._refresh_disk_graph_data(idx, man)
         idx.count = batch_n if rebuild else idx.count + batch_n
         if len(man["slices"]) >= self.MAX_SLICES:
@@ -772,6 +809,13 @@ class FaissSparkEngine:
         if not sizes:
             return
         root = self._graph_slice_root(idx)
+        # GC orphan slice dirs (manifest saved, deletion crashed — the
+        # harmless leftover of the manifest-first crash-safety ordering)
+        referenced = {e["dir"] for e in man["slices"]}
+        if os.path.isdir(root):
+            for d_name in os.listdir(root):
+                if d_name not in referenced:
+                    shutil.rmtree(os.path.join(root, d_name), ignore_errors=True)
         full_rows = int(idx.params.get("graph_partition_rows", self.GRAPH_ROWS))
         if full:
             picked = list(range(len(sizes)))
@@ -799,13 +843,12 @@ class FaissSparkEngine:
                 pass
             drop = set(picked)
             kept = [e for i, e in enumerate(man["slices"]) if i not in drop]
-            for i in drop:
-                shutil.rmtree(
-                    os.path.join(root, man["slices"][i]["dir"]),
-                    ignore_errors=True,
-                )
+            drop_dirs = [man["slices"][i]["dir"] for i in drop]
+            # manifest first, deletion second (crash-safe — ADVICE r7)
             man["slices"] = [{"dir": d, "rows": int(merged_rows)}] + kept
             self._graph_manifest_save(idx, man)
+            for old_d in drop_dirs:
+                shutil.rmtree(os.path.join(root, old_d), ignore_errors=True)
             sizes = [e["rows"] for e in man["slices"]]
         fulls = [i for i, r in enumerate(sizes) if r >= full_rows]
         if len(fulls) > self.FULL_SLICE_FANOUT:
@@ -825,9 +868,13 @@ class FaissSparkEngine:
         root = self._graph_slice_root(idx)
         dst_e = man["slices"][picked[0]]
         dst = os.path.join(root, dst_e["dir"])
-        total = int(dst_e["rows"])
-        for i in picked[1:]:
-            e = man["slices"][i]
+        # one source at a time: move its part-files, persist the updated
+        # manifest, THEN delete the emptied directory.  os.replace moves
+        # (never copies) so every part-file exists in exactly one place at
+        # all times; a crash before a manifest save leaves at worst a
+        # registered-but-parquet-empty src dir, which
+        # _refresh_disk_graph_data prunes (ADVICE r7)
+        for e in [man["slices"][i] for i in picked[1:]]:
             src = os.path.join(root, e["dir"])
             for dirpath, _dirs, files in os.walk(src):
                 rel = os.path.relpath(dirpath, src)
@@ -842,12 +889,10 @@ class FaissSparkEngine:
                         # are already unique, this makes collisions impossible
                         os.path.join(out_dir, f"{e['dir']}-{fname}"),
                     )
-            total += int(e["rows"])
+            dst_e["rows"] = int(dst_e["rows"]) + int(e["rows"])
+            man["slices"] = [x for x in man["slices"] if x is not e]
+            self._graph_manifest_save(idx, man)
             shutil.rmtree(src, ignore_errors=True)
-        drop = set(picked[1:])
-        man["slices"] = [e for i, e in enumerate(man["slices"]) if i not in drop]
-        dst_e["rows"] = total
-        self._graph_manifest_save(idx, man)
 
     # rows per NSW graph segment: bounds the O(rows^2) per-partition build
     # while keeping the beam's touched fraction small (beam evals are ~constant

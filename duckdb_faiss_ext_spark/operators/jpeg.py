@@ -158,6 +158,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while i < n:
         if payload[i] != 0xFF:
             raise MediaDecodeError(f"jpeg: expected marker at byte {i}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
         marker = payload[i + 1]
         i += 2
         if marker == 0xD9:  # EOI before any scan
@@ -351,7 +354,8 @@ def _decode_scan(payload, start, frame, scan_tabs, qtables, huff, restart_interv
 
     order = [c[0] for c in comps]
     if len(order) == 1:
-        y = np.clip(planes[order[0]], 0, 255).astype(np.uint8)
+        # round (not truncate) to match the YCbCr path's sample treatment
+        y = np.clip(np.round(planes[order[0]]), 0, 255).astype(np.uint8)
         return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
     y, cb, cr = (planes[c] for c in order)
     r = y + 1.402 * (cr - 128.0)

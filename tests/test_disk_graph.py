@@ -216,3 +216,114 @@ def test_disk_graph_save_load_roundtrip(spark, eng, tmp_path):
     eng.save("dgs", str(tmp_path / "saved"))
     eng.load("dgs2", str(tmp_path / "saved"))
     assert _search_map(eng, "dgs2", x, k=2) == _search_map(eng, "dgs", x, k=2)
+
+
+def test_compact_fresh_engine_on_existing_storage_path(spark, eng, tmp_path):
+    """A NEW engine pointed at an existing storage_path (no add this
+    session) must hydrate from the manifest and compact, not raise
+    (ADVICE r7: detection was via idx.data instead of the factory spec)."""
+    path = str(tmp_path / "dgf")
+    eng.create(
+        "dgf", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": path},
+    )
+    x = gen_vectors(90, 8)
+    for i in range(3):
+        eng.add("dgf", _vec_df(spark, x[i * 30 : (i + 1) * 30], i * 30))
+    n_slices = len(_manifest(path)["slices"])
+    eng.destroy("dgf")
+
+    eng2 = FaissSparkEngine(spark)
+    eng2.create(
+        "dgf", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": path},
+    )
+    eng2.compact("dgf")  # must NOT raise the non-graph disk-mode error
+    man = _manifest(path)
+    assert len(man["slices"]) <= n_slices
+    assert sum(e["rows"] for e in man["slices"]) == 90
+    res = _search_map(eng2, "dgf", x)
+    assert all(lbl == qid * 7 and d < 1e-5 for (qid, _r), (lbl, d) in res.items())
+    eng2.destroy("dgf")
+
+
+def test_manifest_never_references_missing_dirs(spark, eng, monkeypatch, tmp_path):
+    """Crash-safety ordering (ADVICE r7): the manifest on disk must be
+    readable/consistent at every deletion point — simulate a crash at each
+    rmtree by checking the PERSISTED manifest only references directories
+    that exist with parquet files, every time a deletion runs."""
+    import shutil as _sh
+
+    path = str(tmp_path / "dgc")
+    real_rmtree = _sh.rmtree
+    root = os.path.abspath(os.path.join(path, "graph_slices"))
+
+    def checked_rmtree(target, *a, **k):
+        # at the moment a slice dir dies, the saved manifest must already
+        # have stopped referencing it
+        t = os.path.abspath(str(target))
+        if os.path.dirname(t) == root:
+            man = _manifest(path)
+            live = {e["dir"] for e in man["slices"]}
+            assert os.path.basename(t) not in live, (
+                f"manifest references {t} while it is being deleted"
+            )
+        return real_rmtree(target, *a, **k)
+
+    # engine code does `import shutil` inside each function, so patching the
+    # module attribute covers every call site
+    monkeypatch.setattr("shutil.rmtree", checked_rmtree)
+
+    eng.MAX_SLICES = 3
+    eng.create(
+        "dgc", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": path},
+    )
+    x = gen_vectors(180, 8)
+    for i in range(6):
+        eng.add("dgc", _vec_df(spark, x[i * 30 : (i + 1) * 30], i * 30))
+    eng.compact("dgc", full=True)
+    man = _manifest(path)
+    assert sum(e["rows"] for e in man["slices"]) == 180
+
+
+def test_refresh_prunes_emptied_slice_and_gc_orphans(spark, eng, tmp_path):
+    """Residual crash windows: (a) a manifest entry whose dir lost its
+    part-files (crash inside concat after moves, before manifest save) is
+    pruned on refresh; (b) an orphan unreferenced dir is GC'd by the next
+    compaction."""
+    path = str(tmp_path / "dgp")
+    eng.create(
+        "dgp", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": path},
+    )
+    x = gen_vectors(60, 8)
+    eng.add("dgp", _vec_df(spark, x[:30], 0))
+    eng.add("dgp", _vec_df(spark, x[30:], 30))
+    root = os.path.join(path, "graph_slices")
+    man = _manifest(path)
+    assert len(man["slices"]) == 2
+
+    # (a) simulate post-move pre-save crash: move slice 2's part-files into
+    # slice 1's dir (prefixed), leaving slice 2 registered but empty
+    src_e, dst_e = man["slices"][1], man["slices"][0]
+    src_d, dst_d = os.path.join(root, src_e["dir"]), os.path.join(root, dst_e["dir"])
+    for fname in list(os.listdir(src_d)):
+        if fname.endswith(".parquet"):
+            os.replace(
+                os.path.join(src_d, fname),
+                os.path.join(dst_d, f"{src_e['dir']}-{fname}"),
+            )
+    idx = eng.registry.get("dgp")
+    eng._refresh_disk_graph_data(idx, _manifest(path))
+    man2 = _manifest(path)
+    assert [e["dir"] for e in man2["slices"]] == [dst_e["dir"]]  # pruned + persisted
+    assert idx.data.count() == 60  # every row still visible via the dst dir
+
+    # (b) orphan dir GC on compaction
+    orphan = os.path.join(root, "s999999")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    eng.compact("dgp")
+    assert not os.path.exists(orphan)

@@ -154,3 +154,36 @@ def test_roundtrip_random_images(seed):
     out = decode_jpeg(encode_jpeg(px, quant=1))
     assert out.shape == (h, w, 3)
     assert np.abs(out.astype(int) - px.astype(int)).max() <= 8
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any run of 0xFF fill bytes may pad the stream before a
+    marker byte; real encoders emit them for alignment (ADVICE r7)."""
+    px = _grad(16, 16)
+    blob = encode_jpeg(px, quant=1)
+    assert blob[:2] == b"\xff\xd8"
+    # inject fill bytes between SOI and the first segment, and again before
+    # the next marker after the first segment ends
+    seglen = int.from_bytes(blob[4:6], "big")
+    first_end = 2 + 2 + seglen
+    padded = (
+        blob[:2] + b"\xff\xff\xff" + blob[2:first_end] + b"\xff" + blob[first_end:]
+    )
+    out_plain = decode_jpeg(blob)
+    out_padded = decode_jpeg(padded)
+    assert np.array_equal(out_plain, out_padded)
+
+
+def test_grayscale_rounding_matches_color_path():
+    """Single-component samples must ROUND like the YCbCr path, not truncate
+    (ADVICE r7: 1-LSB downward bias)."""
+    # a gentle gradient whose IDCT output lands near x.5 fractions often
+    # enough that truncation vs rounding is visible in the mean
+    yy, xx = np.mgrid[0:24, 0:24]
+    g = ((xx + yy) * 255 // 46).astype(np.uint8)
+    px = np.stack([g, g, g], axis=2)
+    out = decode_jpeg(encode_jpeg(px, quant=1, gray=True))
+    lum = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    bias = (out[..., 0].astype(float) - lum).mean()
+    # truncation showed ~-0.5 systematic bias; rounding must center near 0
+    assert abs(bias) < 0.3
