@@ -1029,8 +1029,14 @@ class FaissSparkEngine:
             # FAISS subsamples training to ~256 points per centroid
             # (Clustering::max_points_per_centroid); mirror that so training
             # cost is O(nlist), not O(corpus) — at the 4M probe this cut the
-            # IVF32 build from ~80 s of KMeans to a constant ~8k-point fit
-            cap = 256 * nlist
+            # IVF32 build from ~80 s of KMeans to a constant ~8k-point fit.
+            # Both knobs are user-tunable (VERDICT r7 task 5: recall at
+            # high nlist may want a deeper fit): params
+            # 'train_points_per_centroid' (default 256) and 'train_max_iter'
+            # (default 20, MLlib's own default).
+            ppc = int(idx.params.get("train_points_per_centroid", 256))
+            max_iter = int(idx.params.get("train_max_iter", 20))
+            cap = ppc * nlist
             sample = vec_df
             if n > cap:
                 sample = vec_df.sample(fraction=min(1.0, cap * 1.2 / n), seed=42).limit(cap)
@@ -1050,53 +1056,74 @@ class FaissSparkEngine:
                 ml_df = sample.select(
                     array_to_vector(F.col("vector").cast("array<double>")).alias("features")
                 )
-                km = KMeans(k=nlist, seed=42, maxIter=20, featuresCol="features")
+                km = KMeans(k=nlist, seed=42, maxIter=max_iter, featuresCol="features")
                 model = km.fit(ml_df)
                 idx.centroids = np.array(
                     [np.asarray(c) for c in model.clusterCenters()], dtype=np.float32
                 )
-                self._warn_if_degenerate_assignment(idx, sample)
+                hist = self._sample_metric_histogram(idx, sample, model)
+                hist = self._rebalance_oversize_clusters(idx, sample, hist)
+                self._warn_if_degenerate_assignment(idx, hist)
             finally:
                 sample.unpersist()
         idx.trained = True
 
-    def _warn_if_degenerate_assignment(self, idx: FaissIndex, sample: DataFrame) -> None:
+    def _sample_metric_histogram(
+        self, idx: FaissIndex, sample: DataFrame, model=None
+    ) -> "np.ndarray":
+        """Histogram of the training sample's coarse assignment under the
+        INDEX metric, as an int64 array of length nlist.  Sourcing (VERDICT
+        r7 task 3 — don't pay a second distributed pass when the fit
+        already produced the answer):
+
+        - L2 index metric: REUSE the KMeans fit's own ``summary.clusterSizes``
+          (MLlib assigns by L2, squared-L2 argmin is the same assignment) —
+          zero extra jobs.
+        - other metrics (where the fit's L2 assignment is NOT the index
+          assignment — e.g. IP collapse onto large-norm centroids): compute
+          under the INDEX metric on the cached TRAINING SAMPLE — one
+          O(nlist)-row job, never a corpus scan."""
+        nlist = idx.spec.nlist
+        metric = idx.metric
+        from duckdb_faiss_ext_spark.metrics import resolve_metric
+
+        if model is not None and resolve_metric(metric) == "L2":
+            counts = np.zeros(nlist, dtype=np.int64)
+            sizes = list(model.summary.clusterSizes)
+            counts[: len(sizes)] = np.asarray(sizes, dtype=np.int64)
+            return counts
+
+        rows = (
+            sample.select(
+                self._cluster_assign_udf(idx)(F.col("vector")).alias("cid")
+            )
+            .groupBy("cid")
+            .count()
+            .collect()
+        )
+        counts = np.zeros(nlist, dtype=np.int64)
+        for r in rows:
+            counts[int(r["cid"])] = int(r["count"])
+        return counts
+
+    def _warn_if_degenerate_assignment(
+        self, idx: FaissIndex, counts: "np.ndarray"
+    ) -> None:
         """Loud train-time warning when the coarse assignment histogram is
         degenerate (VERDICT r6 task 4).  The hazard is SILENT: IP coarse
         assignment maximizes <x,c>, so unnormalized embeddings collapse onto
         the largest-norm centroids — at nlist=2048 on unnormalized synth,
         1941/2048 clusters were empty and nprobe pruning bought nothing
-        (SCALE.md r6).  MLlib's clusterSizes can't catch this (KMeans
-        assigns by L2 regardless of the index metric), so the histogram is
-        recomputed under the INDEX metric on the cached TRAINING SAMPLE —
-        one O(nlist)-row job, never a corpus scan."""
+        (SCALE.md r6)."""
         nlist = idx.spec.nlist
         if nlist < 2:
             return
-        cents = idx.centroids
-        metric = idx.metric
-        marg = idx.metric_arg
-        bc = self.spark.sparkContext.broadcast(cents)
-        from duckdb_faiss_ext_spark.metrics import is_descending
-
-        desc = is_descending(metric)
-
-        def assign(v: pd.Series) -> pd.Series:
-            x = np.asarray(list(v), dtype=np.float32)
-            ids, _ = topk_indices(pairwise(x, bc.value, metric, marg), 1, desc)
-            return pd.Series(ids[:, 0].astype(np.int32))
-
-        hist = (
-            sample.select(F.pandas_udf(assign, "int")(F.col("vector")).alias("cid"))
-            .groupBy("cid")
-            .count()
-            .collect()
-        )
-        n = sum(r["count"] for r in hist)
+        n = int(counts.sum())
         if not n:
             return
-        empty = nlist - len(hist)
-        biggest = max(r["count"] for r in hist)
+        empty = int((counts == 0).sum())
+        biggest = int(counts.max())
+        metric = idx.metric
         # max-cluster trip point: 20% of rows, relaxed to 5x the even share
         # for small nlist (at nlist=4 a 25% cluster is the EXPECTED size)
         if empty > nlist // 2 or biggest > max(0.2 * n, 5.0 * n / nlist):
@@ -1113,6 +1140,135 @@ class FaissSparkEngine:
                 "the vectors or use COSINE/L2 (README 'Sizing the knobs at "
                 "scale', SCALE.md r6)."
             )
+
+    # rebalance trip point: a cluster above this multiple of the even share
+    # (on the training sample) gets recursively split into donor slots.
+    # FAISS's Clustering::post-iteration split does the same job for empty
+    # clusters (split the biggest, perturb); 4x matches the r7 verdict's
+    # suggested cap.  The 4M/2048 probe measured max cluster = 132x the even
+    # share (258k rows = 6.5% of corpus) — a single straggler partition that
+    # bounds every probed search from below (SCALE.md r7, VERDICT r7 task 4).
+    REBALANCE_CAP_SHARE = 4.0
+
+    def _rebalance_oversize_clusters(
+        self, idx: FaissIndex, sample: DataFrame, counts: "np.ndarray"
+    ) -> "np.ndarray":
+        """Split training-sample-oversize clusters into empty/tiny donor
+        slots, keeping nlist constant (VERDICT r7 task 4).
+
+        All numeric work happens DRIVER-SIDE on the bounded training sample
+        (<= train_points_per_centroid * nlist rows): one distributed job
+        collects the points of the affected clusters, then a local loop
+        repeatedly 2-means-splits the current biggest cluster into a donor
+        slot until every cluster is under ``REBALANCE_CAP_SHARE`` x the even
+        share or donors run out.  Donor slots are empty clusters first, then
+        clusters under cap/8 (their points are reassigned to their next-
+        nearest centroid, so absorbing one can never create a new violation).
+        Disable with params={'rebalance_clusters': '0'}.  Returns the
+        updated histogram (idx.centroids is modified in place when any
+        split runs)."""
+        nlist = idx.spec.nlist
+        if nlist < 8 or not int(idx.params.get("rebalance_clusters", 1)):
+            return counts
+        n = int(counts.sum())
+        if not n:
+            return counts
+        cap = max(self.REBALANCE_CAP_SHARE * n / nlist, 32.0)
+        over = [int(c) for c in np.argsort(-counts) if counts[c] > cap]
+        if not over:
+            return counts
+        metric = idx.metric
+        marg = idx.metric_arg
+        from duckdb_faiss_ext_spark.metrics import is_descending
+
+        desc = is_descending(metric)
+        dim = idx.dim
+        # donors: empty slots cost nothing; tiny slots (< cap/8) are folded
+        # into their next-nearest cluster when consumed
+        empties = [int(c) for c in np.where(counts == 0)[0]]
+        tiny = [
+            int(c)
+            for c in np.argsort(counts)
+            if 0 < counts[c] < cap / 8 and int(c) not in over
+        ]
+        splits_wanted = int(sum(int(np.ceil(counts[c] / cap)) - 1 for c in over))
+        if not splits_wanted or not (empties or tiny):
+            return counts
+        tiny = tiny[: max(0, splits_wanted - len(empties))]
+        # one filtered collect, byte-budgeted (biggest offenders first):
+        # 256 MB of f32 vectors caps driver memory even at dim 1536
+        budget_rows = max(int(256e6 / (4 * dim)), 4096)
+        wanted: list = []
+        rows_planned = 0
+        for c in over + tiny:
+            if rows_planned + counts[c] > budget_rows and wanted:
+                break
+            wanted.append(c)
+            rows_planned += int(counts[c])
+        over = [c for c in over if c in set(wanted)]
+        tiny = [c for c in tiny if c in set(wanted)]
+        if not over:
+            return counts
+        pdf = (
+            sample.withColumn(
+                "cid", self._cluster_assign_udf(idx)(F.col("vector"))
+            )
+            .filter(F.col("cid").isin([int(c) for c in wanted]))
+            .select("cid", "vector")
+            .toPandas()
+        )
+        if not len(pdf):
+            return counts
+        pts: dict = {}
+        cids = pdf["cid"].to_numpy()
+        mat = np.asarray(list(pdf["vector"]), dtype=np.float32)
+        for c in wanted:
+            pts[c] = mat[cids == c]
+        cents = idx.centroids.astype(np.float32).copy()
+        counts = counts.copy()
+        rng = np.random.default_rng(42)
+        donors = empties + tiny  # empties first
+        changed = False
+        for _ in range(2 * nlist):  # hard bound; each split halves a cluster
+            b = int(np.argmax(counts))
+            if counts[b] <= cap or b not in pts or len(pts[b]) < 4 or not donors:
+                break
+            d = donors.pop(0)
+            if counts[d] > 0 and d in pts and len(pts[d]):
+                # fold the tiny donor into its next-nearest centroid
+                scores = pairwise(pts[d], cents, metric, marg)
+                scores[:, d] = -np.inf if desc else np.inf
+                tgt = scores.argmax(1) if desc else scores.argmin(1)
+                for t, cnt in zip(*np.unique(tgt, return_counts=True)):
+                    counts[int(t)] += int(cnt)
+                    if int(t) in pts:
+                        pts[int(t)] = np.vstack([pts[int(t)], pts[d][tgt == t]])
+                counts[d] = 0
+                pts[d] = mat[:0]
+            # seeded local 2-means (Lloyd, L2) over the oversize cluster;
+            # expansion form keeps the temp at O(N*2), not O(N*2*dim)
+            p = pts[b]
+            sub = p[rng.choice(len(p), 2, replace=False)].astype(np.float64)
+            pn = (p.astype(np.float64) ** 2).sum(1, keepdims=True)
+            for _it in range(8):
+                d2 = pn - 2.0 * (p @ sub.T) + (sub**2).sum(1)[None, :]
+                lab = d2.argmin(1)
+                for j in (0, 1):
+                    sel = p[lab == j]
+                    if len(sel):
+                        sub[j] = sel.mean(0)
+            cents[b] = sub[0].astype(np.float32)
+            cents[d] = sub[1].astype(np.float32)
+            # re-partition under the INDEX metric against the two new cents
+            two = np.vstack([cents[b], cents[d]])
+            s2 = pairwise(p, two, metric, marg)
+            lab = s2.argmax(1) if desc else s2.argmin(1)
+            pts[b], pts[d] = p[lab == 0], p[lab == 1]
+            counts[b], counts[d] = len(pts[b]), len(pts[d])
+            changed = True
+        if changed:
+            idx.centroids = cents
+        return counts
 
     def _cluster_assign_udf(self, idx: FaissIndex):
         """Arrow-batched nearest-centroid assignment under the index metric

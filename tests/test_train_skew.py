@@ -63,3 +63,46 @@ def test_silent_on_l2_small_nlist(spark, eng):
     with warnings.catch_warnings():
         warnings.simplefilter("error", UserWarning)
         eng.add("l2s", _vec_df(spark, x))
+
+
+def test_rebalance_splits_oversize_cluster(spark, eng):
+    """VERDICT r7 task 4: a corpus with one dominant dense blob (132x the
+    even share at the 4M/2048 probe) must not leave one giant cluster —
+    training splits it into empty/tiny donor slots, keeping nlist constant
+    and exact self-search intact."""
+    rng = np.random.default_rng(5)
+    # 85% of points in ONE tight blob, the rest spread out: KMeans gives the
+    # blob one (or few) centroids, far over 4x the even share at nlist=16
+    blob = 0.01 * rng.standard_normal((1700, 8)).astype(np.float32)
+    spread = rng.standard_normal((300, 8)).astype(np.float32) + 5.0
+    x = np.vstack([blob, spread])
+    eng.create("reb", 8, "IDMap,IVF16,Flat", metric_type="L2")
+    eng.add("reb", _vec_df(spark, x))
+    idx = eng.registry.get("reb")
+    assert idx.centroids.shape == (16, 8)  # nlist unchanged
+    sizes = (
+        idx.data.groupBy("cluster_id").count().toPandas()["count"].to_numpy()
+    )
+    # even share = 125; without rebalance the blob cluster held ~1700 rows
+    assert sizes.max() <= 4 * (len(x) / 16) * 1.5  # slack: corpus vs sample
+    # correctness: exact self-search at full probe depth still perfect
+    q = _vec_df(spark, x[::97]).selectExpr("label as qid", "vector")
+    res = eng.search_flat("reb", 1, q, params={"nprobe": 16}).collect()
+    assert all(r["qid"] * 97 == r["label"] for r in res)
+
+
+def test_rebalance_can_be_disabled(spark, eng):
+    rng = np.random.default_rng(5)
+    blob = 0.01 * rng.standard_normal((1700, 8)).astype(np.float32)
+    spread = rng.standard_normal((300, 8)).astype(np.float32) + 5.0
+    x = np.vstack([blob, spread])
+    eng.create(
+        "noreb", 8, "IDMap,IVF16,Flat", metric_type="L2",
+        params={"rebalance_clusters": "0"},
+    )
+    eng.add("noreb", _vec_df(spark, x))
+    sizes = (
+        eng.registry.get("noreb").data.groupBy("cluster_id").count()
+        .toPandas()["count"].to_numpy()
+    )
+    assert sizes.max() > 8 * (len(x) / 16)  # the blob stays one giant cluster
