@@ -74,7 +74,9 @@ def load_r1_baselines() -> dict:
     Missing files => fewer guarded keys, never an error."""
     base = dict(LOCAL_BASELINES)
     here = os.path.dirname(os.path.abspath(__file__))
-    for fname in ("BENCH_r01.json", "BENCH_r03.json"):
+    # r6 added the dedup_stage_* split keys (absent from r1/r3); taking the
+    # cross-round MIN everywhere keeps every guard at its best recorded value
+    for fname in ("BENCH_r01.json", "BENCH_r03.json", "BENCH_r06.json"):
         try:
             with open(os.path.join(here, fname)) as f:
                 q = json.load(f)["parsed"]["queries"]
@@ -472,17 +474,37 @@ def main() -> None:
         from examples.dedup_pipeline import run_pipeline
 
         docs0 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        holder = {}
+        holder = {"all": []}
 
         def run():
             holder["stats"] = run_pipeline(docs0, emb)
+            holder["all"].append(holder["stats"]["timings"])
 
         bench_entry("dedup_pipeline_full", run, warmup=False)
         # stage split (VERDICT r4 task 6): a decomposition of the entry
         # above — recorded for attribution, EXCLUDED from the headline
         # total (the dedup_stage_ prefix) so the pipeline isn't counted
-        # twice
-        for st, sec in holder["stats"]["timings"].items():
+        # twice.  Stage keys get the SAME >2x-of-baseline contention guard
+        # as bench_entry keys (VERDICT r7 task 6): min per stage across any
+        # pipeline reruns, plus one pipeline rerun if a stage still breaches
+        timings = {
+            st: min(t[st] for t in holder["all"] if st in t)
+            for st in holder["all"][0]
+        }
+        breached = [
+            st
+            for st, sec in timings.items()
+            if (b := r1.get(f"dedup_stage_{st}")) and sec > 2.0 * b
+        ]
+        if breached:
+            queries["dedup_stages_ctrl_ratio"] = round(ctrl_time() / ctrl0, 2)
+            run()
+            queries["dedup_stages_reruns"] = 1
+            timings = {
+                st: min(t[st] for t in holder["all"] if st in t)
+                for st in timings
+            }
+        for st, sec in timings.items():
             queries[f"dedup_stage_{st}"] = round(sec, 4)
 
     @section("text_quality_lang")
