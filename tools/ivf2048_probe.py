@@ -20,6 +20,13 @@ pruning ineffective — measured in SCALE.md r6; normalized vectors restore
 balanced cells.
 
 Usage: python tools/ivf2048_probe.py [n_rows] [nlist] [dim] [normalize]
+                                     [nprobe_list] [params_json]
+
+r8 additions (VERDICT r7 tasks 4+5): ``nprobe_list`` is a comma list (a
+repeated value re-times the leg, e.g. "128,64,16,16" rotates np16 to last
+and measures it twice — the r7 anomaly had np16 first after the 447 s
+build); ``params_json`` passes engine params through to faiss_create
+(e.g. '{"train_max_iter": "40"}' or '{"rebalance_clusters": "0"}').
 """
 
 import json
@@ -38,6 +45,12 @@ def main() -> None:
     nlist = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     dim = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     normalize = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
+    nprobes = (
+        [int(x) for x in sys.argv[5].split(",")]
+        if len(sys.argv) > 5
+        else [16, 64, 128]
+    )
+    extra_params = json.loads(sys.argv[6]) if len(sys.argv) > 6 else {}
 
     from duckdb_faiss_ext_spark import FaissSparkEngine
     from duckdb_faiss_ext_spark.session import get_spark
@@ -73,7 +86,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     eng.create(
-        "iv_big", dim, f"IDMap,IVF{nlist},Flat", metric_type="INNER_PRODUCT"
+        "iv_big", dim, f"IDMap,IVF{nlist},Flat", metric_type="INNER_PRODUCT",
+        params=extra_params or None,
     )
     eng.add("iv_big", corpus)
     build_sec = time.perf_counter() - t0
@@ -90,7 +104,7 @@ def main() -> None:
     )
 
     rows = []
-    for nprobe in (16, 64, 128):
+    for nprobe in nprobes:
         run = lambda: eng.search_flat(  # noqa: E731
             "iv_big", 10, queries, params={"nprobe": nprobe, "bulk_queries": 0}
         )
@@ -109,10 +123,13 @@ def main() -> None:
                 [sum(hist.get(int(c), 0) for c in row) for row in probes]
             )
         )
+        with open("/proc/loadavg") as lf:
+            load_1m = float(lf.read().split()[0])
         rows.append(
             {
                 "nprobe": nprobe,
                 "search_sec": round(sec, 3),
+                "load_1m": load_1m,
                 "recall_at_10": round(len(hits & exact) / max(len(exact), 1), 4),
                 "scan_frac_batch_union": round(union_rows / total, 4),
                 "scan_frac_per_query": round(perq_rows / total, 5),
