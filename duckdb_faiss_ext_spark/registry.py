@@ -65,6 +65,14 @@ class FaissIndex:
     # parquet slice (flat lineage, O(batch) per add, corpora larger than the
     # executor cache).  Set via create(params={'storage_path': ...}).
     storage_path: Optional[str] = None
+    # disk-graph write buffer (VERDICT r7 stretch): micro-batches smaller
+    # than the buffer threshold accumulate here (already graph-built and
+    # persisted) instead of paying a parquet dir + manifest write each —
+    # flushed as ONE slice dir when the accumulated rows cross the
+    # threshold, or on compact()/save().  Parallel lists like slices/
+    # slice_rows; bounded by graph_partition_rows/4 rows total.
+    pending_graph: list = field(default_factory=list)
+    pending_graph_rows: int = 0
 
     @property
     def needs_training(self) -> bool:

@@ -327,3 +327,74 @@ def test_refresh_prunes_emptied_slice_and_gc_orphans(spark, eng, tmp_path):
         f.write(b"not really parquet")
     eng.compact("dgp")
     assert not os.path.exists(orphan)
+
+
+def test_micro_batch_write_buffer(spark, eng, tmp_path):
+    """Micro-batches below graph_partition_rows/4 buffer in memory (no new
+    slice dir per add) and flush as ONE slice dir when a quarter segment
+    accumulates; searches see buffered rows immediately (VERDICT r7
+    stretch)."""
+    path = str(tmp_path / "dgb")
+    eng.create(
+        "dgb", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": path},
+    )
+    x = gen_vectors(64, 8)
+    # buffer threshold = 64/4 = 16 rows; 5-row adds buffer
+    for i in range(3):
+        eng.add("dgb", _vec_df(spark, x[i * 5 : (i + 1) * 5], i * 5))
+    man = _manifest(path)
+    assert man["slices"] == []  # nothing written yet
+    idx = eng.registry.get("dgb")
+    assert idx.pending_graph_rows == 15
+    assert idx.count == 15
+    # buffered rows are searchable NOW
+    res = _search_map(eng, "dgb", x[:15], step=7)
+    assert all(lbl == qid * 7 and d < 1e-5 for (qid, _r), (lbl, d) in res.items())
+    # 4th add crosses the threshold -> ONE slice dir with all 20 rows
+    eng.add("dgb", _vec_df(spark, x[15:20], 15))
+    man = _manifest(path)
+    assert len(man["slices"]) == 1 and man["slices"][0]["rows"] == 20
+    assert eng.registry.get("dgb").pending_graph_rows == 0
+    res = _search_map(eng, "dgb", x[:20], step=7)
+    assert all(lbl == qid * 7 and d < 1e-5 for (qid, _r), (lbl, d) in res.items())
+
+
+def test_buffer_flushes_on_compact_and_big_batch(spark, eng, tmp_path):
+    path = str(tmp_path / "dgb2")
+    eng.create(
+        "dgb2", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": path},
+    )
+    x = gen_vectors(80, 8)
+    eng.add("dgb2", _vec_df(spark, x[:40], 0))  # big first add (rebuild path)
+    eng.add("dgb2", _vec_df(spark, x[40:45], 40))  # buffers
+    assert eng.registry.get("dgb2").pending_graph_rows == 5
+    eng.compact("dgb2")  # compact flushes the buffer
+    assert eng.registry.get("dgb2").pending_graph_rows == 0
+    assert sum(e["rows"] for e in _manifest(path)["slices"]) == 45
+    eng.add("dgb2", _vec_df(spark, x[45:50], 45))  # buffers again
+    eng.add("dgb2", _vec_df(spark, x[50:80], 50))  # big batch -> flush first
+    man = _manifest(path)
+    assert sum(e["rows"] for e in man["slices"]) == 80
+    assert eng.registry.get("dgb2").pending_graph_rows == 0
+    res = _search_map(eng, "dgb2", x, step=13)
+    assert all(lbl == qid * 13 and d < 1e-5 for (qid, _r), (lbl, d) in res.items())
+
+
+def test_buffer_disabled_writes_through(spark, eng, tmp_path):
+    path = str(tmp_path / "dgb3")
+    eng.create(
+        "dgb3", 8, "IDMap,HNSW8", metric_type="L2",
+        params={
+            "graph_partition_rows": "64",
+            "storage_path": path,
+            "disk_graph_buffer_rows": "0",
+        },
+    )
+    x = gen_vectors(10, 8)
+    eng.add("dgb3", _vec_df(spark, x[:5], 0))
+    eng.add("dgb3", _vec_df(spark, x[5:], 5))
+    man = _manifest(path)
+    assert len(man["slices"]) == 2  # every add durable on return
+    assert eng.registry.get("dgb3").pending_graph_rows == 0
