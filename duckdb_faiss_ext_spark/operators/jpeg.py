@@ -36,7 +36,7 @@ import numpy as np
 
 from duckdb_faiss_ext_spark.operators.media_codecs import MediaDecodeError
 
-__all__ = ["decode_jpeg", "encode_jpeg"]
+__all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg_progressive"]
 
 # zigzag scan order: index z -> (row, col) of the 8x8 block (T.81 fig. 5)
 _ZZ = np.array(
@@ -146,7 +146,11 @@ def _u16(b: bytes, i: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF -> (height, width, 3) uint8 RGB."""
+    """Baseline (SOF0/SOF1) or progressive (SOF2) JFIF -> (h, w, 3) uint8
+    RGB.  Progressive support (r8): spectral selection + successive
+    approximation per T.81 G.2 — DC first/refine (interleaved or not), AC
+    first/refine with EOB-run decoding; coefficients accumulate across
+    scans and the shared dequant+IDCT finish runs at EOI."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise MediaDecodeError("jpeg: missing SOI marker")
     i = 2
@@ -154,6 +158,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _Huff] = {}
     restart_interval = 0
     frame = None  # (h, w, [(cid, hf, vf, tq)])
+    progressive = False
+    coefs = None  # progressive: {cid: (gy, gx, 64) int32 ZIGZAG coefficients}
     n = len(payload)
     while i < n:
         if payload[i] != 0xFF:
@@ -163,7 +169,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             i += 1
         marker = payload[i + 1]
         i += 2
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
+            if progressive and coefs is not None:
+                return _finish_frame(frame, coefs, qtables)
             raise MediaDecodeError("jpeg: EOI before SOS")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
@@ -199,7 +207,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = seg[j + 17 : j + 17 + nsym]
                 huff[(tc, th)] = _Huff(counts, symbols)
                 j += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise MediaDecodeError(f"jpeg: {prec}-bit precision not supported")
@@ -217,13 +226,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     )
                 comps.append((cid, hf, vf, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise MediaDecodeError(
-                "jpeg: progressive (SOF2) not supported — baseline only"
-            )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise MediaDecodeError(
-                f"jpeg: SOF{marker - 0xC0} mode not supported — baseline only"
+                f"jpeg: SOF{marker - 0xC0} mode not supported — "
+                "baseline/progressive only"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = _u16(seg, 0)
@@ -232,24 +238,46 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise MediaDecodeError("jpeg: SOS before SOF")
             ns = seg[0]
             scan_tabs = {}
+            scan_order = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tabs[cs] = (tt >> 4, tt & 0x0F)
-            if ns != len(frame[2]):
-                raise MediaDecodeError(
-                    "jpeg: multi-scan (non-interleaved) files not supported"
+                scan_order.append(cs)
+            if not progressive:
+                if ns != len(frame[2]):
+                    raise MediaDecodeError(
+                        "jpeg: multi-scan (non-interleaved) files not supported"
+                    )
+                return _decode_scan(
+                    payload, i, frame, scan_tabs, qtables, huff, restart_interval
                 )
-            return _decode_scan(
-                payload, i, frame, scan_tabs, qtables, huff, restart_interval
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if coefs is None:
+                h, w, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                coefs = {
+                    cid: np.zeros((mcus_y * vf, mcus_x * hf, 64), dtype=np.int32)
+                    for cid, hf, vf, _tq in comps
+                }
+            i = _decode_prog_scan(
+                payload, i, frame, scan_order, scan_tabs, (ss, se, ah, al),
+                huff, restart_interval, coefs,
             )
         # APPn / COM / others: skipped
     raise MediaDecodeError("jpeg: no SOS marker found")
 
 
-def _destuff(payload: bytes, start: int) -> tuple[bytes, list]:
+def _destuff(payload: bytes, start: int) -> tuple[bytes, list, int]:
     """Strip 0xFF00 stuffing from the entropy segment; record RST marker
     byte offsets (in DESTUFFED coordinates) and stop at the next true
-    marker.  Returns (data, rst_offsets)."""
+    marker.  Returns (data, rst_offsets, end) where ``end`` is the payload
+    index of the terminating marker's 0xFF (progressive decoding resumes
+    the marker walk there)."""
     out = bytearray()
     rsts = []
     i = start
@@ -261,6 +289,7 @@ def _destuff(payload: bytes, start: int) -> tuple[bytes, list]:
             i += 1
             continue
         if i + 1 >= n:
+            i = n
             break
         m = payload[i + 1]
         if m == 0x00:
@@ -271,7 +300,7 @@ def _destuff(payload: bytes, start: int) -> tuple[bytes, list]:
             i += 2
         else:
             break  # real marker (EOI / next segment) ends the scan
-    return bytes(out), rsts
+    return bytes(out), rsts, i
 
 
 def _decode_scan(payload, start, frame, scan_tabs, qtables, huff, restart_interval):
@@ -281,13 +310,13 @@ def _decode_scan(payload, start, frame, scan_tabs, qtables, huff, restart_interv
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = -(-w // mcu_w)
     mcus_y = -(-h // mcu_h)
-    data, _rsts = _destuff(payload, start)
+    data, _rsts, _end = _destuff(payload, start)
     br = _BitReader(data)
 
-    # per-component block grids (MCU-aligned), coefficient storage
+    # per-component block grids (MCU-aligned), ZIGZAG coefficient storage
     blocks = {}
     for cid, hf, vf, _tq in comps:
-        blocks[cid] = np.zeros((mcus_y * vf, mcus_x * hf, 8, 8), dtype=np.int32)
+        blocks[cid] = np.zeros((mcus_y * vf, mcus_x * hf, 64), dtype=np.int32)
     pred = {cid: 0 for cid, *_ in comps}
 
     for cid, *_ in comps:
@@ -329,19 +358,27 @@ def _decode_scan(payload, start, frame, scan_tabs, qtables, huff, restart_interv
                                 raise MediaDecodeError("jpeg: AC run past block end")
                             zz[k] = _extend(br.read_bits(size), size)
                             k += 1
-                        blk = np.zeros(64, dtype=np.int32)
-                        blk[_ZZ] = zz
-                        blocks[cid][my * vf + by, mx * hf + bx] = blk.reshape(8, 8)
+                        blocks[cid][my * vf + by, mx * hf + bx] = zz
             mcu_count += 1
+    return _finish_frame(frame, blocks, qtables)
 
+
+def _finish_frame(frame, coefzz: dict, qtables: dict) -> np.ndarray:
+    """Shared decode finish: ZIGZAG coefficient grids (gy, gx, 64) per
+    component -> dequantize + IDCT + upsample + color transform."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     # dequantize + IDCT per component (ONE einsum per component), assemble
     planes = {}
     for cid, hf, vf, tq in comps:
         if tq not in qtables:
             raise MediaDecodeError(f"jpeg: undefined quant table {tq}")
-        grid = blocks[cid]
+        grid = coefzz[cid]
         gy, gx = grid.shape[:2]
-        coefs = grid.reshape(-1, 8, 8).astype(np.float64) * qtables[tq][None, :, :]
+        nat = np.zeros((gy * gx, 64), dtype=np.int32)
+        nat[:, _ZZ] = grid.reshape(-1, 64)
+        coefs = nat.reshape(-1, 8, 8).astype(np.float64) * qtables[tq][None, :, :]
         spat = _idct_blocks(coefs) + 128.0
         plane = (
             spat.reshape(gy, gx, 8, 8)
@@ -363,6 +400,143 @@ def _decode_scan(payload, start, frame, scan_tabs, qtables, huff, restart_interv
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_prog_scan(
+    payload, start, frame, scan_order, scan_tabs, band, huff, ri, coefs
+) -> int:
+    """Decode ONE progressive scan into the persistent zigzag coefficient
+    grids (T.81 G.2; bit-level algorithms follow the spec's G.1.2.x flow).
+    Returns the payload index where the marker walk resumes."""
+    h, w, comps = frame
+    ss, se, ah, al = band
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    cmap = {cid: (hf, vf) for cid, hf, vf, _tq in comps}
+    data, _rsts, end = _destuff(payload, start)
+    br = _BitReader(data)
+    state = {"eobrun": 0, "pred": {cid: 0 for cid in scan_order}}
+
+    def dc_first(zz, cid):
+        tab = huff[(0, scan_tabs[cid][0])]
+        size = tab.decode(br)
+        if size > 11:
+            raise MediaDecodeError("jpeg: DC size out of range")
+        state["pred"][cid] += _extend(br.read_bits(size), size)
+        zz[0] = state["pred"][cid] << al
+
+    def dc_refine(zz, _cid):
+        if br.read_bit():
+            zz[0] |= 1 << al
+
+    def ac_first(zz, cid):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        tab = huff[(1, scan_tabs[cid][1])]
+        k = ss
+        while k <= se:
+            rs = tab.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:  # EOBn: run of 2^r + bits blocks (this one incl.)
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += br.read_bits(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise MediaDecodeError("jpeg: AC run past band end")
+            zz[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(zz, cid):
+        # T.81 G.1.2.3 (correction-bit refinement); mirrors the classical
+        # public-domain decoder control flow
+        p1, m1 = 1 << al, -1 << al
+        tab = huff[(1, scan_tabs[cid][1])]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = tab.decode(br)
+                r, s = rs >> 4, rs & 0x0F
+                s_val = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.read_bits(r)
+                        break
+                    # r == 15: pass over 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise MediaDecodeError("jpeg: bad AC refine size")
+                    s_val = p1 if br.read_bit() else m1
+                while k <= se:
+                    v = int(zz[k])
+                    if v != 0:
+                        if br.read_bit() and (v & p1) == 0:
+                            zz[k] = v + (p1 if v >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    zz[k] = s_val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                v = int(zz[k])
+                if v != 0 and br.read_bit() and (v & p1) == 0:
+                    zz[k] = v + (p1 if v >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    if ss == 0:
+        if se != 0:
+            raise MediaDecodeError("jpeg: progressive DC scan must have Se=0")
+        block_fn = dc_refine if ah else dc_first
+    else:
+        if len(scan_order) != 1:
+            raise MediaDecodeError("jpeg: progressive AC scan must be single-component")
+        block_fn = ac_refine if ah else ac_first
+
+    def restart(unit_count):
+        if ri and unit_count and unit_count % ri == 0:
+            br.align()
+            state["eobrun"] = 0
+            state["pred"] = {cid: 0 for cid in scan_order}
+
+    if len(scan_order) > 1:  # interleaved (DC scans only): MCU raster
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                restart(unit)
+                for cid in scan_order:
+                    hf, vf = cmap[cid]
+                    for by in range(vf):
+                        for bx in range(hf):
+                            block_fn(coefs[cid][my * vf + by, mx * hf + bx], cid)
+                unit += 1
+    else:  # non-interleaved: raster over the component's OWN block grid
+        cid = scan_order[0]
+        hf, vf = cmap[cid]
+        # comp sample dims: ceil(w * hf / hmax) x ceil(h * vf / vmax)
+        cw = -(-(w * hf) // hmax)
+        ch = -(-(h * vf) // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        unit = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                restart(unit)
+                block_fn(coefs[cid][by, bx], cid)
+                unit += 1
+    return end
 
 
 # --------------------------------------------------------------- encoder
@@ -416,32 +590,17 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return (size, v) if v > 0 else (size, v + (1 << size) - 1)
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    quant: int = 1,
-    subsample: bool = False,
-    gray: bool = False,
-    restart: int = 0,
-) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes.
-
-    ``quant``: uniform quantizer step for every coefficient (1 = near
-    lossless, bigger = lossier).  ``subsample=True`` writes 4:2:0 chroma
-    (2x2-averaged), exercising the decoder's MCU interleave + upsample.
-    ``gray=True`` writes a single-component (luminance-only) frame.
-    ``restart``: emit a DRI segment and RSTn markers every that many MCUs
-    (exercises the decoder's byte-align + predictor-reset path)."""
-    px = np.asarray(pixels, dtype=np.float64)
-    if px.ndim != 3 or px.shape[2] != 3:
-        raise MediaDecodeError(f"encode_jpeg: need (h, w, 3), got {px.shape}")
+def _rgb_quantized(px: np.ndarray, quant: int, subsample: bool):
+    """Shared encoder front half: RGB -> padded YCbCr planes -> FDCT ->
+    quantized ZIGZAG blocks.  Both the baseline and progressive encoders
+    call this, so the SAME coefficient arrays back both stream kinds —
+    the progressive round-trip test pins pixel-exact equality between the
+    two decodes on that identity."""
     h, w = px.shape[:2]
     r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-
-    if gray:
-        return _encode_gray(y, h, w, int(quant))
     hf = vf = 2 if subsample else 1
     mcu_w, mcu_h = 8 * hf, 8 * vf
     mcus_x, mcus_y = -(-w // mcu_w), -(-h // mcu_h)
@@ -475,7 +634,34 @@ def encode_jpeg(
         zz = np.round(coefs).astype(np.int32).reshape(-1, 64)[:, _ZZ]
         return zz.reshape(gy, gx, 64)
 
-    zy, zcb, zcr = quantize(yp), quantize(cbp), quantize(crp)
+    return mcus_x, mcus_y, (quantize(yp), quantize(cbp), quantize(crp)), q
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quant: int = 1,
+    subsample: bool = False,
+    gray: bool = False,
+    restart: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes.
+
+    ``quant``: uniform quantizer step for every coefficient (1 = near
+    lossless, bigger = lossier).  ``subsample=True`` writes 4:2:0 chroma
+    (2x2-averaged), exercising the decoder's MCU interleave + upsample.
+    ``gray=True`` writes a single-component (luminance-only) frame.
+    ``restart``: emit a DRI segment and RSTn markers every that many MCUs
+    (exercises the decoder's byte-align + predictor-reset path)."""
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise MediaDecodeError(f"encode_jpeg: need (h, w, 3), got {px.shape}")
+    h, w = px.shape[:2]
+    if gray:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        return _encode_gray(y, h, w, int(quant))
+    hf = vf = 2 if subsample else 1
+    mcus_x, mcus_y, (zy, zcb, zcr), q = _rgb_quantized(px, int(quant), subsample)
 
     # ---- one pass to collect symbols (per class), then canonical tables
     def block_symbols(zz_prev_dc, zz, dc_syms, ac_syms):
@@ -590,6 +776,241 @@ def encode_jpeg(
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += seg(0xDA, sos)
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# default progressive scan script: interleaved DC first + refine, luma AC
+# split into two spectral bands with one successive-approximation level,
+# chroma AC straight to full precision — exercises every decoder path
+# (DC first/refine, AC first at Al>0 and Al=0, AC refine, EOB runs, ZRL)
+_PROG_SCANS = [
+    ((0, 1, 2), 0, 0, 0, 1),  # DC all components, Al=1
+    ((0,), 1, 5, 0, 1),  # Y AC 1-5 first, Al=1
+    ((0,), 6, 63, 0, 1),  # Y AC 6-63 first, Al=1
+    ((1,), 1, 63, 0, 0),  # Cb AC full precision
+    ((2,), 1, 63, 0, 0),  # Cr AC full precision
+    ((0, 1, 2), 0, 0, 1, 0),  # DC refine
+    ((0,), 1, 5, 1, 0),  # Y AC 1-5 refine
+    ((0,), 6, 63, 1, 0),  # Y AC 6-63 refine
+]
+
+
+def _pt(v: int, al: int) -> int:
+    """Point transform: v / 2^Al toward zero (T.81 G.1.2.1)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan over a block sequence.
+    Two-phase like the baseline encoder: collect() gathers Huffman symbols,
+    emit() writes bits with the canonical table built from them."""
+
+    def __init__(self, band):
+        self.ss, self.se, self.ah, self.al = band
+        self.syms: list = []
+        self.bw = None
+        self.codes = None
+        self.eobrun = 0
+        self.pending: list = []  # correction bits owed to the open EOB run
+        self.pred: dict = {}
+
+    # ---- symbol sinks: collect phase appends, emit phase writes bits
+    def _sym(self, s):
+        if self.bw is None:
+            self.syms.append(s)
+        else:
+            c, ln = self.codes[s]
+            self.bw.write(c, ln)
+
+    def _bits(self, value, n):
+        if self.bw is not None and n:
+            self.bw.write(value, n)
+
+    def _flush_eob(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self._sym(r << 4)
+            self._bits(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self._bits(b, 1)
+        self.pending = []
+
+    # ---- per-block encoders
+    def dc_first(self, zz, cid):
+        # DC point transform is an ARITHMETIC shift (T.81 G.1.2.1) — floor,
+        # not toward-zero; Python's >> on negative ints is exactly that
+        v = int(zz[0]) >> self.al
+        diff = v - self.pred.get(cid, 0)
+        self.pred[cid] = v
+        size, bits = _mag_bits(diff)
+        self._sym(size)
+        self._bits(bits, size)
+
+    def dc_refine(self, zz, _cid):
+        self._bits((int(zz[0]) >> self.al) & 1, 1)
+
+    def ac_first(self, zz, _cid):
+        run = 0
+        for k in range(self.ss, self.se + 1):
+            v = _pt(int(zz[k]), self.al)  # AC point transform: toward zero
+            if v == 0:
+                run += 1
+                continue
+            self._flush_eob()
+            while run > 15:
+                self._sym(0xF0)  # ZRL
+                run -= 16
+            size, bits = _mag_bits(v)
+            self._sym((run << 4) | size)
+            self._bits(bits, size)
+            run = 0
+        if run > 0:
+            # band ends in zeros (or is all-zero): extend the EOB run
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self._flush_eob()
+
+    def ac_refine(self, zz, _cid):
+        # mirror of the decoder's G.1.2.3 flow: RS symbols count only
+        # ZERO-HISTORY positions; history coefficients contribute one
+        # correction bit each, buffered and emitted after the NEXT emitted
+        # symbol (ZRL or significance code), or with the EOB run they fold
+        # into — the decoder consumes them positionally during its advance
+        vals = [_pt(int(zz[k]), self.al) for k in range(self.ss, self.se + 1)]
+        # last NEWLY-significant position (|v| == 1); beyond it, the block
+        # folds into an EOB run
+        eob = -1
+        for j, v in enumerate(vals):
+            if abs(v) == 1:
+                eob = j
+        run = 0
+        block_bits: list = []  # correction bits since the last emitted symbol
+        for j, v in enumerate(vals):
+            a = abs(v)
+            if a == 0:
+                run += 1
+                continue
+            # ZRL flushing happens at ANY nonzero position (history or new)
+            # while the decoder is still inside the significance region
+            while run > 15 and j <= eob:
+                self._flush_eob()
+                self._sym(0xF0)
+                for b in block_bits:
+                    self._bits(b, 1)
+                block_bits = []
+                run -= 16
+            if a > 1:
+                # history coefficient: buffer its Al-level magnitude bit
+                block_bits.append(a & 1)
+                continue
+            # newly significant (|v| == 1)
+            self._flush_eob()
+            self._sym((run << 4) | 1)
+            self._bits(1 if v > 0 else 0, 1)
+            for b in block_bits:
+                self._bits(b, 1)
+            block_bits = []
+            run = 0
+        if run > 0 or block_bits:
+            self.eobrun += 1
+            self.pending.extend(block_bits)
+            if self.eobrun == 0x7FFF or len(self.pending) > 900:
+                self._flush_eob()
+
+    def block(self, zz, cid):
+        if self.ss == 0:
+            (self.dc_refine if self.ah else self.dc_first)(zz, cid)
+        else:
+            (self.ac_refine if self.ah else self.ac_first)(zz, cid)
+
+    def finish_pass(self):
+        self._flush_eob()
+        self.pred = {}
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quant: int = 1, subsample: bool = False, scans=None
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes.
+
+    Quantizes through the SAME front half as the baseline encoder
+    (``_rgb_quantized``), so ``decode_jpeg`` of the progressive stream is
+    pixel-identical to the baseline stream at the same ``quant`` — the
+    round-trip identity the tests pin."""
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise MediaDecodeError(f"encode_jpeg_progressive: need (h, w, 3), got {px.shape}")
+    h, w = px.shape[:2]
+    hf = vf = 2 if subsample else 1
+    mcus_x, mcus_y, zblocks, q = _rgb_quantized(px, int(quant), subsample)
+    scans = scans or _PROG_SCANS
+    samp = {0: (hf, vf), 1: (1, 1), 2: (1, 1)}
+
+    def iter_scan_blocks(scomp):
+        if len(scomp) > 1:  # interleaved DC: MCU raster
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for comp in scomp:
+                        chf, cvf = samp[comp]
+                        for by in range(cvf):
+                            for bx in range(chf):
+                                yield zblocks[comp][my * cvf + by, mx * chf + bx], comp
+        else:  # single component: its own (non-MCU-padded) block raster
+            comp = scomp[0]
+            chf, cvf = samp[comp]
+            cw = -(-(w * chf) // hf)
+            ch = -(-(h * cvf) // vf)
+            nbx, nby = -(-cw // 8), -(-ch // 8)
+            for by in range(nby):
+                for bx in range(nbx):
+                    yield zblocks[comp][by, bx], comp
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zz_q = np.zeros(64, np.int32)
+    zz_q[:] = q.reshape(-1)[_ZZ]
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    sof += bytes([1, (hf << 4) | vf, 0])
+    sof += bytes([2, 0x11, 0])
+    sof += bytes([3, 0x11, 0])
+    out += seg(0xC2, bytes(sof))
+
+    for scomp, ss, se, ah, al in scans:
+        wtr = _ProgScanWriter((ss, se, ah, al))
+        # pass 1: symbols
+        for zz, comp in iter_scan_blocks(scomp):
+            wtr.block(zz, comp)
+        wtr.finish_pass()
+        needs_table = not (ss == 0 and ah)  # DC refine is raw bits only
+        tc = 0 if ss == 0 else 1
+        if needs_table:
+            wtr.syms.append(0x00)  # guarantee a nonempty, EOB-capable table
+            counts, symbytes, codes = _canonical_table(wtr.syms)
+            out += seg(0xC4, bytes([(tc << 4) | 0]) + bytes(counts) + symbytes)
+            wtr.codes = codes
+        else:
+            wtr.codes = {}
+        # pass 2: bits
+        wtr.bw = _BitWriter()
+        wtr.eobrun = 0
+        wtr.pending = []
+        wtr.pred = {}
+        for zz, comp in iter_scan_blocks(scomp):
+            wtr.block(zz, comp)
+        wtr.finish_pass()
+        wtr.bw.flush()
+        sos = bytearray([len(scomp)])
+        for comp in scomp:
+            sos += bytes([comp + 1, 0x00])  # table 0 for both classes
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, bytes(sos))
+        out += wtr.bw.out
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -7,15 +7,17 @@ the uncompressed public formats a numpy ``frombuffer`` can parse exactly:
 - **BMP** — Windows bitmap, 24-bit uncompressed (BI_RGB) only;
 - **PNG** — 8-bit grayscale/RGB/RGBA, non-interlaced (stdlib ``zlib``
   inflate + numpy unfilter; the most common scraped-web image format);
-- **JPEG** — baseline sequential DCT, 8-bit, up to 2x2 sampling
-  (operators/jpeg.py — pure-numpy Huffman + IDCT; progressive and
-  arithmetic-coded files reject loudly);
+- **JPEG** — baseline sequential DCT *and* progressive (SOF2, spectral
+  selection + successive approximation), 8-bit, up to 2x2 sampling
+  (operators/jpeg.py — pure-numpy Huffman + IDCT; arithmetic-coded and
+  12-bit files reject loudly);
 - **WAV** — RIFF PCM, 16-bit integer samples.
 
 Each decoder is strict: malformed or unsupported payloads raise
 ``MediaDecodeError`` with the reason (the remaining no-codec formats —
-progressive JPEG, MP3, MP4 — are *detected* and rejected by
-``sniff_format`` / the decoder; wiring a richer codec replaces exactly
+MP3, MP4 — are *detected* by ``sniff_format``/``media_meta`` and their
+container METADATA parses for real (operators/media_meta.py); only their
+sample/pixel decode rejects.  Wiring a richer codec replaces exactly
 these functions, the signatures are the contract).  ``sniff_format``
 dispatches on magic bytes so a payload column can mix formats row by row.
 

@@ -15,7 +15,7 @@ Decode is REAL for the public formats a stdlib-only codec can parse
 exactly — PPM (P6), 24-bit BMP, 8-bit PNG (zlib inflate + numpy unfilter),
 baseline JPEG (pure-numpy Huffman + IDCT, operators/jpeg.py), PCM16 WAV
 (operators/media_codecs.py, dispatched by magic bytes per row).
-Formats with no codec in this runtime (progressive JPEG/MP3/MP4) fall back:
+Formats with no codec in this runtime (MP3/MP4 sample data) fall back:
 ``extract_features`` takes the deterministic seeded stub embed for them
 (pinned by tests; same for corrupt payloads of decodable formats), and
 ``resize_images``/``sample_frames`` treat them as metadata-only — swapping

@@ -10,7 +10,11 @@ import numpy as np
 import pytest
 
 from duckdb_faiss_ext_spark.operators import media_codecs as C
-from duckdb_faiss_ext_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from duckdb_faiss_ext_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 
 
 def _grad(h, w):
@@ -80,7 +84,10 @@ def test_dispatch_through_decode_image():
     assert out.shape == (9, 9, 3)
 
 
-def test_reject_progressive_sof2():
+def test_sof2_flag_on_baseline_scan_rejects():
+    """A baseline stream hand-flipped to SOF2 is MALFORMED progressive (a
+    progressive DC scan must have Se=0) — the decoder says so rather than
+    misreading the baseline scan."""
     px = _grad(8, 8)
     payload = bytearray(encode_jpeg(px))
     i = payload.find(b"\xff\xc0")
@@ -187,3 +194,83 @@ def test_grayscale_rounding_matches_color_path():
     bias = (out[..., 0].astype(float) - lum).mean()
     # truncation showed ~-0.5 systematic bias; rounding must center near 0
     assert abs(bias) < 0.3
+
+
+# ------------------------------------------------------- progressive (r8)
+# The progressive encoder quantizes through the SAME front half as the
+# baseline encoder, so the two streams carry IDENTICAL coefficients — the
+# cross-decoder identity below is exact, and any progressive decode bug
+# shows up as a pixel diff against the already-golden baseline decoder.
+
+_DEEP_SA = [
+    ((0, 1, 2), 0, 0, 0, 2), ((0, 1, 2), 0, 0, 2, 1), ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 20, 0, 3), ((0,), 21, 63, 0, 3),
+    ((0,), 1, 20, 3, 2), ((0,), 21, 63, 3, 2),
+    ((0,), 1, 20, 2, 1), ((0,), 21, 63, 2, 1),
+    ((0,), 1, 20, 1, 0), ((0,), 21, 63, 1, 0),
+    ((1,), 1, 63, 0, 1), ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 0, 1), ((2,), 1, 63, 1, 0),
+]
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        ("grad", 16, 24, 1, False),
+        ("grad_nonmult8", 13, 19, 1, False),
+        ("grad_sub", 32, 32, 1, True),
+        ("coarse", 16, 16, 16, False),
+        ("random", 40, 56, 2, False),
+        ("random_sub_q8", 48, 48, 8, True),
+    ],
+)
+def test_progressive_matches_baseline_decode(case):
+    name, h, w, q, sub = case
+    if name.startswith("grad"):
+        px = _grad(h, w)
+    else:
+        px = np.random.default_rng(17).integers(0, 256, (h, w, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quant=q, subsample=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(px, quant=q, subsample=sub))
+    assert np.array_equal(base, prog)  # pixel-EXACT
+
+
+def test_progressive_deep_successive_approximation():
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quant=2))
+    prog = decode_jpeg(encode_jpeg_progressive(px, quant=2, scans=_DEEP_SA))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_eob_runs_and_zrl():
+    """A flat image with rare speckles maximizes EOB runs across blocks and
+    long zero runs (ZRL) inside blocks — the two AC code paths the default
+    gradient images barely touch."""
+    rng = np.random.default_rng(5)
+    px = np.where(rng.random((80, 80, 3)) < 0.002, 255, 10).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quant=4))
+    prog = decode_jpeg(encode_jpeg_progressive(px, quant=4))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_constant_and_extremes():
+    for val in (0, 128, 255):
+        px = np.full((8, 8, 3), val, dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(px)), decode_jpeg(encode_jpeg(px))
+        )
+
+
+def test_progressive_dispatches_through_decode_image():
+    px = _grad(16, 16)
+    blob = encode_jpeg_progressive(px)
+    out = C.decode_image(blob)
+    assert np.array_equal(out, decode_jpeg(encode_jpeg(px)))
+
+
+def test_progressive_truncated_rejects():
+    px = _grad(16, 16)
+    blob = encode_jpeg_progressive(px)
+    with pytest.raises(C.MediaDecodeError):
+        decode_jpeg(blob[: len(blob) // 3])
