@@ -1305,15 +1305,23 @@ class FaissSparkEngine:
                 counts[d] = 0
                 pts[d] = mat[:0]
             # seeded local 2-means (Lloyd, L2) over the oversize cluster;
+            # the FIT runs on a bounded subsample (the split boundary needs
+            # ~thousands of points, not the whole slab — a 258k-share
+            # cluster costs hundreds of sequential splits otherwise);
             # expansion form keeps the temp at O(N*2), not O(N*2*dim)
             p = pts[b]
-            sub = p[rng.choice(len(p), 2, replace=False)].astype(np.float64)
-            pn = (p.astype(np.float64) ** 2).sum(1, keepdims=True)
-            for _it in range(8):
-                d2 = pn - 2.0 * (p @ sub.T) + (sub**2).sum(1)[None, :]
+            fit = (
+                p
+                if len(p) <= 4096
+                else p[rng.choice(len(p), 4096, replace=False)]
+            )
+            sub = fit[rng.choice(len(fit), 2, replace=False)].astype(np.float64)
+            fn = (fit.astype(np.float64) ** 2).sum(1, keepdims=True)
+            for _it in range(6):
+                d2 = fn - 2.0 * (fit @ sub.T) + (sub**2).sum(1)[None, :]
                 lab = d2.argmin(1)
                 for j in (0, 1):
-                    sel = p[lab == j]
+                    sel = fit[lab == j]
                     if len(sel):
                         sub[j] = sel.mean(0)
             cents[b] = sub[0].astype(np.float32)
