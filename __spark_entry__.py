@@ -749,19 +749,25 @@ def media_features(spark, sf):
 
 
 def media_jpeg_decode(spark, sf):
-    """Baseline-JPEG decode through the Spark pipeline (r7): 16 deterministic
-    gradient images are JFIF-encoded (operators/jpeg.py encode_jpeg — per-
-    image canonical DHT, even rows 4:2:0-subsampled) and decoded back inside
-    a mapInPandas pass; the emitted per-row INVARIANTS (shape preserved,
-    mean abs reconstruction error under the quantization budget, non-empty
-    payload) are deterministic, so the oracle is the constant-TRUE table —
-    the same pattern the ann_* entries use for non-SQL-expressible kernels.
-    Pixel-exact decode behavior is golden-pinned in tests/test_jpeg.py."""
+    """JPEG decode through the Spark pipeline (r7; progressive added r8):
+    16 deterministic gradient images are JFIF-encoded (operators/jpeg.py —
+    per-image canonical DHT, even rows 4:2:0-subsampled, ODD rows also
+    encoded PROGRESSIVE/SOF2) and decoded back inside a mapInPandas pass;
+    the emitted per-row INVARIANTS (shape preserved, reconstruction error
+    under the quantization budget, progressive decode pixel-IDENTICAL to
+    baseline on odd rows, non-empty payload) are deterministic, so the
+    oracle is the constant-TRUE table — the same pattern the ann_* entries
+    use for non-SQL-expressible kernels.  Pixel-exact decode behavior is
+    golden-pinned in tests/test_jpeg.py."""
     import numpy as np
     import pandas as pd
 
     def run(it):
-        from duckdb_faiss_ext_spark.operators.jpeg import decode_jpeg, encode_jpeg
+        from duckdb_faiss_ext_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
 
         for pdf in it:
             rows = []
@@ -781,13 +787,23 @@ def media_jpeg_decode(spark, sf):
                 payload = encode_jpeg(px, quant=1, subsample=sub)
                 out = decode_jpeg(payload)
                 err = float(np.abs(out.astype(float) - px.astype(float)).mean())
+                # r8: odd rows also run the PROGRESSIVE (SOF2) path — same
+                # coefficients through the shared encoder front half, so
+                # the two decodes must be pixel-IDENTICAL
+                if i % 2 == 1:
+                    prog = decode_jpeg(
+                        encode_jpeg_progressive(px, quant=1, subsample=sub)
+                    )
+                    decode_ok = bool(np.array_equal(out, prog)) and err < 3.0
+                else:
+                    # 4:2:0 averages chroma 2x2 on non-smooth patterns:
+                    # wider budget (pytest pins the tight per-mode ones)
+                    decode_ok = err < 40.0
                 rows.append(
                     (
                         i,
                         out.shape == px.shape,
-                        # 4:2:0 averages chroma 2x2 on non-smooth patterns:
-                        # wider budget (pytest pins the tight per-mode ones)
-                        err < (40.0 if sub else 3.0),
+                        decode_ok,
                         len(payload) > 0,
                     )
                 )
