@@ -761,18 +761,32 @@ class FaissSparkEngine:
         if len(live) != len(man["slices"]):
             man["slices"] = live
             self._graph_manifest_save(idx, man)
-        frames = [
-            self.spark.read.parquet(os.path.join(root, e["dir"]))
-            for e in man["slices"]
-        ] + list(idx.pending_graph)  # buffered micro-batches are part of the index
+        order = ["label", "vector", "neighbors", "graph_seg"]
+
+        def canon(frames):
+            cols = order + [c for c in frames[0].columns if c not in order]
+            return self._union_slices([f.select(*cols) for f in frames])
+
+        # cache the union-of-slice-dirs frame keyed by the manifest's dir
+        # list: a BUFFERED add changes no directory, so rebuilding the read
+        # plan (schema inference per dir, per add) was the dominant cost of
+        # buffered ingest — the buffer probe measured disk ingest 2.7x
+        # memory mode with the reads rebuilt every add (SCALE.md r8)
+        key = tuple(e["dir"] for e in man["slices"])
+        if getattr(idx, "_disk_union_key", None) != key:
+            disk_frames = [
+                self.spark.read.parquet(os.path.join(root, e["dir"]))
+                for e in man["slices"]
+            ]
+            idx._disk_union = canon(disk_frames) if disk_frames else None
+            idx._disk_union_key = key
+        frames = ([idx._disk_union] if idx._disk_union is not None else []) + list(
+            idx.pending_graph  # buffered micro-batches are part of the index
+        )
         if not frames:
             idx.data = None
             return
-        # canonical column order: a partitioned read appends cluster_id last
-        # while the written frame had it inline
-        order = ["label", "vector", "neighbors", "graph_seg"]
-        cols = order + [c for c in frames[0].columns if c not in order]
-        idx.data = self._union_slices([f.select(*cols) for f in frames])
+        idx.data = canon(frames)
 
     def _graph_buffer_rows(self, idx: FaissIndex) -> int:
         """Micro-batch write-buffer threshold for disk-graph adds.  Batches
