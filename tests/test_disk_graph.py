@@ -343,8 +343,8 @@ def test_micro_batch_write_buffer(spark, eng, tmp_path):
     # buffer threshold = 64/4 = 16 rows; 5-row adds buffer
     for i in range(3):
         eng.add("dgb", _vec_df(spark, x[i * 5 : (i + 1) * 5], i * 5))
-    man = _manifest(path)
-    assert man["slices"] == []  # nothing written yet
+    # nothing written yet — not even a manifest file
+    assert not os.path.exists(os.path.join(path, "graph_manifest.json"))
     idx = eng.registry.get("dgb")
     assert idx.pending_graph_rows == 15
     assert idx.count == 15
