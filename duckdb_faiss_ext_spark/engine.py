@@ -1256,13 +1256,18 @@ class FaissSparkEngine:
 
         desc = is_descending(metric)
         dim = idx.dim
-        # donors: empty slots cost nothing; tiny slots (< cap/8) are folded
-        # into their next-nearest cluster when consumed
+        # donors: empty slots cost nothing; small slots are folded into
+        # their next-nearest cluster when consumed.  Threshold cap/3: when
+        # the histogram is "uniform except one giant" there are NO tiny
+        # clusters (the r8 deepfit probe hit this — donors ran dry and an
+        # 87k cluster survived, SCALE.md r8), but average clusters sit at
+        # cap/4 < cap/3, and folding one spreads ~a mean across its
+        # neighbors by proximity — no fold target can exceed the cap
         empties = [int(c) for c in np.where(counts == 0)[0]]
         tiny = [
             int(c)
             for c in np.argsort(counts)
-            if 0 < counts[c] < cap / 8 and int(c) not in over
+            if 0 < counts[c] < cap / 3 and int(c) not in over
         ]
         splits_wanted = int(sum(int(np.ceil(counts[c] / cap)) - 1 for c in over))
         if not splits_wanted or not (empties or tiny):
