@@ -274,3 +274,17 @@ def test_progressive_truncated_rejects():
     blob = encode_jpeg_progressive(px)
     with pytest.raises(C.MediaDecodeError):
         decode_jpeg(blob[: len(blob) // 3])
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505])
+def test_progressive_fuzz_random_shapes(seed):
+    """Random dims/quant/subsample/content — a 100-seed sweep of this ran
+    clean at r8; these five pin the property permanently."""
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(6, 40)), int(rng.integers(6, 40))
+    q = int(rng.choice([1, 2, 4, 8, 16, 32]))
+    sub = bool(rng.integers(0, 2))
+    px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quant=q, subsample=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(px, quant=q, subsample=sub))
+    assert np.array_equal(base, prog)
