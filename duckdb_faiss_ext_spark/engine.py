@@ -771,14 +771,29 @@ class FaissSparkEngine:
         # list: a BUFFERED add changes no directory, so rebuilding the read
         # plan (schema inference per dir, per add) was the dominant cost of
         # buffered ingest — the buffer probe measured disk ingest 2.7x
-        # memory mode with the reads rebuilt every add (SCALE.md r8)
+        # memory mode with the reads rebuilt every add (SCALE.md r8).
+        # A pure APPEND (one new dir at the end) extends the cached union
+        # incrementally — O(1) reads per add instead of O(dirs); the union
+        # depth is bounded by MAX_SLICES because compaction rewrites the
+        # dir list (key mismatch -> full flat rebuild)
         key = tuple(e["dir"] for e in man["slices"])
-        if getattr(idx, "_disk_union_key", None) != key:
-            disk_frames = [
-                self.spark.read.parquet(os.path.join(root, e["dir"]))
-                for e in man["slices"]
-            ]
-            idx._disk_union = canon(disk_frames) if disk_frames else None
+        prev_key = getattr(idx, "_disk_union_key", None)
+        if prev_key != key:
+            prev_union = getattr(idx, "_disk_union", None)
+            if (
+                prev_union is not None
+                and prev_key
+                and len(key) == len(prev_key) + 1
+                and key[: len(prev_key)] == prev_key
+            ):
+                new = self.spark.read.parquet(os.path.join(root, key[-1]))
+                idx._disk_union = canon([prev_union, new])
+            else:
+                disk_frames = [
+                    self.spark.read.parquet(os.path.join(root, e["dir"]))
+                    for e in man["slices"]
+                ]
+                idx._disk_union = canon(disk_frames) if disk_frames else None
             idx._disk_union_key = key
         frames = ([idx._disk_union] if idx._disk_union is not None else []) + list(
             idx.pending_graph  # buffered micro-batches are part of the index
