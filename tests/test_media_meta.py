@@ -148,3 +148,21 @@ def test_extract_media_metadata_spark(spark):
     assert out[2]["fmt"] == "jpeg" and out[2]["codec"] == "jpeg-baseline"
     assert out[3]["fmt"] is None and out[3]["n_bytes"] == 22
     assert all(r["n_bytes"] > 0 for r in out.values())
+
+
+def test_media_pipeline_example(spark):
+    """examples/media_pipeline.py: triage -> decode -> featurize -> dup
+    groups over the synthetic media table; real images/audio survive, the
+    random-byte 'video' rows die at the metadata filter."""
+    from duckdb_faiss_ext_spark.operators.multimodal import synthetic_media
+    from examples.media_pipeline import run_pipeline
+
+    media = synthetic_media(spark, n=24)
+    out = run_pipeline(media)
+    # 24 rows = 8 image + 8 audio + 8 fake-video; video dies at triage
+    assert out["survivors"].count() == 16
+    assert out["features"].count() == 16
+    meta = {r["media_id"]: r for r in out["meta"].collect()}
+    assert meta[0]["fmt"] == "ppm" and meta[0]["width"] == 64
+    assert meta[1]["fmt"] == "wav" and meta[1]["duration_ms"] == 100
+    assert meta[2]["fmt"] is None  # random bytes: honestly unknown
