@@ -814,6 +814,18 @@ class _ProgScanWriter:
         self.eobrun = 0
         self.pending: list = []  # correction bits owed to the open EOB run
         self.pred: dict = {}
+        self._rst = 0
+
+    def restart_boundary(self):
+        """RSTn boundary (T.81 E.1.4): close the open EOB run, byte-align,
+        emit the marker, reset DC predictors — mirrored by the decoder's
+        align + eobrun/pred reset."""
+        self._flush_eob()
+        self.pred = {}
+        if self.bw is not None:
+            self.bw.flush()
+            self.bw.out += bytes([0xFF, 0xD0 + (self._rst % 8)])
+        self._rst += 1
 
     # ---- symbol sinks: collect phase appends, emit phase writes bits
     def _sym(self, s):
@@ -931,7 +943,11 @@ class _ProgScanWriter:
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quant: int = 1, subsample: bool = False, scans=None
+    pixels: np.ndarray,
+    quant: int = 1,
+    subsample: bool = False,
+    scans=None,
+    restart: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes.
 
@@ -948,24 +964,34 @@ def encode_jpeg_progressive(
     scans = scans or _PROG_SCANS
     samp = {0: (hf, vf), 1: (1, 1), 2: (1, 1)}
 
-    def iter_scan_blocks(scomp):
+    def iter_scan_units(scomp):
+        """Yield (unit, [(zz, comp), ...]) — the restart unit is one MCU
+        for interleaved scans, one block for non-interleaved (T.81 E.1.4)."""
         if len(scomp) > 1:  # interleaved DC: MCU raster
+            unit = 0
             for my in range(mcus_y):
                 for mx in range(mcus_x):
+                    blocks = []
                     for comp in scomp:
                         chf, cvf = samp[comp]
                         for by in range(cvf):
                             for bx in range(chf):
-                                yield zblocks[comp][my * cvf + by, mx * chf + bx], comp
+                                blocks.append(
+                                    (zblocks[comp][my * cvf + by, mx * chf + bx], comp)
+                                )
+                    yield unit, blocks
+                    unit += 1
         else:  # single component: its own (non-MCU-padded) block raster
             comp = scomp[0]
             chf, cvf = samp[comp]
             cw = -(-(w * chf) // hf)
             ch = -(-(h * cvf) // vf)
             nbx, nby = -(-cw // 8), -(-ch // 8)
+            unit = 0
             for by in range(nby):
                 for bx in range(nbx):
-                    yield zblocks[comp][by, bx], comp
+                    yield unit, [(zblocks[comp][by, bx], comp)]
+                    unit += 1
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -981,12 +1007,21 @@ def encode_jpeg_progressive(
     sof += bytes([3, 0x11, 0])
     out += seg(0xC2, bytes(sof))
 
+    if restart:
+        out += seg(0xDD, int(restart).to_bytes(2, "big"))
+
     for scomp, ss, se, ah, al in scans:
         wtr = _ProgScanWriter((ss, se, ah, al))
-        # pass 1: symbols
-        for zz, comp in iter_scan_blocks(scomp):
-            wtr.block(zz, comp)
-        wtr.finish_pass()
+
+        def run_pass(wtr=wtr, scomp=scomp):
+            for unit, blocks in iter_scan_units(scomp):
+                if restart and unit and unit % restart == 0:
+                    wtr.restart_boundary()
+                for zz, comp in blocks:
+                    wtr.block(zz, comp)
+            wtr.finish_pass()
+
+        run_pass()  # pass 1: symbols
         needs_table = not (ss == 0 and ah)  # DC refine is raw bits only
         tc = 0 if ss == 0 else 1
         if needs_table:
@@ -1001,9 +1036,8 @@ def encode_jpeg_progressive(
         wtr.eobrun = 0
         wtr.pending = []
         wtr.pred = {}
-        for zz, comp in iter_scan_blocks(scomp):
-            wtr.block(zz, comp)
-        wtr.finish_pass()
+        wtr._rst = 0
+        run_pass()
         wtr.bw.flush()
         sos = bytearray([len(scomp)])
         for comp in scomp:

