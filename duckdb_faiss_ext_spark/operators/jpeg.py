@@ -418,6 +418,15 @@ def _decode_prog_scan(
     data, _rsts, end = _destuff(payload, start)
     br = _BitReader(data)
     state = {"eobrun": 0, "pred": {cid: 0 for cid in scan_order}}
+    # same undefined-table guard the sequential path applies before its MCU
+    # walk: a scan referencing a never-defined DHT slot must surface as the
+    # module's MediaDecodeError contract, not a bare KeyError (ADVICE r8)
+    for cid in scan_order:
+        td, ta = scan_tabs[cid]
+        if ss == 0 and ah == 0 and (0, td) not in huff:
+            raise MediaDecodeError("jpeg: SOS references undefined Huffman table")
+        if ss > 0 and (1, ta) not in huff:
+            raise MediaDecodeError("jpeg: SOS references undefined Huffman table")
 
     def dc_first(zz, cid):
         tab = huff[(0, scan_tabs[cid][0])]

@@ -315,6 +315,10 @@ def test_refresh_prunes_emptied_slice_and_gc_orphans(spark, eng, tmp_path):
                 os.path.join(dst_d, f"{src_e['dir']}-{fname}"),
             )
     idx = eng.registry.get("dgp")
+    # the prune runs only on the full-rebuild path (ADVICE r8: per-add
+    # O(dirs) walks); a concat crash is observed on RESTART, so model the
+    # fresh-hydration state by clearing the union cache key
+    idx._disk_union_key = None
     eng._refresh_disk_graph_data(idx, _manifest(path))
     man2 = _manifest(path)
     assert [e["dir"] for e in man2["slices"]] == [dst_e["dir"]]  # pruned + persisted
@@ -398,3 +402,73 @@ def test_buffer_disabled_writes_through(spark, eng, tmp_path):
     man = _manifest(path)
     assert len(man["slices"]) == 2  # every add durable on return
     assert eng.registry.get("dgb3").pending_graph_rows == 0
+
+
+def test_save_flushes_buffer_to_storage_path(spark, eng, tmp_path):
+    """save() is a durability point: buffered micro-batches become a real
+    slice dir under storage_path before the export (ADVICE r8 — save()
+    previously exported idx.data but left storage_path short)."""
+    path = str(tmp_path / "dgs")
+    eng.create(
+        "dgs", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": path},
+    )
+    x = gen_vectors(10, 8)
+    eng.add("dgs", _vec_df(spark, x[:5], 0))
+    eng.add("dgs", _vec_df(spark, x[5:], 5))
+    assert eng.registry.get("dgs").pending_graph_rows == 10  # still buffered
+    eng.save("dgs", str(tmp_path / "export"))
+    assert eng.registry.get("dgs").pending_graph_rows == 0
+    man = _manifest(path)
+    assert sum(e["rows"] for e in man["slices"]) == 10
+    eng.destroy("dgs")
+    # a fresh engine on storage_path (process-restart model) sees all rows
+    eng2 = FaissSparkEngine(spark)
+    eng2.create(
+        "dgs", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": path},
+    )
+    eng2.compact("dgs")  # hydrates from manifest
+    res = _search_map(eng2, "dgs", x, step=3)
+    assert all(lbl == qid * 3 and d < 1e-5 for (qid, _r), (lbl, d) in res.items())
+    eng2.destroy("dgs")
+
+
+def test_compact_fresh_disk_graph_is_noop(spark, eng, tmp_path):
+    """compact() on a disk-mode graph index with an empty manifest and no
+    buffered rows is a no-op, not the misleading non-graph disk-mode error
+    (ADVICE r8)."""
+    path = str(tmp_path / "dgn")
+    eng.create(
+        "dgn", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": path},
+    )
+    eng.compact("dgn")  # must not raise
+    assert eng.registry.get("dgn").data is None
+    assert not os.path.exists(os.path.join(path, "graph_manifest.json"))
+
+
+def test_buffered_add_skips_slice_dir_walk(spark, eng, monkeypatch, tmp_path):
+    """A buffered add refreshes via the cached union — it must NOT os.walk
+    every slice directory (ADVICE r8: per-add O(dirs) listings hurt on
+    object-store/NFS storage_path)."""
+    path = str(tmp_path / "dgw")
+    eng.create(
+        "dgw", 8, "IDMap,HNSW8", metric_type="L2",
+        params={"graph_partition_rows": "64", "storage_path": path},
+    )
+    x = gen_vectors(50, 8)
+    eng.add("dgw", _vec_df(spark, x[:40], 0))  # big add -> slice dir exists
+    calls = {"n": 0}
+    orig = FaissSparkEngine._slice_dir_has_parquet
+
+    def counting(p):
+        calls["n"] += 1
+        return orig(p)
+
+    monkeypatch.setattr(FaissSparkEngine, "_slice_dir_has_parquet", staticmethod(counting))
+    eng.add("dgw", _vec_df(spark, x[40:45], 40))  # buffers (threshold 16)
+    eng.add("dgw", _vec_df(spark, x[45:50], 45))  # buffers
+    assert calls["n"] == 0  # no dir walks on the buffered-add refresh path
+    res = _search_map(eng, "dgw", x, step=7)
+    assert all(lbl == qid * 7 and d < 1e-5 for (qid, _r), (lbl, d) in res.items())

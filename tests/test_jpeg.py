@@ -304,3 +304,51 @@ def test_progressive_with_restart_markers():
     base_s = decode_jpeg(encode_jpeg(px, quant=4, subsample=True))
     prog_s = decode_jpeg(encode_jpeg_progressive(px, quant=4, subsample=True, restart=2))
     assert np.array_equal(base_s, prog_s)
+
+
+def _handmade_progressive(dc_table_id=0, ac_table_id=0):
+    """A minimal SOF2 progressive JPEG authored BYTE-BY-BYTE from the public
+    T.81 spec (not emitted by this repo's encoder — an independent interop
+    fixture, ADVICE r8): 8x8 grayscale, all-ones quant table, two scans
+    (DC first Ss=0..0 Ah=Al=0, then AC first Ss=1..63 ending in EOB0).
+    DC diff = 16 (category 5, bits '10000'), so the only coefficient is
+    DC=16 and every decoded pixel is 128 + 16/8 = 130.  Both Huffman tables
+    are one-symbol canonical tables (single length-1 code '0')."""
+    b = bytearray()
+    b += b"\xff\xd8"                                # SOI
+    b += b"\xff\xdb" + (67).to_bytes(2, "big")      # DQT, Pq=0/Tq=0, all 1s
+    b += b"\x00" + b"\x01" * 64
+    b += b"\xff\xc2" + (11).to_bytes(2, "big")      # SOF2: 8-bit 8x8, 1 comp
+    b += b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+    b += b"\x01" + b"\x01\x11\x00"                  # comp 1, H=V=1, Tq=0
+    b += b"\xff\xc4" + (20).to_bytes(2, "big")      # DHT DC0: one code '0'
+    b += b"\x00" + b"\x01" + b"\x00" * 15 + b"\x05"  # -> symbol 5 (size 5)
+    b += b"\xff\xda" + (8).to_bytes(2, "big")       # SOS scan 1: DC first
+    b += b"\x01\x01" + bytes([dc_table_id << 4])    # comp 1, Td, Ta=0
+    b += b"\x00\x00\x00"                            # Ss=0 Se=0 Ah=0 Al=0
+    b += bytes([0b01000011])                        # '0'+'10000' pad '11'
+    b += b"\xff\xc4" + (20).to_bytes(2, "big")      # DHT AC1(class1,id0)
+    b += b"\x10" + b"\x01" + b"\x00" * 15 + b"\x00"  # one code '0' -> EOB0
+    b += b"\xff\xda" + (8).to_bytes(2, "big")       # SOS scan 2: AC first
+    b += b"\x01\x01" + bytes([ac_table_id])         # comp 1, Td=0, Ta
+    b += b"\x01\x3f\x00"                            # Ss=1 Se=63 Ah=0 Al=0
+    b += bytes([0b01111111])                        # EOB0 then pad
+    b += b"\xff\xd9"                                # EOI
+    return bytes(b)
+
+
+def test_handmade_progressive_fixture_decodes():
+    """Interop pin independent of this repo's own progressive encoder: a
+    hand-authored T.81 SOF2 stream with DC=16 only must decode to a flat
+    gray 130 image (IDCT of a DC-only block is DC/8, level-shifted)."""
+    out = decode_jpeg(_handmade_progressive())
+    assert out.shape == (8, 8, 3)
+    assert np.all(out == 130), np.unique(out)
+
+
+def test_progressive_undefined_dht_raises_media_error():
+    """ADVICE r8: a progressive scan referencing a never-defined DHT slot
+    must raise MediaDecodeError (the module contract), not bare KeyError."""
+    for kwargs in ({"dc_table_id": 3}, {"ac_table_id": 3}):
+        with pytest.raises(C.MediaDecodeError, match="undefined Huffman"):
+            decode_jpeg(_handmade_progressive(**kwargs))

@@ -106,3 +106,41 @@ def test_rebalance_can_be_disabled(spark, eng):
         .toPandas()["count"].to_numpy()
     )
     assert sizes.max() > 8 * (len(x) / 16)  # the blob stays one giant cluster
+
+
+def test_rebalance_fold_never_pushes_target_over_cap(spark, eng):
+    """ADVICE r8: folding a tiny donor into its nearest centroid could push
+    a NEAR-CAP cluster over REBALANCE_CAP_SHARE, and since such a cluster's
+    points were never collected the split loop could not fix it.  The fold
+    must redirect donor points to the nearest UNDER-CAP centroid instead.
+
+    Geometry (dim 2, nlist 16): a 900-row giant at the origin (over cap),
+    a 35-row donor at (10,0) whose nearest neighbor is a 495-row near-cap
+    cluster at (12,0), and 13 moderate clusters along y=20 that can absorb
+    the redirected overflow."""
+    rng = np.random.default_rng(11)
+    cents = np.zeros((16, 2), dtype=np.float32)
+    cents[1] = [10.0, 0.0]
+    cents[2] = [12.0, 0.0]
+    for k in range(13):
+        cents[3 + k] = [7.0 * k, 20.0]
+    giant = rng.standard_normal((900, 2)).astype(np.float32)
+    donor = cents[1] + 0.05 * rng.standard_normal((35, 2)).astype(np.float32)
+    near_cap = cents[2] + 0.05 * rng.standard_normal((495, 2)).astype(np.float32)
+    mods = np.vstack([
+        cents[3 + k] + 0.05 * rng.standard_normal((44, 2)).astype(np.float32)
+        for k in range(13)
+    ])
+    x = np.vstack([giant, donor, near_cap, mods])
+    counts = np.array([900, 35, 495] + [44] * 13, dtype=np.int64)
+    n = int(counts.sum())
+    eng.create("fold", 2, "IDMap,IVF16,Flat", metric_type="L2")
+    idx = eng.registry.get("fold")
+    idx.centroids = cents.copy()
+    sample = _vec_df(spark, x).select("vector")
+    cap = max(eng.REBALANCE_CAP_SHARE * n / 16, 32.0)
+    out = eng._rebalance_oversize_clusters(idx, sample, counts.copy())
+    assert int(out.sum()) == n  # fold + split conserve rows
+    # pre-fix: the donor folded wholesale into cluster 2 (495+35=530 > cap)
+    assert out.max() <= cap, f"cluster over cap after rebalance: {out}"
+    assert out[0] <= cap  # the giant actually split
