@@ -33,6 +33,8 @@ __all__ = [
     "parse_mp4_meta",
     "parse_mp3_meta",
     "parse_jpeg_meta",
+    "parse_wav_meta",
+    "parse_flac_meta",
     "parse_media_meta",
     "extract_media_metadata",
     "MEDIA_META_SCHEMA",
@@ -49,6 +51,8 @@ def sniff_container(payload: bytes) -> Optional[str]:
         return "mp4"
     if payload[:3] == b"ID3":
         return "mp3"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
         # frame sync; require a parseable header to avoid false positives
         if _mp3_frame_len(payload, 0) is not None:
@@ -236,6 +240,74 @@ def parse_jpeg_meta(payload: bytes) -> dict:
     return out
 
 
+# --------------------------------------------------------------- WAV / FLAC
+# RIFF chunk layout (public Microsoft/IBM WAVE spec) and the FLAC
+# STREAMINFO metadata block (public xiph.org format spec) — header-only,
+# same pattern as MP4/MP3: duration/rates without touching sample data.
+
+
+def parse_wav_meta(payload: bytes) -> dict:
+    """Header-only RIFF/WAVE walk: fmt chunk fields + duration from the
+    data chunk SIZE (no sample decode — decode_wav reads the samples)."""
+    out: dict = {"fmt": "wav"}
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return out
+    i, n = 12, len(payload)
+    byte_rate = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        body = i + 8
+        if cid == b"fmt " and body + 16 <= n:
+            fmt_tag, channels, sr, br = struct.unpack_from("<HHII", payload, body)
+            out.update(
+                codec="pcm" if fmt_tag == 1 else f"wave-fmt-{fmt_tag}",
+                channels=int(channels),
+                sample_rate=int(sr),
+                bitrate_kbps=int(br * 8 // 1000),
+            )
+            byte_rate = br
+        elif cid == b"data" and byte_rate:
+            out["duration_ms"] = int(size * 1000 // byte_rate)
+            out["has_audio"] = True
+        i = body + size + (size & 1)  # chunks are word-aligned
+    return out
+
+
+def parse_flac_meta(payload: bytes) -> dict:
+    """FLAC STREAMINFO (block type 0, always first): sample rate (20 bits),
+    channels (3), bits-per-sample (5), total samples (36) — packed fields
+    per the public format spec."""
+    out: dict = {"fmt": "flac", "codec": "flac"}
+    if payload[:4] != b"fLaC" or len(payload) < 8:
+        return out
+    i, n = 4, len(payload)
+    while i + 4 <= n:
+        hdr = payload[i]
+        btype, last = hdr & 0x7F, bool(hdr & 0x80)
+        blen = int.from_bytes(payload[i + 1 : i + 4], "big")
+        body = i + 4
+        if btype == 0 and body + 18 <= n:
+            b = payload[body : body + 18]
+            # bytes 10..18 pack: sr:20 | (channels-1):3 | (bps-1):5 | total:36
+            bits = int.from_bytes(b[10:18], "big")
+            sr = (bits >> 44) & 0xFFFFF
+            channels = ((bits >> 41) & 0x7) + 1
+            total = bits & 0xFFFFFFFFF  # low 36 bits
+            if sr:
+                out.update(
+                    sample_rate=int(sr),
+                    channels=int(channels),
+                    duration_ms=int(total * 1000 // sr),
+                    has_audio=True,
+                )
+            return out
+        if last:
+            break
+        i = body + blen
+    return out
+
+
 def parse_media_meta(payload: bytes) -> dict:
     """Dispatch on magic bytes; unknown formats return {'fmt': None}."""
     from duckdb_faiss_ext_spark.operators import media_codecs as C
@@ -243,21 +315,15 @@ def parse_media_meta(payload: bytes) -> dict:
     kind = C.sniff_format(payload)
     if kind == "jpeg":
         return parse_jpeg_meta(payload)
+    if kind == "wav":
+        # header-only RIFF walk (r9) — metadata must not pay sample decode
+        return parse_wav_meta(payload)
     if kind is not None:
-        # formats with full decoders: dimensions via the real codec
+        # image formats with full decoders: dimensions via the real codec
         out = {"fmt": kind}
         try:
-            if kind == "wav":
-                samples, sr = C.decode_wav(payload)
-                out.update(
-                    sample_rate=sr,
-                    channels=1,
-                    duration_ms=int(len(samples) * 1000 / sr),
-                    codec="pcm",
-                )
-            else:
-                px = C.decode_image(payload)
-                out.update(height=px.shape[0], width=px.shape[1], codec=kind)
+            px = C.decode_image(payload)
+            out.update(height=px.shape[0], width=px.shape[1], codec=kind)
         except C.MediaDecodeError:
             pass
         return out
@@ -266,6 +332,8 @@ def parse_media_meta(payload: bytes) -> dict:
         return parse_mp4_meta(payload)
     if kind == "mp3":
         return parse_mp3_meta(payload)
+    if kind == "flac":
+        return parse_flac_meta(payload)
     return {"fmt": None}
 
 

@@ -166,3 +166,52 @@ def test_media_pipeline_example(spark):
     assert meta[0]["fmt"] == "ppm" and meta[0]["width"] == 64
     assert meta[1]["fmt"] == "wav" and meta[1]["duration_ms"] == 100
     assert meta[2]["fmt"] is None  # random bytes: honestly unknown
+
+
+def build_flac(sr=44100, channels=2, bps=16, total=441000, last=True) -> bytes:
+    """Hand-packed STREAMINFO per the public xiph spec: sr:20 |
+    (channels-1):3 | (bps-1):5 | total:36 in bytes 10..18."""
+    bits = (sr << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total
+    body = (
+        (4096).to_bytes(2, "big") * 2      # min/max block size
+        + (0).to_bytes(3, "big") * 2       # min/max frame size (unknown)
+        + bits.to_bytes(8, "big")
+        + b"\x00" * 16                     # md5 of unencoded audio
+    )
+    hdr = bytes([(0x80 if last else 0x00) | 0x00]) + len(body).to_bytes(3, "big")
+    return b"fLaC" + hdr + body
+
+
+def test_wav_meta_header_only():
+    """parse_wav_meta reads fmt/data chunk headers only — correct fields
+    even when the sample body is REPLACED by garbage (proof no decode)."""
+    from duckdb_faiss_ext_spark.operators.media_codecs import encode_wav
+
+    wave = (1000 * np.sin(np.arange(3200) / 7.0)).astype(np.int16)
+    blob = bytearray(encode_wav(wave, 16000))
+    meta = M.parse_wav_meta(bytes(blob))
+    assert meta["fmt"] == "wav" and meta["codec"] == "pcm"
+    assert meta["sample_rate"] == 16000
+    assert meta["duration_ms"] == 3200 * 1000 // 16000  # 200 ms
+    assert meta["has_audio"]
+    # corrupt every sample byte; header metadata must be unchanged
+    blob[-6400:] = b"\xff" * 6400
+    assert M.parse_wav_meta(bytes(blob)) == meta
+    # dispatch routes wav through the header path
+    assert M.parse_media_meta(bytes(blob))["sample_rate"] == 16000
+
+
+def test_flac_meta_streaminfo():
+    blob = build_flac(sr=48000, channels=1, bps=24, total=48000 * 10)
+    assert M.sniff_container(blob) == "flac"
+    meta = M.parse_flac_meta(blob)
+    assert meta == {
+        "fmt": "flac", "codec": "flac", "sample_rate": 48000,
+        "channels": 1, "duration_ms": 10000, "has_audio": True,
+    }
+    assert M.parse_media_meta(blob)["fmt"] == "flac"
+    # 36-bit total-samples boundary: large corpora do exceed 2^32 samples
+    big = build_flac(sr=96000, total=(1 << 35) + 5)
+    assert M.parse_flac_meta(big)["duration_ms"] == ((1 << 35) + 5) * 1000 // 96000
+    # truncated/garbage stays loud-free with fmt tagged
+    assert M.parse_flac_meta(b"fLaC\x00\x00")["fmt"] == "flac"
