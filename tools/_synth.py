@@ -30,3 +30,46 @@ def synth_vectors(
             ).cast("float"),
         ).alias(vec_col),
     )
+
+
+def synth_clusterable(
+    spark,
+    n: int,
+    dim: int,
+    n_clusters: int = 256,
+    spread: float = 0.05,
+    lo: int = 0,
+    parts: int = 32,
+    id_col: str = "label",
+    vec_col: str = "vector",
+):
+    """Mixture-of-Gaussians-like CLUSTERABLE corpus (VERDICT r8 task 3).
+
+    The hash corpus above is uniform on [0,1)^dim — the coarse-quantizer
+    oracle study (tools/recall_structure_study.py) proved it CAPS IVF
+    recall at small nprobe (~0.48 @ np16/2048), so every recall number it
+    produces is a floor, not a typical value.  This generator places
+    ``n_clusters`` deterministic centers (hash of (cid, j)) in [0,1)^dim
+    and spreads each point uniformly ±spread around its center
+    (cid = id % n_clusters): center separation ~sqrt(dim/6) dwarfs the
+    noise norm ~spread*sqrt(dim/3), the regime real trained embeddings
+    live in (the reference's conformance corpus is REAL embeddings,
+    go/cmd/create_trec/main.go:32).  Fully codegen — no UDF, no driver
+    data."""
+    cid = F.col("id") % n_clusters
+
+    def h(expr):
+        s = F.sin(expr) * 43758.5453
+        return s - F.floor(s)
+
+    return spark.range(lo, lo + n, 1, parts).select(
+        F.col("id").alias(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                h(cid * 7919 + j * 104729)                 # center coord
+                + (h(F.col("id") * 1000 + j + 0.5) - 0.5)  # point noise
+                * (2.0 * spread)
+            ).cast("float"),
+        ).alias(vec_col),
+    )

@@ -20,7 +20,12 @@ pruning ineffective — measured in SCALE.md r6; normalized vectors restore
 balanced cells.
 
 Usage: python tools/ivf2048_probe.py [n_rows] [nlist] [dim] [normalize]
-                                     [nprobe_list] [params_json]
+                                     [nprobe_list] [params_json] [corpus]
+
+``corpus`` (r9, VERDICT r8 task 3): "hash" (default — the uniform
+recall-adversarial corpus) or "mog[:k[:spread]]" — clusterable
+mixture-of-Gaussians-like data from tools/_synth.synth_clusterable
+(e.g. "mog:2048:0.05"), the regime real trained embeddings live in.
 
 r8 additions (VERDICT r7 tasks 4+5): ``nprobe_list`` is a comma list (a
 repeated value re-times the leg, e.g. "128,64,16,16" rotates np16 to last
@@ -51,16 +56,23 @@ def main() -> None:
         else [16, 64, 128]
     )
     extra_params = json.loads(sys.argv[6]) if len(sys.argv) > 6 else {}
+    corpus_spec = sys.argv[7] if len(sys.argv) > 7 else "hash"
 
     from duckdb_faiss_ext_spark import FaissSparkEngine
     from duckdb_faiss_ext_spark.session import get_spark
-    from tools._synth import synth_vectors
+    from tools._synth import synth_clusterable, synth_vectors
 
     spark = get_spark("ivf2048-probe")
     spark.sparkContext.setLogLevel("ERROR")
     eng = FaissSparkEngine(spark)
 
-    corpus = synth_vectors(spark, n, dim)
+    if corpus_spec.startswith("mog"):
+        parts_ = corpus_spec.split(":")
+        k = int(parts_[1]) if len(parts_) > 1 else 256
+        spread = float(parts_[2]) if len(parts_) > 2 else 0.05
+        corpus = synth_clusterable(spark, n, dim, n_clusters=k, spread=spread)
+    else:
+        corpus = synth_vectors(spark, n, dim)
     if normalize:
         # unit-norm, JVM-side: x / ||x|| (the reference's embedding regime)
         nrm = F.sqrt(F.aggregate("vector", F.lit(0.0), lambda a, v: a + v * v))
@@ -145,6 +157,7 @@ def main() -> None:
                     "nlist": nlist,
                     "dim": dim,
                     "normalized": normalize,
+                    "corpus": corpus_spec,
                     "build_sec": round(build_sec, 2),
                     "exact_search_sec": round(exact_sec, 3),
                     "cluster_rows_p50": int(np.median(sizes)),
