@@ -278,6 +278,19 @@ def main() -> None:
         eng.add("bench_ivf", emb.select("vec_id", "embedding"))
         queries["ivf_build_assign_sec"] = round(time.perf_counter() - t_fit, 4)
         queries["ivf_build_sec"] = round(time.perf_counter() - t0, 4)
+        # steady-state build: the r8 in-suite 8.2 s vs standalone 4.5 s gap
+        # is the FIRST-KMeans-in-session JIT/Arrow-init penalty, paid once
+        # per session and attributed in SCALE.md r9 (cold0 fit 10.5 s ->
+        # cold1/2 ~3.6-4.0 s at identical config; heap-pressure refuted —
+        # the warmest run was the fastest).  ivf_build_sec above keeps the
+        # honest cold number; this key records the amortized cost a session
+        # building many indexes actually pays
+        t0 = time.perf_counter()
+        eng.create("bench_ivf2", dim, "IDMap,IVF16,Flat", metric_type="INNER_PRODUCT")
+        eng.manual_train("bench_ivf2", emb.select("embedding"))
+        eng.add("bench_ivf2", emb.select("vec_id", "embedding"))
+        queries["ivf_build_steady_sec"] = round(time.perf_counter() - t0, 4)
+        eng.destroy("bench_ivf2")
         bench_entry(
             "ivf_knn_nprobe4",
             lambda: eng.search_flat("bench_ivf", 10, qdf48, params={"nprobe": 4}).count(),
