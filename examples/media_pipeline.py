@@ -3,18 +3,13 @@
 The flow a 100 TB media corpus actually runs — cheap header-only triage
 FIRST, expensive pixel/sample work only on the survivors:
 
-  1. metadata extraction — ONE Arrow-batched pass (operators/media_meta):
-     container/codec sniff, dimensions, duration, sample rate, bitrate,
-     byte size.  Header parsing only: throughput is scan-I/O-bound.
-  2. metadata filtering  — pure Catalyst predicates on the typed columns
-     (drop undersized images, silent clips, unknown formats) — this is
-     where most of a crawled corpus dies, at ~zero CPU per row.
-  3. decode + featurize  — operators/multimodal.extract_features on the
-     filtered survivors: real codecs (PPM/BMP/PNG/JPEG incl. progressive,
-     PCM WAV) embed actual pixels/samples; no-codec rows keep the
-     deterministic stub embed.
-  4. near-dup grouping   — embedding cosine over the feature vectors
-     (operators/dedup.cosine_pairs shape): here a cheap exact
+  1. curation — ONE pass (operators/curate.curate_media, r9): sniff ->
+     header metadata (dimensions, duration, sample rate, bitrate) ->
+     declarative MediaPolicy filter -> decode-or-reject.  The binary
+     column is read once; rows that fail the policy never touch a codec,
+     and every row leaves with a status disposition (the audit trail).
+  2. near-dup grouping — embedding cosine over the kept rows' feature
+     vectors (operators/dedup.cosine_pairs shape): here a cheap exact
      demonstration via grouped feature hashing.
 
 Run: python examples/media_pipeline.py  (uses the deterministic
@@ -30,33 +25,34 @@ import pyspark.sql.functions as F
 
 
 def run_pipeline(media_df):
-    """media_df: (media_id, modality, fmt, payload, ...) -> dict of stages."""
-    from duckdb_faiss_ext_spark.operators.media_meta import extract_media_metadata
-    from duckdb_faiss_ext_spark.operators.multimodal import extract_features
+    """media_df: (media_id, modality, fmt, payload, ...) -> dict of stages.
 
-    # 1. header-only metadata, one Arrow pass
-    meta = extract_media_metadata(media_df, id_col="media_id", payload_col="payload")
+    Stages 1-3 are ONE operator since r9: ``curate_media`` runs sniff ->
+    header metadata -> policy filter -> decode-or-reject in a single
+    ``mapInPandas`` pass, so the binary column is read once and only
+    policy survivors pay decode CPU.  (The staged composition this example
+    previously spelled out — extract_media_metadata, Catalyst triage,
+    extract_features — remains available for pipelines that need to
+    persist the intermediate metadata table.)"""
+    from duckdb_faiss_ext_spark.operators.curate import MediaPolicy, curate_media
 
-    # 2. triage on typed columns — Catalyst-only, no Python
-    keep = meta.filter(
-        (
-            F.col("fmt").isin("ppm", "bmp", "png", "jpeg")
-            & (F.col("width") >= 32)
-            & (F.col("height") >= 32)
-        )
-        | (F.col("fmt") == "wav") & (F.col("duration_ms") >= 50)
-        | (F.col("fmt") == "mp4") & F.col("has_video")
-    ).select("media_id")
+    curated = curate_media(
+        media_df,
+        MediaPolicy(
+            formats=("ppm", "bmp", "png", "jpeg", "wav", "mp4"),
+            min_width=32,
+            min_height=32,
+            min_duration_ms=50,
+        ),
+        dim=16,
+    ).cache()
 
-    survivors = media_df.join(F.broadcast(keep), "media_id")
-
-    # 3. decode + featurize only the survivors
-    feats = extract_features(
-        survivors.select("media_id", "modality", "payload"), dim=16
+    feats = curated.filter(F.col("status").isin("kept", "kept_stub")).select(
+        "media_id", "feature"
     )
 
-    # 4. exact feature-level dup groups (same decoded content -> same
-    # feature vector); rounded to make float equality meaningful
+    # exact feature-level dup groups (same decoded content -> same feature
+    # vector); rounded to make float equality meaningful
     sig = feats.select(
         "media_id",
         F.md5(F.to_json(F.transform("feature", lambda v: F.round(v, 5)))).alias("sig"),
@@ -67,8 +63,8 @@ def run_pipeline(media_df):
         .filter(F.col("n") > 1)
     )
     return {
-        "meta": meta,
-        "survivors": survivors,
+        "meta": curated.drop("feature"),
+        "survivors": feats,
         "features": feats,
         "dup_groups": groups,
     }

@@ -57,6 +57,12 @@ def main() -> None:
     )
     extra_params = json.loads(sys.argv[6]) if len(sys.argv) > 6 else {}
     corpus_spec = sys.argv[7] if len(sys.argv) > 7 else "hash"
+    # "flat" (default): exact baseline via a second IDMap,Flat index.
+    # "fullprobe" (r9): exact baseline = the IVF index searched at
+    # nprobe=nlist (identical rows, full coverage) — HALVES persisted
+    # data; the 16M x 64 run with two persisted indexes was OOM-killed
+    # at the host's ~30 GB effective ceiling
+    exact_mode = sys.argv[8] if len(sys.argv) > 8 else "flat"
 
     from duckdb_faiss_ext_spark import FaissSparkEngine
     from duckdb_faiss_ext_spark.session import get_spark
@@ -87,14 +93,15 @@ def main() -> None:
     ).cache()
     queries.count()
 
-    eng.create("iv_flat", dim, "IDMap,Flat", metric_type="INNER_PRODUCT")
-    eng.add("iv_flat", corpus)
-    t0 = time.perf_counter()
-    exact = {
-        (r["qid"], r["label"])
-        for r in eng.search_flat("iv_flat", 10, queries).collect()
-    }
-    exact_sec = time.perf_counter() - t0
+    if exact_mode == "flat":
+        eng.create("iv_flat", dim, "IDMap,Flat", metric_type="INNER_PRODUCT")
+        eng.add("iv_flat", corpus)
+        t0 = time.perf_counter()
+        exact = {
+            (r["qid"], r["label"])
+            for r in eng.search_flat("iv_flat", 10, queries).collect()
+        }
+        exact_sec = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     eng.create(
@@ -103,6 +110,16 @@ def main() -> None:
     )
     eng.add("iv_big", corpus)
     build_sec = time.perf_counter() - t0
+    if exact_mode != "flat":
+        corpus.unpersist()  # iv_big's cluster-assigned cache is the corpus now
+        t0 = time.perf_counter()
+        exact = {
+            (r["qid"], r["label"])
+            for r in eng.search_flat(
+                "iv_big", 10, queries, params={"nprobe": nlist}
+            ).collect()
+        }
+        exact_sec = time.perf_counter() - t0
 
     idx = eng.registry.get("iv_big")
     hist = {
