@@ -1427,9 +1427,18 @@ class FaissSparkEngine:
 
         def assign(v: pd.Series) -> pd.Series:
             x = np.asarray(list(v), dtype=np.float32)
-            scores = pairwise(x, bc.value, metric, marg)
-            ids, _ = topk_indices(scores, 1, desc)
-            return pd.Series(ids[:, 0].astype(np.int32))
+            # chunk so the (rows, nlist) score temp stays ~<=64 MB: a full
+            # 64k Arrow batch at nlist=4096 is a >1 GB matrix (plus kernel
+            # temps) PER WORKER — 32 workers tripped the host's global OOM
+            # at the 16M/4096 probe (SCALE.md r9); assignment only needs
+            # the per-row argmax, so chunking changes nothing numerically
+            step = max(256, int(64e6 // (max(len(cents), 1) * 4)))
+            out = np.empty(len(x), dtype=np.int32)
+            for s in range(0, len(x), step):
+                scores = pairwise(x[s : s + step], bc.value, metric, marg)
+                ids, _ = topk_indices(scores, 1, desc)
+                out[s : s + step] = ids[:, 0]
+            return pd.Series(out)
 
         return F.pandas_udf(assign, "int")
 
