@@ -1561,6 +1561,29 @@ class FaissSparkEngine:
         ~1e-16 of an f32 rounding boundary)."""
         return pairwise(q, cents, metric, marg, dtype=np.float64).astype(np.float32)
 
+    @staticmethod
+    def _coarse_topk(
+        q: np.ndarray, cents: np.ndarray, metric: str, marg: float, k: int,
+        desc: bool,
+    ) -> np.ndarray:
+        """(nq, k) probed-cluster ids, CHUNKED so the (rows, nlist) f64
+        score temp stays ~<=64 MB — a 64k query block (or Arrow batch, in
+        the executor-side probe UDF) at nlist=4096 is a 2.1 GB f64 matrix
+        per process, the same memory cliff the assignment UDF hit at the
+        16M/4096 probe (SCALE.md r9).  Chunking cannot change selection:
+        the f64-then-round rule exists precisely because f64 accumulation
+        is shape-independent (docstring above)."""
+        k = min(k, cents.shape[0])
+        step = max(256, int(64e6 // (max(cents.shape[0], 1) * 8)))
+        out = np.empty((q.shape[0], k), dtype=np.int64)
+        for s in range(0, q.shape[0], step):
+            scores = FaissSparkEngine._coarse_scores(
+                q[s : s + step], cents, metric, marg
+            )
+            ids, _ = topk_indices(scores, k, desc)
+            out[s : s + step] = ids
+        return out
+
     def _probe_mask_fn(self, idx: FaissIndex, nprobe: int):
         """(qids, q) -> (nq, nlist) boolean mask of probed clusters."""
         cents = idx.centroids
@@ -1570,8 +1593,9 @@ class FaissSparkEngine:
         def fn(qids: np.ndarray, q: np.ndarray) -> np.ndarray:
             from duckdb_faiss_ext_spark.metrics import is_descending
 
-            scores = self._coarse_scores(q, cents, metric, marg)
-            ids, _ = topk_indices(scores, min(nprobe, cents.shape[0]), is_descending(metric))
+            ids = self._coarse_topk(
+                q, cents, metric, marg, nprobe, is_descending(metric)
+            )
             mask = np.zeros((q.shape[0], cents.shape[0]), dtype=bool)
             rows = np.arange(q.shape[0])[:, None]
             mask[rows, ids] = True
@@ -2008,8 +2032,7 @@ class FaissSparkEngine:
 
         def fn(v: pd.Series) -> pd.Series:
             x = np.asarray(list(v), dtype=np.float32)
-            scores = FaissSparkEngine._coarse_scores(x, bc.value, metric, marg)
-            ids, _ = topk_indices(scores, np_, desc)
+            ids = FaissSparkEngine._coarse_topk(x, bc.value, metric, marg, np_, desc)
             return pd.Series([row.astype(np.int32).tolist() for row in ids])
 
         return F.pandas_udf(fn, "array<int>")
@@ -2023,11 +2046,9 @@ class FaissSparkEngine:
         def fn(qids: np.ndarray, q: np.ndarray) -> np.ndarray:
             from duckdb_faiss_ext_spark.metrics import is_descending
 
-            scores = self._coarse_scores(q, cents, metric, marg)
-            ids, _ = topk_indices(
-                scores, min(nprobe, cents.shape[0]), is_descending(metric)
+            return self._coarse_topk(
+                q, cents, metric, marg, nprobe, is_descending(metric)
             )
-            return ids.astype(np.int64)
 
         return fn
 
