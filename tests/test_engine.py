@@ -486,3 +486,36 @@ def test_ivf_hnsw_pq_composite_add_and_search(engine, spark, vectors8, queries8)
         "hnswpq", 3, _query_df(spark, vectors8[:4]), params={"nprobe": 4}
     ).collect()
     assert len(res) == 12
+
+
+def test_coarse_topk_chunking_is_shape_independent():
+    """r9 OOM fix: _coarse_topk chunks the (rows, nlist) f64 temp; chunking
+    must not change selection (the f64-then-round rule is shape-independent
+    by design).  Pure numpy — compares against an unchunked reference at
+    several nlist values and both metric directions."""
+    import numpy as np
+
+    from duckdb_faiss_ext_spark.engine import FaissSparkEngine
+    from duckdb_faiss_ext_spark.metrics import is_descending, pairwise
+    from duckdb_faiss_ext_spark.operators.topk import topk_indices
+
+    rng = np.random.default_rng(9)
+    for metric in ("INNER_PRODUCT", "L2", "COSINE"):
+        desc = is_descending(metric)
+        for nlist in (5, 300, 4096):
+            cents = rng.standard_normal((nlist, 16)).astype(np.float32)
+            # at nlist=4096 the chunk step is 64e6/(4096*8) = 1953 rows, so
+            # 5000 query rows force THREE chunks (the boundary under test)
+            q = rng.standard_normal(
+                (5000 if nlist == 4096 else 700, 16)
+            ).astype(np.float32)
+            k = min(8, nlist)
+            ref, _ = topk_indices(
+                pairwise(q, cents, metric, 0.0, dtype=np.float64).astype(
+                    np.float32
+                ),
+                k,
+                desc,
+            )
+            got = FaissSparkEngine._coarse_topk(q, cents, metric, 0.0, k, desc)
+            assert (got == ref).all(), (metric, nlist)
