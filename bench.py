@@ -65,15 +65,17 @@ LOCAL_BASELINES = {
     "wide1536_simjoin": 3.138,
 }
 
-# re-pinned declared baselines (r9) applied AFTER the cross-round min:
-# ivf_build_sec is always the session's FIRST KMeans and carries a
-# host-state-dependent JIT/Arrow-init penalty (SCALE.md r9: r8 CODE
-# measures 11.1 s cold on the same host state where r9 code measures
-# 11.0 — code-equal, host-variant; quiet cold range 7.5-11.1 across
-# rounds).  The cross-round min (r1's 3.96) predates the r7/r8 train
-# additions and cannot be reproduced by any current code; steady-state
-# cost is tracked separately by ivf_build_steady_sec (fit+assign split).
-DECLARED_OVERRIDES = {"ivf_build_sec": 11.0}
+# re-pinned declared baselines (r9) applied AFTER the cross-round min.
+# ivf_build_sec history: the cold first-in-session build ranged 7.5-11.1 s
+# across rounds/host states because the bench's tiny fit (4096-sample k=16)
+# went through MLlib, paying a ~6.5 s first-KMeans JIT penalty plus
+# per-iteration job overhead (SCALE.md r9 — r8 code measured 11.1 s cold on
+# the same host state as r9's 11.0, code-equal).  The r9 driver-side
+# small-fit path (engine._fit_kmeans_local, bytes-bounded; high-nlist fits
+# keep parallel MLlib) removes that fixed cost: cold build now ~5.5 s.
+# The override pins the guard at the measured post-fix cold value rather
+# than r1's 3.96 (which predates the r7/r8 train additions).
+DECLARED_OVERRIDES = {"ivf_build_sec": 5.5}
 
 
 def load_r1_baselines() -> dict:

@@ -1168,20 +1168,98 @@ class FaissSparkEngine:
             # below — O(nlist) rows, never the corpus
             sample = sample.persist()
             try:
-                ml_df = sample.select(
-                    array_to_vector(F.col("vector").cast("array<double>")).alias("features")
+                # small capped samples (bytes-bounded both ways) fit DRIVER-
+                # SIDE in milliseconds: a 4096-row k=16 problem through
+                # MLlib pays ~seconds of per-iteration job overhead plus a
+                # one-time ~6.5 s first-KMeans JIT penalty (SCALE.md r9
+                # build-gap table) — pure fixed cost at bench scale.  Large
+                # fits (high nlist: the 100 TB regime) keep the parallel
+                # MLlib path, where that overhead amortizes into real work.
+                small = (
+                    min(n, cap) * idx.dim * 8 <= self.SMALL_FIT_BYTES
+                    and min(n, cap) * nlist * 8 <= self.SMALL_FIT_BYTES
+                    and not int(idx.params.get("force_distributed_fit", 0))
                 )
-                km = KMeans(k=nlist, seed=42, maxIter=max_iter, featuresCol="features")
-                model = km.fit(ml_df)
-                idx.centroids = np.array(
-                    [np.asarray(c) for c in model.clusterCenters()], dtype=np.float32
-                )
-                hist = self._sample_metric_histogram(idx, sample, model)
+                if small:
+                    cents, l2_counts = self._fit_kmeans_local(
+                        sample, nlist, max_iter
+                    )
+                    idx.centroids = cents
+                    from duckdb_faiss_ext_spark.metrics import resolve_metric
+
+                    if resolve_metric(idx.metric) == "L2":
+                        hist = l2_counts  # same reuse rule as the MLlib path
+                    else:
+                        hist = self._sample_metric_histogram(idx, sample, None)
+                else:
+                    ml_df = sample.select(
+                        array_to_vector(F.col("vector").cast("array<double>")).alias("features")
+                    )
+                    km = KMeans(k=nlist, seed=42, maxIter=max_iter, featuresCol="features")
+                    model = km.fit(ml_df)
+                    idx.centroids = np.array(
+                        [np.asarray(c) for c in model.clusterCenters()], dtype=np.float32
+                    )
+                    hist = self._sample_metric_histogram(idx, sample, model)
                 hist = self._rebalance_oversize_clusters(idx, sample, hist)
                 self._warn_if_degenerate_assignment(idx, hist)
             finally:
                 sample.unpersist()
         idx.trained = True
+
+    # driver-side fit ceiling: sample_rows x dim and sample_rows x nlist f64
+    # temps must both stay under this (128 MB) — above it the MLlib parallel
+    # fit wins anyway (its job overhead amortizes into real work)
+    SMALL_FIT_BYTES = 128e6
+
+    def _fit_kmeans_local(
+        self, sample: DataFrame, nlist: int, max_iter: int
+    ) -> tuple:
+        """Seeded driver-side Lloyd with k-means++ (D²) init over the CAPPED
+        training sample; returns (float32 centroids, int64 L2 counts).
+        Numerics in f64.  Empty clusters re-seed to the farthest point from
+        its assigned center (the standard Lloyd repair, also what keeps
+        nlist constant).  Convergence at max center shift < 1e-4 mirrors
+        MLlib's default tol."""
+        pdf = sample.select("vector").toPandas()
+        x = np.asarray(list(pdf["vector"]), dtype=np.float64)
+        rng = np.random.default_rng(42)
+        cents = np.empty((nlist, x.shape[1]), dtype=np.float64)
+        cents[0] = x[rng.integers(len(x))]
+        d2 = ((x - cents[0]) ** 2).sum(1)
+        for j in range(1, nlist):
+            tot = d2.sum()
+            pick = (
+                rng.choice(len(x), p=d2 / tot) if tot > 0 else rng.integers(len(x))
+            )
+            cents[j] = x[pick]
+            d2 = np.minimum(d2, ((x - cents[j]) ** 2).sum(1))
+        xn = (x**2).sum(1, keepdims=True)
+
+        def assign(c):
+            d2m = xn - 2.0 * (x @ c.T) + (c**2).sum(1)[None, :]
+            lab = d2m.argmin(1)
+            return lab, d2m[np.arange(len(x)), lab]
+
+        for _it in range(max(1, max_iter)):
+            lab, mind = assign(cents)
+            new = np.empty_like(cents)
+            far = np.argsort(-mind)
+            fi = 0
+            for j in range(nlist):
+                sel = lab == j
+                if sel.any():
+                    new[j] = x[sel].mean(0)
+                else:
+                    new[j] = x[far[fi]]
+                    fi += 1
+            shift = np.sqrt(((new - cents) ** 2).sum(1)).max()
+            cents = new
+            if shift < 1e-4:
+                break
+        lab, _ = assign(cents)
+        counts = np.bincount(lab, minlength=nlist).astype(np.int64)
+        return cents.astype(np.float32), counts
 
     def _sample_metric_histogram(
         self, idx: FaissIndex, sample: DataFrame, model=None
