@@ -1228,11 +1228,15 @@ class FaissSparkEngine:
         cents[0] = x[rng.integers(len(x))]
         d2 = ((x - cents[0]) ** 2).sum(1)
         for j in range(1, nlist):
-            tot = d2.sum()
+            # D² sampling via cumulative-sum inversion (rng.choice(p=...)
+            # can trip numpy's sum-to-1 check on large fp arrays)
+            c = np.cumsum(d2)
             pick = (
-                rng.choice(len(x), p=d2 / tot) if tot > 0 else rng.integers(len(x))
+                int(np.searchsorted(c, rng.random() * c[-1]))
+                if c[-1] > 0
+                else int(rng.integers(len(x)))
             )
-            cents[j] = x[pick]
+            cents[j] = x[min(pick, len(x) - 1)]
             d2 = np.minimum(d2, ((x - cents[j]) ** 2).sum(1))
         xn = (x**2).sum(1, keepdims=True)
 
