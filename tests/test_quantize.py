@@ -1,0 +1,101 @@
+"""SQ8 scalar quantization (functions/quantize.py): FAISS QT_8bit-style
+per-dim affine codes as pure codegen column ops."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+from conftest import gen_vectors
+
+from duckdb_faiss_ext_spark.functions.quantize import (
+    sq8_decode,
+    sq8_encode,
+    sq8_reconstruction_error,
+    sq8_train,
+)
+
+
+def _df(spark, x):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(x)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_sq8_roundtrip_error_bound(spark):
+    x = gen_vectors(400, 16)
+    df = _df(spark, x)
+    vmin, vdiff = sq8_train(df)
+    codes = sq8_encode(df, vmin, vdiff)
+    # schema: byte-typed codes, vector column gone
+    assert dict(codes.dtypes)["codes"] == "array<tinyint>"
+    out = sq8_decode(codes, vmin, vdiff).orderBy("vec_id").collect()
+    got = np.array([r["embedding"] for r in out], dtype=np.float32)
+    bound = sq8_reconstruction_error(vmin, vdiff) + 1e-6
+    assert bound < 0.003  # [0,1) data: step/2 = 1/512
+    assert np.abs(got - x).max() <= bound, np.abs(got - x).max()
+
+
+def test_sq8_numpy_parity_and_edges(spark):
+    # exact parity with the numpy reference formula, incl. out-of-range
+    # values (clip) and a constant dimension (vdiff 0 -> exact decode)
+    x = np.array(
+        [[0.0, 5.0, -3.0], [1.0, 5.0, 9.0], [0.5, 5.0, 3.0]], dtype=np.float32
+    )
+    df = _df(spark, x)
+    vmin, vdiff = sq8_train(df)
+    assert vdiff[1] == 0.0
+    got = np.array(
+        [
+            r["embedding"]
+            for r in sq8_decode(sq8_encode(df, vmin, vdiff), vmin, vdiff)
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float32,
+    )
+    codes_ref = np.clip(
+        np.round((x - vmin) / np.where(vdiff > 0, vdiff, 1.0) * 255.0), 0, 255
+    )
+    ref = np.where(
+        vdiff > 0, vmin + codes_ref / 255.0 * vdiff, vmin
+    ).astype(np.float32)
+    assert np.allclose(got, ref, atol=1e-6)
+    assert np.allclose(got[:, 1], 5.0)  # constant dim exact
+
+
+def test_sq8_knn_recall_on_testdata(spark, sf_dir):
+    """Compressed-at-rest corpus searched through a lazy decode: top-10
+    exact-IP recall vs the float32 corpus stays high (unit-norm testdata
+    embeddings)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vmin, vdiff = sq8_train(emb)
+    codes = sq8_encode(emb, vmin, vdiff)
+    dec = sq8_decode(codes, vmin, vdiff)
+
+    def top10(corpus):
+        q = emb.limit(8).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        dot = F.aggregate(
+            F.zip_with("embedding", "qv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("vec_id").asc()
+        )
+        return {
+            (r["qid"], r["vec_id"])
+            for r in corpus.crossJoin(q)
+            .select("qid", "vec_id", dot.alias("score"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter("rk <= 10")
+            .collect()
+        }
+
+    exact = top10(emb)
+    approx = top10(dec)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
