@@ -1450,11 +1450,21 @@ class FaissSparkEngine:
                 pref = (-scores).argsort(1)[:, :8] if desc else scores.argsort(1)[:, :8]
                 tgt = np.empty(len(pts[d]), dtype=np.int64)
                 for i in range(len(pts[d])):
-                    tgt[i] = next(
+                    t = next(
                         (int(c) for c in pref[i] if counts[c] + 1 <= cap),
-                        int(pref[i, 0]),
+                        None,
                     )
-                    counts[tgt[i]] += 1
+                    if t is None:
+                        # all 8 nearest at cap: fold into the globally
+                        # LEAST-LOADED cluster, never the nearest-at-cap
+                        # (ADVICE r9: a nearest-at-cap target whose points
+                        # were never collected into `pts` would survive as
+                        # an unsplittable over-cap argmax)
+                        masked = counts.astype(np.float64)
+                        masked[d] = np.inf
+                        t = int(np.argmin(masked))
+                    tgt[i] = t
+                    counts[t] += 1
                 for t in np.unique(tgt):
                     if int(t) in pts:
                         pts[int(t)] = np.vstack([pts[int(t)], pts[d][tgt == t]])

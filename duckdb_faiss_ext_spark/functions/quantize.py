@@ -3,11 +3,15 @@
 are 6 KB/row; SQ8 codes are 1.5 KB with ~0.2% reconstruction error, and
 parquet/cache both store them byte-packed.
 
-FAISS parity: per-dimension affine quantization (ScalarQuantizer QT_8bit
-semantics, public FAISS docs): train learns per-dim [vmin, vmax] over a
-corpus/sample; code_j = round((x_j - vmin_j) / vdiff_j * 255), clipped to
-[0, 255]; reconstruction x̂_j = vmin_j + code_j / 255 * vdiff_j (the exact
-inverse of the rounded encode — error <= vdiff/510 per dim).  Spark-first: encode/decode are pure ``zip_with``
+FAISS parity (Codec8bit, ScalarQuantizer QT_8bit — public FAISS source):
+train learns per-dim [vmin, vmax] over a corpus/sample; encode clamps
+x_norm = (x_j - vmin_j)/vdiff_j to [0, 1] then TRUNCATES
+code_j = floor(255 * x_norm); decode reconstructs at the BIN CENTER
+x̂_j = vmin_j + (code_j + 0.5)/255 * vdiff_j.  These are FAISS's exact
+encode/decode formulas, so codes are interchangeable with FAISS-encoded
+data; max per-dim error is half a bin, vdiff/510 (ADVICE r9: the previous
+round-encode/edge-decode pair was self-consistent with the same bound but
+not bit-compatible).  Spark-first: encode/decode are pure ``zip_with``
 column expressions against literal parameter arrays — whole-stage codegen,
 no Python in the hot path; train is ONE map-side-combinable aggregation.
 
@@ -34,10 +38,29 @@ def sq8_train(df: DataFrame, vec_col: str = "embedding") -> tuple:
     rows = (
         df.select(F.posexplode(vec_col).alias("j", "v"))
         .groupBy("j")
-        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count("v").alias("n"),
+        )
         .collect()
     )
+    if not rows:
+        # explicit instead of max()-of-empty (ADVICE r9): empty frame,
+        # all-null column, or a non-array column all land here
+        raise ValueError(
+            f"sq8_train: no vector values found in column {vec_col!r} "
+            "(empty DataFrame or all-null column)"
+        )
     dim = max(r["j"] for r in rows) + 1
+    n_per_dim = {r["j"]: r["n"] for r in rows}
+    if len(set(n_per_dim.values())) > 1 or len(n_per_dim) != dim:
+        raise ValueError(
+            f"sq8_train: ragged vectors in column {vec_col!r} — per-dim "
+            f"value counts differ ({min(n_per_dim.values())}.."
+            f"{max(n_per_dim.values())} across {len(n_per_dim)} of {dim} "
+            "dims); SQ8 needs a fixed dimension"
+        )
     vmin = np.zeros(dim, dtype=np.float32)
     vdiff = np.zeros(dim, dtype=np.float32)
     for r in rows:
@@ -59,14 +82,16 @@ def sq8_encode(
     out_col: str = "codes",
 ) -> DataFrame:
     """float32 vector -> array<tinyint> codes (stored code - 128 so the
-    unsigned 0..255 range fits Spark's signed byte).  Pure codegen."""
+    unsigned 0..255 range fits Spark's signed byte).  FAISS Codec8bit
+    encode: clamp x_norm to [0, 1], code = floor(255 * x_norm) (truncating,
+    255 only at x_norm = 1).  Pure codegen."""
     enc = F.zip_with(
         F.col(vec_col),
         F.arrays_zip(_lit_arr(vmin), _lit_arr(vdiff)),
         lambda v, p: F.when(p["1"] <= 0.0, F.lit(-128)).otherwise(
             F.least(
                 F.lit(255),
-                F.greatest(F.lit(0), F.round((v - p["0"]) / p["1"] * 255.0)),
+                F.greatest(F.lit(0), F.floor((v - p["0"]) / p["1"] * 255.0)),
             ).cast("int")
             - 128
         ).cast("tinyint"),
@@ -81,14 +106,15 @@ def sq8_decode(
     codes_col: str = "codes",
     out_col: str = "embedding",
 ) -> DataFrame:
-    """array<tinyint> codes -> reconstructed float32 vector.  Lazy
-    codegen: put this in front of any search operator and only scanned
-    rows pay the decode."""
+    """array<tinyint> codes -> reconstructed float32 vector at the BIN
+    CENTER, FAISS Codec8bit decode: x̂ = vmin + (code + 0.5)/255 * vdiff.
+    Lazy codegen: put this in front of any search operator and only
+    scanned rows pay the decode."""
     dec = F.zip_with(
         F.col(codes_col),
         F.arrays_zip(_lit_arr(vmin), _lit_arr(vdiff)),
         lambda c, p: (
-            p["0"] + (c.cast("int") + 128) / 255.0 * p["1"]
+            p["0"] + (c.cast("int") + 128 + F.lit(0.5)) / 255.0 * p["1"]
         ).cast("float"),
     )
     return df.withColumn(out_col, dec).drop(codes_col)

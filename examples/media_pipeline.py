@@ -45,6 +45,27 @@ def run_pipeline(media_df):
             min_duration_ms=50,
         ),
         dim=16,
+    )
+    # Per-format refinement on the SNIFFED metadata: mp4 containers must
+    # carry a video track (the staged pipeline's original
+    # `fmt='mp4' AND has_video` triage — ADVICE r9: the policy alone let
+    # audio-only MP4s through as kept_stub).  require_video can't sit in
+    # the single MediaPolicy above because it would also reject wav rows,
+    # which never report tracks; a Catalyst re-disposition over the curate
+    # output columns is the one-pass way to scope it.
+    audio_only_mp4 = (F.col("fmt") == "mp4") & ~F.coalesce(
+        F.col("has_video"), F.lit(False)
+    )
+    curated = curated.withColumns(
+        {
+            "status": F.when(
+                audio_only_mp4 & F.col("status").startswith("kept"),
+                "filtered:require_video",
+            ).otherwise(F.col("status")),
+            "feature": F.when(audio_only_mp4, F.lit(None)).otherwise(
+                F.col("feature")
+            ),
+        }
     ).cache()
 
     feats = curated.filter(F.col("status").isin("kept", "kept_stub")).select(

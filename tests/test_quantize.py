@@ -53,14 +53,33 @@ def test_sq8_numpy_parity_and_edges(spark):
         ],
         dtype=np.float32,
     )
+    # FAISS Codec8bit reference: truncating encode, bin-center decode
     codes_ref = np.clip(
-        np.round((x - vmin) / np.where(vdiff > 0, vdiff, 1.0) * 255.0), 0, 255
+        np.floor((x - vmin) / np.where(vdiff > 0, vdiff, 1.0) * 255.0), 0, 255
     )
     ref = np.where(
-        vdiff > 0, vmin + codes_ref / 255.0 * vdiff, vmin
+        vdiff > 0, vmin + (codes_ref + 0.5) / 255.0 * vdiff, vmin
     ).astype(np.float32)
     assert np.allclose(got, ref, atol=1e-6)
     assert np.allclose(got[:, 1], 5.0)  # constant dim exact
+
+
+def test_sq8_train_errors(spark):
+    # empty frame / all-null column: clear error, not max()-of-empty
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="no vector values"):
+        sq8_train(empty)
+    nulls = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="no vector values"):
+        sq8_train(nulls)
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        sq8_train(ragged)
 
 
 def test_sq8_knn_recall_on_testdata(spark, sf_dir):
