@@ -89,6 +89,17 @@ class FaissSparkEngine:
             raise FaissSparkError(
                 f"PQ{spec.pq_m} requires dim divisible by {spec.pq_m}, got {dim}"
             )
+        if spec.sq and spec.pq_m:
+            raise FaissSparkError(
+                "SQ8 and PQ are both storage tiers and cannot compose; "
+                "pick one of ...,SQ8 or ...,PQm"
+            )
+        if spec.sq and spec.hnsw_m:
+            raise FaissSparkError(
+                "SQ8 storage under graph factories is not supported; use "
+                "IVFn,SQ8 or Flat,SQ8 for compressed storage, or HNSWm "
+                "for graph search"
+            )
         if spec.pq_m and metric not in ("L2", "INNER_PRODUCT"):
             # ADC lookup tables decompose over subspaces only for L2/IP —
             # same restriction as faiss IndexPQ
@@ -357,7 +368,13 @@ class FaissSparkEngine:
             if idx.needs_training:
                 # first add of an untrained index retrains on everything seen so
                 # far and rebuilds storage (cluster ids exist only after training)
-                combined = vecs if idx.data is None else idx.data.select("label", "vector").unionByName(vecs)
+                combined = (
+                    vecs
+                    if idx.data is None
+                    else self._decoded_view(idx, idx.data)
+                    .select("label", "vector")
+                    .unionByName(vecs)
+                )
                 self._train(idx, combined.select("vector"))
                 vecs = combined
                 rebuild = True
@@ -384,6 +401,19 @@ class FaissSparkEngine:
                 transformed = True
             elif idx.spec.hnsw_m > 0:
                 vecs = self._build_graph_slice(idx, vecs)
+                transformed = True
+            elif idx.sq_vdiff is not None:
+                # SQ8 storage tier: store array<tinyint> codes, not float32
+                # vectors — 4x smaller scan/cache/at-rest (create() rejects
+                # PQ/HNSW composites, so this branch is exclusive).  Encode
+                # is pure zip_with codegen; cluster_id (assigned above, on
+                # the raw vectors) rides through so IVF pruning and the
+                # partitioned save layout are unchanged.
+                from duckdb_faiss_ext_spark.functions.quantize import sq8_encode
+
+                vecs = sq8_encode(
+                    vecs, idx.sq_vmin, idx.sq_vdiff, vec_col="vector"
+                )
                 transformed = True
             if idx.storage_path:
                 self._add_disk(idx, vecs, rebuild)
@@ -1115,6 +1145,16 @@ class FaissSparkEngine:
                 metric=idx.metric,
                 metric_arg=idx.metric_arg,
             )
+        if idx.spec.sq:
+            from duckdb_faiss_ext_spark.functions.quantize import sq8_train
+
+            # per-dim [vmin, vmax] over the FULL training frame — one
+            # map-side-combinable scan (the min/max explode combines down to
+            # O(dim) rows before the shuffle), so at 100 TB this is one
+            # cheap extra pass over data the add already scans.  Training on
+            # everything (not a sample) keeps the range exact: a sampled
+            # range would CLIP out-of-range outliers at encode time.
+            idx.sq_vmin, idx.sq_vdiff = sq8_train(vec_df, vec_col="vector")
 
     def _train_kmeans(self, idx: FaissIndex, vec_df: DataFrame) -> None:
         """IVF coarse quantizer via MLlib KMeans (SURVEY.md §7 M3).
@@ -1503,6 +1543,21 @@ class FaissSparkEngine:
             idx.centroids = cents
         return counts
 
+    def _decoded_view(self, idx: FaissIndex, corpus: DataFrame) -> DataFrame:
+        """SQ8 indexes store ``codes array<tinyint>``; every reader of the
+        corpus frame goes through this lazy bin-center decode back to a
+        float32 ``vector`` column (FAISS Codec8bit).  Pure zip_with codegen
+        BELOW the kernels: only batches a search actually scans pay the
+        decode, and Catalyst pushes label semi-joins/cluster pruning under
+        the projection.  Non-SQ indexes pass through untouched."""
+        if idx.sq_vdiff is None or "codes" not in corpus.columns:
+            return corpus
+        from duckdb_faiss_ext_spark.functions.quantize import sq8_decode
+
+        return sq8_decode(
+            corpus, idx.sq_vmin, idx.sq_vdiff, codes_col="codes", out_col="vector"
+        )
+
     def _cluster_assign_udf(self, idx: FaissIndex):
         """Arrow-batched nearest-centroid assignment under the index metric
         (FAISS coarse quantization) — broadcast centroids, one matmul per
@@ -1721,7 +1776,7 @@ class FaissSparkEngine:
                 "graph_filter must be 'auto', 'beam' or 'scan'; got "
                 f"{params.get('graph_filter')!r}"
             )
-        corpus = idx.data
+        corpus = self._decoded_view(idx, idx.data)
         has_graph = "neighbors" in corpus.columns
         # beam-on-graphless is rejected HERE, with the value validation —
         # not only once a filter is present: 'beam' baked into create-time
@@ -2247,6 +2302,8 @@ class FaissSparkEngine:
             "has_data": idx.data is not None,
             "centroids": idx.centroids.tolist() if idx.centroids is not None else None,
             "codebooks": idx.codebooks.tolist() if idx.codebooks is not None else None,
+            "sq_vmin": idx.sq_vmin.tolist() if idx.sq_vmin is not None else None,
+            "sq_vdiff": idx.sq_vdiff.tolist() if idx.sq_vdiff is not None else None,
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -2272,6 +2329,9 @@ class FaissSparkEngine:
             idx.centroids = np.array(meta["centroids"], dtype=np.float32)
         if meta.get("codebooks") is not None:
             idx.codebooks = np.array(meta["codebooks"], dtype=np.float32)
+        if meta.get("sq_vdiff") is not None:
+            idx.sq_vmin = np.array(meta["sq_vmin"], dtype=np.float32)
+            idx.sq_vdiff = np.array(meta["sq_vdiff"], dtype=np.float32)
         if meta.get("has_data"):
             idx.data = self.spark.read.parquet(os.path.join(path, "data.parquet")).persist()
         # reference semantics: a loaded index that no longer needs training is

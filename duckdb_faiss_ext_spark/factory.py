@@ -21,6 +21,15 @@ repo (SURVEY.md §2.1) and map it onto the engine's physical strategies:
                          IVF and efSearch is inert.  Pass
                          ``params={"min_graph_rows": 0}`` to force graphs;
                          the engine warns once when an add builds no graphs.
+- ``SQ8`` suffix       -> scalar quantization storage tier (public FAISS
+                         ``index_factory`` grammar, e.g. ``IVF1024,SQ8``):
+                         vectors stored as per-dim affine uint8 codes
+                         (functions/quantize.py, FAISS Codec8bit formulas),
+                         decoded lazily per scanned batch in front of the
+                         search kernels — 4x smaller at rest and in cache.
+                         Composes with Flat and IVF; PQ and HNSW composites
+                         are rejected loudly (PQ already replaces storage;
+                         graph builds would quantize twice).
 - ``PQ<m>[x<b>]`` suffix -> product quantization: vectors stored as m b-bit
                          code ids (operators/pq.py), searched with ADC lookup
                          tables; composes with IVF pruning (needs training).
@@ -49,6 +58,7 @@ class IndexSpec:
     hnsw_m: int = 0
     pq_m: int = 0  # PQ subspace count (0 = no PQ, full-precision storage)
     pq_nbits: int = 8  # bits per PQ code id
+    sq: int = 0  # scalar-quantizer bits (8 = SQ8 storage tier, 0 = none)
     needs_training: bool = False
     extras: list[str] = field(default_factory=list)
 
@@ -80,6 +90,11 @@ def parse_factory(factory: str) -> IndexSpec:
         spec.hnsw_m = int(_HNSW_RE.match(head).group(1) or 32)
     elif head == "Flat":
         spec.kind = "flat"
+    elif head == "SQ8":
+        # standalone IndexScalarQuantizer: flat scan over SQ8 codes
+        spec.kind = "flat"
+        spec.sq = 8
+        spec.needs_training = True
     elif _PQ_RE.match(head):
         # standalone IndexPQ ("PQ8"): flat scan over ADC codes
         pq = _PQ_RE.match(head)
@@ -96,6 +111,13 @@ def parse_factory(factory: str) -> IndexSpec:
             spec.pq_nbits = int(pq.group(2) or 8)
             # codebooks are fitted on the first add (same train-in-finalize
             # flow as IVF, faiss_extension.cpp:583)
+            spec.needs_training = True
+            spec.extras.append(extra)
+        elif extra == "SQ8":
+            # scalar-quantized storage tier (faiss index_factory "SQ8"):
+            # (vmin, vdiff) are fitted on the first add, same
+            # train-in-finalize flow as IVF/PQ
+            spec.sq = 8
             spec.needs_training = True
             spec.extras.append(extra)
         elif extra == "Flat" or _HNSW_RE.match(extra):

@@ -45,6 +45,11 @@ class FaissIndex:
     # (m, 2^nbits, dim/m) float32 PQ codebooks when the factory has a PQ
     # component; data then stores `code ARRAY<SMALLINT>` instead of `vector`
     codebooks: Optional[np.ndarray] = None
+    # per-dim (dim,) float32 scalar-quantizer params when the factory has
+    # an SQ8 component (functions/quantize.py); data then stores
+    # `codes ARRAY<TINYINT>` instead of `vector`, decoded lazily at search
+    sq_vmin: Optional[np.ndarray] = None
+    sq_vdiff: Optional[np.ndarray] = None
     # cached per-add slices (memory mode): add() persists only the NEW batch
     # and unions lazily — O(batch) work per add instead of re-counting the
     # whole lineage (VERDICT r1 #4); compacted when the list grows deep
