@@ -105,6 +105,7 @@ def sq8_decode(
     vdiff: np.ndarray,
     codes_col: str = "codes",
     out_col: str = "embedding",
+    drop_codes: bool = True,
 ) -> DataFrame:
     """array<tinyint> codes -> reconstructed float32 vector at the BIN
     CENTER, FAISS Codec8bit decode: x̂ = vmin + (code + 0.5)/255 * vdiff.
@@ -117,7 +118,8 @@ def sq8_decode(
             p["0"] + (c.cast("int") + 128 + F.lit(0.5)) / 255.0 * p["1"]
         ).cast("float"),
     )
-    return df.withColumn(out_col, dec).drop(codes_col)
+    out = df.withColumn(out_col, dec)
+    return out.drop(codes_col) if drop_codes else out
 
 
 def sq8_reconstruction_error(vmin: np.ndarray, vdiff: np.ndarray) -> float:

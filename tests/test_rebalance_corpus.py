@@ -1,0 +1,138 @@
+"""Corpus-count-aware IVF skew control (VERDICT r9 task 1): the rebalance
+cap must bind the FULL-CORPUS assignment histogram, not just the training
+sample — sample-level rebalance drifts by the sample ratio when the
+centroids meet all the data (measured 11x-even max clusters at 1M/2048,
+SCALE.md r9)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from duckdb_faiss_ext_spark.engine import FaissSparkEngine
+from duckdb_faiss_ext_spark.errors import FaissSparkError
+
+NLIST = 8
+N = 4000
+
+
+def _skewed(n=N, dim=8, blob_frac=0.75, seed=7):
+    """3/4 of rows in one tight blob + 1/4 spread — a corpus whose even
+    share the blob cluster exceeds ~6x."""
+    rng = np.random.default_rng(seed)
+    nb = int(n * blob_frac)
+    blob = rng.normal(0.0, 0.02, size=(nb, dim)) + 5.0
+    rest = rng.uniform(-4.0, 4.0, size=(n - nb, dim))
+    return np.vstack([blob, rest]).astype(np.float32)
+
+
+def _df(spark, x, id_col="label"):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(x)],
+        f"{id_col} bigint, vector array<float>",
+    )
+
+
+def _hist(idx):
+    rows = idx.data.groupBy("cluster_id").count().collect()
+    return {int(r["cluster_id"]): int(r["count"]) for r in rows}
+
+
+def _build(spark, x, name, factory=f"IDMap,IVF{NLIST}", params=None):
+    eng = FaissSparkEngine(spark)
+    base = {"train_points_per_centroid": "32"}  # small sample => real drift
+    eng.create(name, x.shape[1], factory, metric_type="L2",
+               params={**base, **(params or {})})
+    eng.add(name, _df(spark, x))
+    return eng
+
+
+def test_build_time_corpus_histogram_under_cap(spark):
+    x = _skewed()
+    eng = _build(spark, x, "cr_auto")
+    idx = eng.registry.get("cr_auto")
+    hist = _hist(idx)
+    cap = max(FaissSparkEngine.REBALANCE_CAP_SHARE * N / NLIST, 32.0)
+    assert max(hist.values()) <= cap, (max(hist.values()), cap)
+    # bounded growth: never beyond 2x the factory nlist
+    assert NLIST <= len(idx.centroids) <= 2 * NLIST
+    # a second public call is a no-op measurement pass
+    out = eng.rebalance("cr_auto")
+    assert out["splits"] == 0 and out["passes"] == 0
+    assert out["max_share"] <= FaissSparkEngine.REBALANCE_CAP_SHARE
+
+
+def test_posthoc_rebalance_splits_and_search_stays_exact(spark):
+    x = _skewed()
+    # disable at build: the corpus histogram keeps the raw blob skew
+    eng = _build(spark, x, "cr_off", params={"rebalance_clusters": "0"})
+    idx = eng.registry.get("cr_off")
+    before = _hist(idx)
+    cap = max(FaissSparkEngine.REBALANCE_CAP_SHARE * N / NLIST, 32.0)
+    assert max(before.values()) > cap  # the fixture really is adversarial
+    q = _df(spark, x[::401], id_col="qid")
+    full = {"nprobe": NLIST}  # >= factory nlist => exact scan, recall 1.0
+    exact_before = sorted(
+        map(tuple, eng.search_flat("cr_off", 5, q, params=full).collect())
+    )
+    idx.params["rebalance_clusters"] = "1"
+    out = eng.rebalance("cr_off")
+    assert out["splits"] > 0 and out["passes"] >= 1
+    after = _hist(idx)
+    assert max(after.values()) <= cap, (max(after.values()), cap)
+    assert sum(after.values()) == N  # no row lost or duplicated
+    assert len(idx.centroids) <= 2 * NLIST
+    # full-probe search is UNCHANGED by the layout rewrite
+    exact_after = sorted(
+        map(tuple, eng.search_flat("cr_off", 5, q, params=full).collect())
+    )
+    assert exact_before == exact_after
+    # pruned search still finds the same neighbors at modest nprobe:
+    # measured 1.0 on this fixture (children of the blob sit adjacent);
+    # 0.9 floor leaves seed headroom
+    pruned = {
+        (r["qid"], r["label"])
+        for r in eng.search_flat(
+            "cr_off", 5, q, params={"nprobe": 4}
+        ).collect()
+    }
+    recall = len(pruned & set((a, c) for a, _, c, _ in exact_after)) / len(
+        exact_after
+    )
+    assert recall >= 0.9, recall
+
+
+def test_rebalance_sq8_keeps_codes(spark):
+    x = _skewed(n=2000)
+    eng = _build(spark, x, "cr_sq", factory=f"IDMap,IVF{NLIST},SQ8",
+                 params={"rebalance_clusters": "0"})
+    idx = eng.registry.get("cr_sq")
+    idx.params["rebalance_clusters"] = "1"
+    out = eng.rebalance("cr_sq")
+    assert out["splits"] > 0
+    assert dict(idx.data.dtypes)["codes"] == "array<tinyint>"
+    assert "vector" not in idx.data.columns
+    cap = max(FaissSparkEngine.REBALANCE_CAP_SHARE * 2000 / NLIST, 32.0)
+    assert max(_hist(idx).values()) <= cap
+    q = _df(spark, x[:4], id_col="qid")
+    hits = eng.search_flat("cr_sq", 1, q, params={"nprobe": NLIST}).collect()
+    assert all(r["qid"] == r["label"] for r in hits)  # SQ8 self-hit survives
+
+
+def test_rebalance_rejects_ineligible_indexes(spark, tmp_path):
+    eng = FaissSparkEngine(spark)
+    x = _skewed(n=600)
+    eng.create("cr_flat", 8, "IDMap,Flat")
+    eng.add("cr_flat", _df(spark, x))
+    with pytest.raises(FaissSparkError, match="IVF"):
+        eng.rebalance("cr_flat")
+    eng.create("cr_pq", 8, "IDMap,IVF4,PQ2", metric_type="L2")
+    eng.add("cr_pq", _df(spark, x))
+    with pytest.raises(FaissSparkError, match="centroid-dependent"):
+        eng.rebalance("cr_pq")
+    eng.create(
+        "cr_disk", 8, f"IDMap,IVF4", metric_type="L2",
+        params={"storage_path": str(tmp_path / "cr_disk")},
+    )
+    eng.add("cr_disk", _df(spark, x))
+    with pytest.raises(FaissSparkError, match="disk"):
+        eng.rebalance("cr_disk")
