@@ -435,6 +435,8 @@ class FaissSparkEngine:
                 # sample (no-op + one cheap groupBy when already under cap;
                 # self-guards on index kind/storage)
                 self._rebalance_corpus(idx)
+                if int(idx.params.get("warm_on_build", 0)):
+                    self.warm(idx.name)
             if (
                 idx.spec.hnsw_m > 0
                 and idx.spec.kind == "ivf"
@@ -2483,6 +2485,39 @@ class FaissSparkEngine:
         flat = self.search_flat(name, k, queries_df, params, qid_col, vec_col)
         lists = topk_ops.assemble_lists(flat, k, idx.metric)
         return self._pad_no_hit_queries(queries_df, lists, k, idx.metric, qid_col)
+
+    def warm(self, name: str, k: int = 1) -> float:
+        """First-query warm affordance (VERDICT r9 task 4): the first search
+        after a build pays 2.3-3.5x steady-state (16M np16 first leg 5.58 s
+        vs 1.61 steady, SCALE.md r9) — a cold persisted layout plus the
+        per-worker Arrow/pandas/BLAS import+JIT cost.  The reference never
+        pays this: its index is resident after create_indices
+        (go/Makefile:105).  warm() (a) touches every partition of the
+        stored layout, pulling parquet/disk slices into the executor cache,
+        and (b) runs one tiny k-NN through the real search path so the
+        worker-side Python kernels are imported and JIT-warm before the
+        first user query.  Returns the seconds spent (the priced cost of
+        the knob).  Opt-in at build: ``params={'warm_on_build': '1'}``."""
+        import time as _time
+
+        idx = self.registry.get(name)
+        if idx.data is None:
+            raise FaissSparkError(f"Index {name} is empty; add vectors first")
+        t0 = _time.perf_counter()
+        idx.data.count()
+        dec = self._decoded_view(idx, idx.data)
+        if "vector" in dec.columns:
+            row = dec.select("vector").first()
+            vec = [float(v) for v in row["vector"]]
+        else:
+            # PQ storage keeps only codes; any in-range query works for a JIT
+            # pass — the ADC path decodes against the codebooks regardless
+            vec = [1.0] * idx.dim
+        q = self.spark.createDataFrame(
+            [(0, vec)], "qid bigint, vector array<float>"
+        )
+        self.search_flat(name, k, q).collect()
+        return _time.perf_counter() - t0
 
     def search_filter(
         self,

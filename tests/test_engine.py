@@ -519,3 +519,41 @@ def test_coarse_topk_chunking_is_shape_independent():
             )
             got = FaissSparkEngine._coarse_topk(q, cents, metric, 0.0, k, desc)
             assert (got == ref).all(), (metric, nlist)
+
+
+def test_warm_affordance(spark):
+    """warm(): touches the layout + JITs the kernels, returns seconds;
+    empty index raises like search would."""
+    import numpy as np
+    import pytest as _pytest
+    from conftest import gen_vectors
+
+    from duckdb_faiss_ext_spark.engine import FaissSparkEngine
+    from duckdb_faiss_ext_spark.errors import FaissSparkError
+
+    eng = FaissSparkEngine(spark)
+    x = gen_vectors(300, 8)
+    eng.create("warm_ix", 8, "IDMap,IVF4", metric_type="L2")
+    with _pytest.raises(FaissSparkError, match="empty"):
+        eng.warm("warm_ix")
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(x)],
+        "label bigint, vector array<float>",
+    )
+    eng.add("warm_ix", df)
+    sec = eng.warm("warm_ix")
+    assert sec > 0.0
+    q = spark.createDataFrame(
+        [(0, [float(v) for v in x[0]])], "qid bigint, vector array<float>"
+    )
+    hit = eng.search_flat("warm_ix", 1, q, params={"nprobe": 4}).collect()
+    assert hit and hit[0]["label"] == 0
+
+    # warm_on_build param: the build itself runs the warm pass
+    eng.create(
+        "warm_ix2", 8, "IDMap,IVF4", metric_type="L2",
+        params={"warm_on_build": "1"},
+    )
+    eng.add("warm_ix2", df)
+    hit2 = eng.search_flat("warm_ix2", 1, q, params={"nprobe": 4}).collect()
+    assert hit2 and hit2[0]["label"] == 0
