@@ -264,6 +264,7 @@ def partial_topk(
     cluster_col: Optional[str] = None,
     probe_mask: Optional[np.ndarray] = None,
     dtype: type = np.float32,
+    sq8: Optional[tuple] = None,
 ) -> DataFrame:
     """Per-partition top-k candidates: ≤ nq*k rows per Arrow batch.
 
@@ -271,6 +272,16 @@ def partial_topk(
     flattened child buffer reshapes straight into a (n, d) matrix — no
     per-row Python object materialization (which dominated runtime at the
     1M-row scale probe before this).
+
+    ``sq8``: optional ``(vmin, vdiff)`` float32 arrays — the corpus column
+    is then SQ8 ``array<tinyint>`` codes, decoded HERE in one vectorized
+    numpy pass per Arrow batch instead of a JVM ``zip_with`` projection:
+    the 64-literal-element decode expression blows past janino's method
+    budget and falls back to interpreted eval, which benched 3.2x the raw
+    float scan (r10 bench_q1); kernel-side decode also shrinks the Arrow
+    transfer 4x.  f64 math mirroring the JVM expression exactly
+    (``vmin + (code+128.5)/255*vdiff`` then one float32 round) keeps both
+    decode paths bit-identical.
 
     ``dtype`` float32 (default) mirrors FAISS's internal precision; float64
     is for double-precision parity paths (oracle-checked queries)."""
@@ -300,11 +311,21 @@ def partial_topk(
             flat = vec_arr.flatten()
             values = flat.to_numpy(zero_copy_only=False)
             if len(values) == n * dim:
-                x = np.ascontiguousarray(values.reshape(n, dim), dtype=dtype)
+                raw = values.reshape(n, dim)
             else:  # ragged rows (bad data) — fall back to per-row conversion
-                x = np.asarray(
+                raw = np.asarray(
                     [np.asarray(v, dtype=dtype) for v in vec_arr.to_pylist()]
                 )
+            if sq8 is not None:
+                vmin_, vdiff_ = sq8
+                x = (
+                    (raw.astype(np.float64) + 128.5)
+                    / 255.0
+                    * vdiff_.astype(np.float64)
+                    + vmin_.astype(np.float64)
+                ).astype(dtype)
+            else:
+                x = np.ascontiguousarray(raw, dtype=dtype)
             labels = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             if mask_ is not None and cluster_col is not None:
                 clusters = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -392,6 +413,7 @@ def exact_knn_flat(
     cluster_col: Optional[str] = None,
     probe_mask_for: Optional[callable] = None,
     dtype: type = np.float32,
+    sq8: Optional[tuple] = None,
 ) -> DataFrame:
     """Flattened result: (qid BIGINT, rank INT, label BIGINT, distance FLOAT).
 
@@ -441,6 +463,7 @@ def exact_knn_flat(
                     cluster_col=cluster_col,
                     probe_mask=mask,
                     dtype=dtype,
+                    sq8=sq8,
                 )
             )
     if not partials:

@@ -180,7 +180,14 @@ def main() -> None:
                     "cluster_rows_p50": int(np.median(sizes)),
                     "cluster_rows_p99": int(np.percentile(sizes, 99)),
                     "cluster_rows_max": int(sizes.max()),
-                    "empty_clusters": int(nlist - len(sizes)),
+                    # r10: corpus rebalance can GROW nlist (bounded 2x);
+                    # max_share is vs the FACTORY even share — the
+                    # REBALANCE_CAP_SHARE=4.0 contract this probe verifies
+                    "nlist_live": len(idx.centroids),
+                    "corpus_max_share": round(
+                        float(sizes.max()) * nlist / total, 2
+                    ),
+                    "empty_clusters": int(len(idx.centroids) - len(sizes)),
                 }
             }
         ),
