@@ -63,6 +63,21 @@ LOCAL_BASELINES = {
     # (load 6.5) — the r6 declared 2.44 was a lucky draw, not the central
     # value; min of the recorded quiet runs is the honest guard
     "wide1536_simjoin": 3.138,
+    # vec1m scaled-throughput leg (r10): min across the three r10 pinning
+    # runs (tools/out_r10/bench_q{1,2,3}.json; ambient load 15-30 during
+    # all three — the sandbox's noisy-neighbor regime, control query
+    # normal, so these are conservative-but-honest guards).  sq8_knn is
+    # min of q2/q3 only: q1 predates the kernel-side decode fix (33.4 s
+    # on the interpreted JVM zip_with path).
+    "vec1m_build_sec": 148.1,
+    "vec1m_flat_build_sec": 0.39,
+    "vec1m_warm_sec": 9.91,
+    "vec1m_knn_exact": 3.44,
+    "vec1m_knn_np4": 2.63,
+    "vec1m_knn_np16": 3.01,
+    "vec1m_bulk_np16": 14.63,
+    "vec1m_sq8_build_sec": 2.22,
+    "vec1m_sq8_knn": 5.43,
 }
 
 # re-pinned declared baselines (r9) applied AFTER the cross-round min.
@@ -718,6 +733,11 @@ def main() -> None:
             and not k.endswith("_reruns")
             and not k.endswith("_recall") and "_recall_" not in k
             and not k.endswith("_max_share")
+            # diagnostics, not timings: the heap/load attribution keys
+            # (r8) summed ~165 fake "seconds" into the r8/r9 headline
+            # totals (ivf_build_heap_used_mb alone was 162-491)
+            and not k.endswith("_heap_used_mb")
+            and not k.endswith("_load1m")
             # stage splits decompose dedup_pipeline_full (already counted)
             and not k.startswith("dedup_stage_")
         ),

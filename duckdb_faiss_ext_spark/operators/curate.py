@@ -124,10 +124,21 @@ def _decode_feature(payload: bytes, fmt: str, dim: int):
         if fmt == "wav":
             samples, _sr = C.decode_wav(payload)
             return C.audio_energy_feature(samples, dim), "kept", None
+        if fmt == "mp4":
+            # real frame-grab for MJPEG tracks (r10); other codecs raise
+            # and fall through to the honest stub below
+            try:
+                frame = C.decode_mp4_frame(payload)
+            except C.MediaDecodeError as e:
+                if "no decoder" in str(e) or "no video track" in str(e):
+                    return _decode_stub(payload, dim), "kept_stub", None
+                raise  # corrupt MJPEG sample behind a valid header
+            return C.image_grid_feature(frame, dim), "kept", None
     except C.MediaDecodeError as e:
         return None, "decode_error", str(e)
-    # container formats (mp3/mp4): metadata is real, decode is the honest
-    # stub — shape/dtype contract of a real decoder, clearly marked
+    # container formats (mp3, non-MJPEG mp4): metadata is real, decode is
+    # the honest stub — shape/dtype contract of a real decoder, clearly
+    # marked
     return _decode_stub(payload, dim), "kept_stub", None
 
 

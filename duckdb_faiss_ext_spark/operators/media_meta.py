@@ -31,6 +31,8 @@ import pandas as pd
 __all__ = [
     "sniff_container",
     "parse_mp4_meta",
+    "parse_mp4_tracks",
+    "mp4_sample_location",
     "parse_mp3_meta",
     "parse_jpeg_meta",
     "parse_wav_meta",
@@ -129,6 +131,101 @@ def parse_mp4_meta(payload: bytes) -> dict:
         out["has_video"] = "vide" in tracks
         out["has_audio"] = "soun" in tracks
     return out
+
+
+def parse_mp4_tracks(payload: bytes, max_samples: int = 256) -> list:
+    """Per-track sample tables (ISO BMFF stbl boxes, public spec): handler,
+    sample-entry fourcc, and the first ``max_samples`` of stsz sizes /
+    stco|co64 chunk offsets / stsc runs — everything a frame-grab needs
+    (media_codecs.decode_mp4_frame) without reading sample data.  Strictly
+    bounded and exception-free on truncated/garbage boxes, like every
+    parser in this module."""
+    tracks: list = []
+
+    def walk_into(tr: dict, b0: int, b1: int) -> None:
+        for btype, s, e in _mp4_boxes(payload, b0, b1):
+            body = e - s
+            if btype == b"hdlr" and body >= 12:
+                tr["handler"] = payload[s + 8 : s + 12].decode("latin1")
+            elif btype == b"stsd" and body >= 16:
+                tr["codec"] = payload[s + 12 : s + 16].decode("latin1").strip()
+            elif btype == b"stsz" and body >= 12:
+                fixed = struct.unpack_from(">I", payload, s + 4)[0]
+                cnt = struct.unpack_from(">I", payload, s + 8)[0]
+                if fixed:
+                    tr["sizes"] = [fixed] * min(cnt, max_samples)
+                else:
+                    m = min(cnt, max_samples, max(0, (body - 12) // 4))
+                    tr["sizes"] = (
+                        list(struct.unpack_from(f">{m}I", payload, s + 12))
+                        if m
+                        else []
+                    )
+            elif btype == b"stco" and body >= 8:
+                cnt = struct.unpack_from(">I", payload, s + 4)[0]
+                m = min(cnt, max_samples, max(0, (body - 8) // 4))
+                tr["offsets"] = (
+                    list(struct.unpack_from(f">{m}I", payload, s + 8)) if m else []
+                )
+            elif btype == b"co64" and body >= 8:
+                cnt = struct.unpack_from(">I", payload, s + 4)[0]
+                m = min(cnt, max_samples, max(0, (body - 8) // 8))
+                tr["offsets"] = (
+                    list(struct.unpack_from(f">{m}Q", payload, s + 8)) if m else []
+                )
+            elif btype == b"stsc" and body >= 8:
+                cnt = struct.unpack_from(">I", payload, s + 4)[0]
+                m = min(cnt, max_samples, max(0, (body - 8) // 12))
+                tr["stsc"] = [
+                    struct.unpack_from(">III", payload, s + 8 + 12 * i)
+                    for i in range(m)
+                ]
+            elif btype in _MP4_CONTAINERS:
+                walk_into(tr, s, e)
+
+    for btype, s, e in _mp4_boxes(payload, 0, len(payload)):
+        if btype == b"moov":
+            for bt2, s2, e2 in _mp4_boxes(payload, s, e):
+                if bt2 == b"trak":
+                    tr = {
+                        "handler": None,
+                        "codec": None,
+                        "sizes": [],
+                        "offsets": [],
+                        "stsc": [],
+                    }
+                    walk_into(tr, s2, e2)
+                    tracks.append(tr)
+    return tracks
+
+
+def mp4_sample_location(track: dict, sample: int) -> Optional[tuple]:
+    """(absolute_offset, size) of ``sample`` within the file, resolved from
+    the track's stsz/stco/stsc tables, or None when the tables don't cover
+    it (truncated parse or out-of-range index)."""
+    sizes, offs = track.get("sizes") or [], track.get("offsets") or []
+    if sample < 0 or sample >= len(sizes) or not offs:
+        return None
+    stsc = track.get("stsc") or [(1, len(sizes), 1)]
+    # expand the stsc runs into per-chunk sample counts over known chunks
+    spc: list = []
+    for i, (first, count, _desc) in enumerate(stsc):
+        if first < 1 or count < 1:
+            return None
+        last = (stsc[i + 1][0] - 1) if i + 1 < len(stsc) else len(offs)
+        spc += [count] * max(0, last - first + 1)
+        if len(spc) >= len(offs):
+            break
+    seen = 0
+    for ci, cnt in enumerate(spc[: len(offs)]):
+        if sample < seen + cnt:
+            within = sample - seen
+            return (
+                offs[ci] + sum(sizes[seen : seen + within]),
+                sizes[sample],
+            )
+        seen += cnt
+    return None
 
 
 # ---------------------------------------------------------------------- MP3

@@ -241,10 +241,15 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
     Image and audio rows carry REAL decodable payloads (P6 PPM pixels /
     PCM16 WAV samples, seeded), so the decode -> feature -> resize pipeline
-    exercises actual codecs end-to-end; video rows keep opaque bytes with
-    an mp4 tag — the honest no-codec modality that exercises the stub
-    fallback."""
-    from duckdb_faiss_ext_spark.operators.media_codecs import encode_ppm, encode_wav
+    exercises actual codecs end-to-end; video rows ALTERNATE real
+    MJPEG-in-MP4 clips (decode_mp4_frame grabs real pixels, r10) with
+    opaque garbage bytes — the latter still exercises the
+    unknown-format/stub fallbacks."""
+    from duckdb_faiss_ext_spark.operators.media_codecs import (
+        encode_mjpeg_mp4,
+        encode_ppm,
+        encode_wav,
+    )
 
     rng = np.random.default_rng(seed)
     rows = []
@@ -258,6 +263,12 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             freq = 110.0 * (1 + i % 7)
             wave = (8000 * np.sin(2 * np.pi * freq * t / 16000)).astype(np.int16)
             payload, fmt = encode_wav(wave, 16000), "wav"
+        elif (i // 3) % 2 == 0:
+            clip = [
+                rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+                for _ in range(2)
+            ]
+            payload, fmt = encode_mjpeg_mp4(clip, fps=10), "mp4"
         else:
             payload = bytes(rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8))
             fmt = "mp4"

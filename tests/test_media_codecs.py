@@ -281,3 +281,76 @@ def test_image_grid_feature_small_image_no_nan():
     # the populated corner cells still carry the real block means
     expect4 = PPM_PIXELS.astype(np.float32).mean(axis=2).reshape(-1) / 255.0
     assert np.allclose(sorted(feat[feat > 0]), sorted(expect4[expect4 > 0]))
+
+
+# -------------------------------------------------------- MJPEG-in-MP4 (r10)
+
+
+def _clip(n_frames=3, h=48, w=64, seed=7):
+    rng = np.random.default_rng(seed)
+    return [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+
+
+def test_mjpeg_mp4_frame_grab_matches_standalone_jpeg():
+    from duckdb_faiss_ext_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    frames = _clip()
+    mp4 = C.encode_mjpeg_mp4(frames, fps=10, quant=1)
+    # every sample's bytes and pixels match the standalone JPEG encode
+    for f, frame in enumerate(frames):
+        assert C.extract_mp4_frame(mp4, f) == encode_jpeg(frame, quant=1)
+        assert np.array_equal(
+            C.decode_mp4_frame(mp4, f), decode_jpeg(encode_jpeg(frame, quant=1))
+        )
+
+
+def test_mjpeg_mp4_metadata_parses():
+    from duckdb_faiss_ext_spark.operators.media_meta import parse_media_meta
+
+    mp4 = C.encode_mjpeg_mp4(_clip(n_frames=5), fps=10)
+    meta = parse_media_meta(mp4)
+    assert meta["fmt"] == "mp4" and meta["codec"] == "jpeg"
+    assert (meta["width"], meta["height"]) == (64, 48)
+    assert meta["duration_ms"] == 500  # 5 frames @ 10 fps
+    assert meta["has_video"] and not meta.get("has_audio")
+
+
+def test_mjpeg_mp4_rejections():
+    mp4 = C.encode_mjpeg_mp4(_clip())
+    with pytest.raises(C.MediaDecodeError, match="not resolvable"):
+        C.decode_mp4_frame(mp4, 99)
+    with pytest.raises(C.MediaDecodeError, match="not an MP4"):
+        C.extract_mp4_frame(b"garbage bytes here!!")
+    # a non-MJPEG codec keeps metadata but rejects decode: rewrite the
+    # sample-entry fourcc to avc1 in place
+    hacked = mp4.replace(b"jpeg", b"avc1")
+    with pytest.raises(C.MediaDecodeError, match="no decoder"):
+        C.extract_mp4_frame(hacked)
+    # truncating mid-mdat: tables resolve but the sample range is gone...
+    # the box walker stops at the malformed box, so either error is loud
+    with pytest.raises(C.MediaDecodeError):
+        C.extract_mp4_frame(mp4[:100])
+
+
+def test_curate_media_keeps_real_mjpeg_mp4(spark):
+    from duckdb_faiss_ext_spark.operators.curate import MediaPolicy, curate_media
+
+    frames = _clip(n_frames=2)
+    good = C.encode_mjpeg_mp4(frames, fps=10)
+    hacked = good.replace(b"jpeg", b"avc1")  # valid container, no codec
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(hacked))],
+        "media_id bigint, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in curate_media(df, MediaPolicy(formats=("mp4",)), dim=16).collect()
+    }
+    assert out[0]["status"] == "kept"  # real pixels decoded
+    feat = np.array(out[0]["feature"], dtype=np.float32)
+    ref = C.image_grid_feature(C.decode_mp4_frame(good), 16)
+    assert np.allclose(feat, ref, atol=1e-6)
+    assert out[1]["status"] == "kept_stub"  # honest stub for avc1
