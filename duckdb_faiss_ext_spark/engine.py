@@ -2530,7 +2530,18 @@ class FaissSparkEngine:
         q = self.spark.createDataFrame(
             [(0, vec)], "qid bigint, vector array<float>"
         )
-        self.search_flat(name, k, q).collect()
+        # FULL-probe: an nprobe=1 warm query prunes to 1-2 partitions, so
+        # 30 of 32 Python workers (and every other partition's Arrow
+        # decode) would still be cold for the first real search (r10 warm
+        # probe: the narrow warm left the first leg ABOVE the cold arm's).
+        # One full scan pushes every partition through the real kernel
+        # once — cost is bounded by one exact search.
+        params = (
+            {"nprobe": max(int(idx.spec.nlist), 1)}
+            if idx.spec.kind == "ivf"
+            else None
+        )
+        self.search_flat(name, k, q, params=params).collect()
         return _time.perf_counter() - t0
 
     def search_filter(
