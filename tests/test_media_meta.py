@@ -153,19 +153,22 @@ def test_extract_media_metadata_spark(spark):
 def test_media_pipeline_example(spark):
     """examples/media_pipeline.py: triage -> decode -> featurize -> dup
     groups over the synthetic media table; real images/audio survive, the
-    random-byte 'video' rows die at the metadata filter."""
+    MJPEG half of the video rows decodes for REAL (r10), the random-byte
+    half dies at the metadata filter."""
     from duckdb_faiss_ext_spark.operators.multimodal import synthetic_media
     from examples.media_pipeline import run_pipeline
 
     media = synthetic_media(spark, n=24)
     out = run_pipeline(media)
-    # 24 rows = 8 image + 8 audio + 8 fake-video; video dies at triage
-    assert out["survivors"].count() == 16
-    assert out["features"].count() == 16
+    # 24 rows = 8 image + 8 audio + 8 video (4 real MJPEG mp4 + 4 garbage);
+    # images/audio/MJPEG survive, garbage dies at triage
+    assert out["survivors"].count() == 20
+    assert out["features"].count() == 20
     meta = {r["media_id"]: r for r in out["meta"].collect()}
     assert meta[0]["fmt"] == "ppm" and meta[0]["width"] == 64
     assert meta[1]["fmt"] == "wav" and meta[1]["duration_ms"] == 100
-    assert meta[2]["fmt"] is None  # random bytes: honestly unknown
+    assert meta[2]["fmt"] == "mp4" and meta[2]["status"] == "kept"  # MJPEG
+    assert meta[5]["fmt"] is None  # random bytes: honestly unknown
 
 
 def build_flac(sr=44100, channels=2, bps=16, total=441000, last=True) -> bytes:
