@@ -1617,12 +1617,6 @@ class FaissSparkEngine:
                 "that a split would invalidate; corpus rebalance supports "
                 "plain IVF and IVF,SQ8"
             )
-        if idx.storage_path:
-            raise FaissSparkError(
-                "rebalance: disk-backed indexes are not supported (the "
-                "split would rewrite the whole parquet directory); load "
-                "into memory mode, rebalance, then save()"
-            )
         out = self._rebalance_corpus(idx)
         if out is None:
             raise FaissSparkError(
@@ -1643,7 +1637,6 @@ class FaissSparkEngine:
             or idx.data is None
             or idx.codebooks is not None
             or idx.spec.hnsw_m > 0
-            or idx.storage_path
             or not int(idx.params.get("rebalance_clusters", 1))
         ):
             return None
@@ -1766,30 +1759,59 @@ class FaissSparkEngine:
 
             re_udf = F.pandas_udf(reassign, "int")
             sq = idx.sq_vdiff is not None
-            frame = idx.data
-            if sq:
-                from duckdb_faiss_ext_spark.functions.quantize import sq8_decode
+            split_ids = [int(c) for c in fams]
 
-                frame = sq8_decode(
-                    frame, idx.sq_vmin, idx.sq_vdiff,
-                    codes_col="codes", out_col="vector", drop_codes=False,
+            def reassigned(frame: DataFrame) -> DataFrame:
+                if sq:
+                    from duckdb_faiss_ext_spark.functions.quantize import (
+                        sq8_decode,
+                    )
+
+                    frame = sq8_decode(
+                        frame, idx.sq_vmin, idx.sq_vdiff,
+                        codes_col="codes", out_col="vector", drop_codes=False,
+                    )
+                frame = frame.withColumn(
+                    "cluster_id", re_udf(F.col("cluster_id"), F.col("vector"))
                 )
-            frame = frame.withColumn(
-                "cluster_id", re_udf(F.col("cluster_id"), F.col("vector"))
-            )
-            if sq:
-                frame = frame.drop("vector")
-            n_parts = max(idx.data.rdd.getNumPartitions(), 1)
-            frame = frame.repartitionByRange(
-                n_parts, "cluster_id", "label"
-            ).persist()
-            frame.count()
-            self._unpersist_slices(idx)
-            idx.centroids = new_cents
-            idx.data = frame
-            idx.slices = [frame]
-            idx.slice_rows = [n]
-            idx.slice_caches = [frame]
+                return frame.drop("vector") if sq else frame
+
+            if idx.storage_path:
+                # disk mode (the 100 TB shape): rewrite ONLY the offenders'
+                # partition directories.  The cluster-partitioned layout
+                # prunes the read to the offenders' bytes, and DYNAMIC
+                # partition overwrite replaces exactly the directories the
+                # rewrite emits (child 0 keeps the original id, so the
+                # offender's dir is among them) — I/O is bounded by the
+                # offenders' share of the corpus, never the whole index.
+                # localCheckpoint materializes the rewrite first: Spark
+                # refuses to overwrite a path a query is reading from.
+                data_path = os.path.join(idx.storage_path, "data.parquet")
+                rewrite = reassigned(
+                    idx.data.filter(F.col("cluster_id").isin(split_ids))
+                ).localCheckpoint(eager=True)
+                (
+                    rewrite.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("cluster_id")
+                    .parquet(data_path)
+                )
+                rewrite.unpersist()
+                idx.centroids = new_cents
+                idx.data = self.spark.read.parquet(data_path)
+            else:
+                frame = reassigned(idx.data)
+                n_parts = max(idx.data.rdd.getNumPartitions(), 1)
+                frame = frame.repartitionByRange(
+                    n_parts, "cluster_id", "label"
+                ).persist()
+                frame.count()
+                self._unpersist_slices(idx)
+                idx.centroids = new_cents
+                idx.data = frame
+                idx.slices = [frame]
+                idx.slice_rows = [n]
+                idx.slice_caches = [frame]
             stats["passes"] = _pass + 1
         return stats
 

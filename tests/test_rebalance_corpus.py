@@ -129,10 +129,52 @@ def test_rebalance_rejects_ineligible_indexes(spark, tmp_path):
     eng.add("cr_pq", _df(spark, x))
     with pytest.raises(FaissSparkError, match="centroid-dependent"):
         eng.rebalance("cr_pq")
-    eng.create(
-        "cr_disk", 8, f"IDMap,IVF4", metric_type="L2",
-        params={"storage_path": str(tmp_path / "cr_disk")},
+
+
+def test_rebalance_disk_mode_rewrites_only_offender_dirs(spark, tmp_path):
+    """Disk-backed IVF (the 100 TB shape): the corpus pass rewrites ONLY
+    the offenders' partition directories via dynamic partition overwrite;
+    untouched cluster directories keep their original files."""
+    import os
+
+    x = _skewed(n=2000)
+    path = str(tmp_path / "cr_disk")
+    eng = _build(
+        spark, x, "cr_disk",
+        params={"rebalance_clusters": "0", "storage_path": path},
     )
-    eng.add("cr_disk", _df(spark, x))
-    with pytest.raises(FaissSparkError, match="disk"):
-        eng.rebalance("cr_disk")
+    idx = eng.registry.get("cr_disk")
+    before = _hist(idx)
+    cap = max(FaissSparkEngine.REBALANCE_CAP_SHARE * 2000 / NLIST, 32.0)
+    assert max(before.values()) > cap
+    data_dir = os.path.join(path, "data.parquet")
+    untouched = [
+        c for c, n_ in before.items() if n_ <= cap / 2
+    ]
+    mtime_before = {
+        c: os.path.getmtime(os.path.join(data_dir, f"cluster_id={c}"))
+        for c in untouched
+    }
+    q = _df(spark, x[::173], id_col="qid")
+    exact_before = sorted(
+        map(tuple, eng.search_flat("cr_disk", 5, q, params={"nprobe": NLIST}).collect())
+    )
+    idx.params["rebalance_clusters"] = "1"
+    out = eng.rebalance("cr_disk")
+    assert out["splits"] > 0
+    after = _hist(idx)
+    assert max(after.values()) <= cap, (max(after.values()), cap)
+    assert sum(after.values()) == 2000
+    # new child directories exist on disk; untouched dirs not rewritten
+    grown = [c for c in after if c >= NLIST]
+    assert grown and all(
+        os.path.isdir(os.path.join(data_dir, f"cluster_id={c}")) for c in grown
+    )
+    for c in untouched:
+        assert os.path.getmtime(
+            os.path.join(data_dir, f"cluster_id={c}")
+        ) == mtime_before[c], f"untouched cluster dir {c} was rewritten"
+    exact_after = sorted(
+        map(tuple, eng.search_flat("cr_disk", 5, q, params={"nprobe": NLIST}).collect())
+    )
+    assert exact_before == exact_after
