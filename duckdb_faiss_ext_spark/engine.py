@@ -2173,33 +2173,36 @@ class FaissSparkEngine:
             q = queries_df.select(
                 F.col(qid_col).alias("qid"), F.col(vec_col).alias("vector")
             )
-            if sq8_params is not None:
-                # bulk joins pack float blocks executor-side: decode first
-                # (JVM view — the uncommon combo; the hot driver path below
-                # decodes in-kernel instead)
-                corpus = self._decoded_view(idx, corpus)
+            # SQ8 corpora pack CODES into the executor-side blocks and
+            # decode inside the pack kernel (same janino rule as the
+            # driver path) — the right_vec column is just named "codes"
+            corp_vec = "codes" if sq8_params is not None else "vector"
             if probe_fn is None:
                 return similarity_join(
                     q,
-                    corpus.select("label", "vector"),
+                    corpus.select("label", corp_vec),
                     k,
                     metric=idx.metric,
                     left_id="qid",
                     right_id="label",
+                    right_vec=corp_vec,
                     metric_arg=idx.metric_arg,
                     bulk=True,  # bulk_queries = caller says it's big
+                    right_sq8=sq8_params,
                 ).select("qid", "rank", F.col("label"), F.col("distance"))
             probes_udf = self._probe_clusters_udf(idx, int(params.get("nprobe", 1)))
             q = q.withColumn("cluster_id", F.explode(probes_udf(F.col("vector"))))
             return similarity_join_grouped(
                 q,
-                corpus.select("label", "vector", "cluster_id"),
+                corpus.select("label", corp_vec, "cluster_id"),
                 k,
                 metric=idx.metric,
                 left_id="qid",
                 right_id="label",
+                right_vec=corp_vec,
                 group_col="cluster_id",
                 metric_arg=idx.metric_arg,
+                right_sq8=sq8_params,
             ).select("qid", "rank", F.col("label"), F.col("distance"))
         return topk_ops.exact_knn_flat(
             corpus,

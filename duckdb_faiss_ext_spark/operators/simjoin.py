@@ -70,6 +70,7 @@ def _pack_blocks(
     dtype,
     group_col: Optional[str] = None,
     block_bytes: int = BLOCK_BYTES,
+    sq8: Optional[tuple] = None,
 ) -> DataFrame:
     """(blk BIGINT, [grp BIGINT,] n INT, ids ARRAY<BIGINT>, vecs
     ARRAY<FLOAT/DOUBLE>) — ≤ ``block_rows`` vectors per row, vecs flattened
@@ -83,7 +84,13 @@ def _pack_blocks(
     partition the side's distinct ids, so min(ids) is unique per block —
     with ``group_col``, unique per (grp, blk): blocks never span groups
     and partition each group's id set (the grouped/IVF join keys block
-    state by both)."""
+    state by both).
+
+    ``sq8``: optional (vmin, vdiff) — the input column is then SQ8
+    ``array<tinyint>`` codes, affine-decoded HERE per Arrow batch (same
+    kernel-side rule as operators/topk.py: the JVM zip_with decode runs
+    interpreted past janino's codegen budget); packed blocks always hold
+    decoded floats, so every downstream score kernel is unchanged."""
     import pyarrow as pa
 
     # payload dtype: float32/float64 vectors, or int16 PQ code rows (the
@@ -125,10 +132,19 @@ def _pack_blocks(
             if n == 0:
                 continue
             ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False).astype(np_t)
-            dim = len(flat) // n
+            raw = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            dim = len(raw) // n
             eff_rows = rows_for_budget(block_rows, block_bytes, dim, np_t().itemsize)
-            x = flat.reshape(n, dim)
+            if sq8 is not None:
+                vmin_, vdiff_ = sq8
+                x = (
+                    (raw.reshape(n, dim).astype(np.float64) + 128.5)
+                    / 255.0
+                    * vdiff_.astype(np.float64)
+                    + vmin_.astype(np.float64)
+                ).astype(np_t)
+            else:
+                x = raw.astype(np_t).reshape(n, dim)
             if grouped:
                 grp = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
             else:
@@ -149,9 +165,10 @@ def _pack_blocks(
             if st[2]:
                 yield flush(g)
 
+    in_sql_t = "array<tinyint>" if sq8 is not None else sql_t
     cols = [
         F.col(id_col).cast("bigint").alias("id"),
-        F.col(vec_col).cast(sql_t).alias("vector"),
+        F.col(vec_col).cast(in_sql_t).alias("vector"),
     ]
     schema = f"blk bigint, n int, ids array<bigint>, vecs {sql_t}"
     if grouped:
@@ -174,6 +191,7 @@ def similarity_join(
     metric_arg: float = 0.0,
     bulk: bool = False,
     block_bytes: int = BLOCK_BYTES,
+    right_sq8: "Optional[tuple]" = None,
 ) -> DataFrame:
     """(left_id, rank, right_id, distance) — k nearest right rows per left
     row, exact, with the kernel tie-break (score, then label ascending).
@@ -213,6 +231,7 @@ def similarity_join(
             metric=metric,
             metric_arg=marg,
             dtype=dtype,
+            sq8=right_sq8,
         )
         rname = right_id if right_id != left_id else f"{right_id}_right"
         return flat.select(
@@ -233,7 +252,8 @@ def similarity_join(
         left, left_id, left_vec, block_rows, dtype, block_bytes=block_bytes
     ).repartition(8)
     rb_df = _pack_blocks(
-        right, right_id, right_vec, block_rows, dtype, block_bytes=block_bytes
+        right, right_id, right_vec, block_rows, dtype, block_bytes=block_bytes,
+        sq8=right_sq8,
     ).repartition(8)
     pairs = lb.crossJoin(
         rb_df.select(
@@ -372,6 +392,7 @@ def similarity_join_grouped(
     block_rows: int = BLOCK_ROWS,
     metric_arg: float = 0.0,
     block_bytes: int = BLOCK_BYTES,
+    right_sq8: "Optional[tuple]" = None,
 ) -> DataFrame:
     """Top-k join restricted to rows sharing ``group_col`` — the bulk-IVF
     search shape: the left side carries one row per (query, probed cluster),
@@ -391,7 +412,8 @@ def similarity_join_grouped(
         left, left_id, left_vec, block_rows, dtype, group_col, block_bytes=block_bytes
     )
     rb_df = _pack_blocks(
-        right, right_id, right_vec, block_rows, dtype, group_col, block_bytes=block_bytes
+        right, right_id, right_vec, block_rows, dtype, group_col,
+        block_bytes=block_bytes, sq8=right_sq8,
     )
     pairs = lb.join(
         rb_df.select(

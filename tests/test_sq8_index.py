@@ -121,3 +121,42 @@ def test_sq8_filtered_search(spark):
     allowed = spark.range(0, 300, 2).select(F.col("id").alias("label"))
     res = eng.search_flat("sqfil", 5, q, allowed_df=allowed).collect()
     assert res and all(r["label"] % 2 == 0 for r in res)
+
+
+def test_sq8_bulk_path_identical_to_driver_path(spark):
+    """bulk_queries=1 routes SQ8 corpora through the executor-side block
+    joins, decoding codes inside the pack kernel — results must be
+    IDENTICAL to the driver-path kernel decode (both mirror the same f64
+    decode expression)."""
+    x = gen_vectors(500, 16)
+    eng = FaissSparkEngine(spark)
+    eng.create("sqbulk", 16, "IDMap,IVF8,SQ8", metric_type="L2")
+    eng.add("sqbulk", _emb_df(spark, x))
+    q = _emb_df(spark, x[50:90], id_col="qid")
+    driver = sorted(
+        map(
+            tuple,
+            eng.search_flat(
+                "sqbulk", 5, q, params={"nprobe": 4, "bulk_queries": 0}
+            ).collect(),
+        )
+    )
+    bulk = sorted(
+        map(
+            tuple,
+            eng.search_flat(
+                "sqbulk", 5, q, params={"nprobe": 4, "bulk_queries": 1}
+            ).collect(),
+        )
+    )
+    assert driver == bulk
+    # Flat,SQ8 through the ungrouped BNL too
+    eng.create("sqbulk_f", 16, "IDMap,Flat,SQ8", metric_type="L2")
+    eng.add("sqbulk_f", _emb_df(spark, x))
+    d2 = sorted(
+        map(tuple, eng.search_flat("sqbulk_f", 5, q, params={"bulk_queries": 0}).collect())
+    )
+    b2 = sorted(
+        map(tuple, eng.search_flat("sqbulk_f", 5, q, params={"bulk_queries": 1}).collect())
+    )
+    assert d2 == b2
