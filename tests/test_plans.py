@@ -138,3 +138,43 @@ def test_grouped_simjoin_is_equi_join_not_cartesian(spark, sf_dir):
     plan = _plan(similarity_join_grouped(left, right, 3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sq8_ivf_disk_scan_prunes_partitions(spark, tmp_path):
+    """An IVF,SQ8 index saved to its cluster-partitioned layout must keep
+    directory-level pruning when searched after load: the scan's partition
+    filters carry the probed cluster_ids, so a 100 TB index reads only the
+    probed directories — codes must not break the pruning the raw layout
+    has."""
+    import numpy as np
+
+    from conftest import gen_vectors
+    from duckdb_faiss_ext_spark.engine import FaissSparkEngine
+
+    x = gen_vectors(400, 8)
+    eng = FaissSparkEngine(spark)
+    # disk mode: the parquet-backed frame is NOT cached, so pruning is
+    # visible in the scan (a load()ed index persists and prunes inside the
+    # InMemoryTableScan predicate instead — same I/O story once cached)
+    eng.create(
+        "pl_sq", 8, "IDMap,IVF4,SQ8", metric_type="L2",
+        params={"storage_path": str(tmp_path / "pl_sq")},
+    )
+    eng.add(
+        "pl_sq",
+        spark.createDataFrame(
+            [(i, [float(v) for v in r]) for i, r in enumerate(x)],
+            "label bigint, vector array<float>",
+        ),
+    )
+    q = spark.createDataFrame(
+        [(0, [float(v) for v in x[0]])], "qid bigint, vector array<float>"
+    )
+    res = eng.search_flat("pl_sq", 3, q, params={"nprobe": 1})
+    plan = _plan(res, "formatted")
+    # the IN-filter on cluster_id must reach the parquet scan as a
+    # partition filter (directory pruning), not a post-scan Filter only
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+    assert res.count() == 3

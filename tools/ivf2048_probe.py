@@ -63,6 +63,9 @@ def main() -> None:
     # data; the 16M x 64 run with two persisted indexes was OOM-killed
     # at the host's ~30 GB effective ceiling
     exact_mode = sys.argv[8] if len(sys.argv) > 8 else "flat"
+    # r10: optional factory suffix for the probed index, e.g. ",SQ8" —
+    # probes the storage-tier composites at scale with the same legs
+    factory_suffix = sys.argv[9] if len(sys.argv) > 9 else ""
 
     from duckdb_faiss_ext_spark import FaissSparkEngine
     from duckdb_faiss_ext_spark.session import get_spark
@@ -105,7 +108,9 @@ def main() -> None:
 
     t0 = time.perf_counter()
     eng.create(
-        "iv_big", dim, f"IDMap,IVF{nlist},Flat", metric_type="INNER_PRODUCT",
+        "iv_big", dim,
+        f"IDMap,IVF{nlist}{factory_suffix or ',Flat'}",
+        metric_type="INNER_PRODUCT",
         params=extra_params or None,
     )
     eng.add("iv_big", corpus)
