@@ -366,6 +366,10 @@ class FaissSparkEngine:
             rebuild = False
             transformed = False
             if idx.needs_training:
+                # retrain resets the running histogram: assignments are
+                # about to be recomputed against fresh centroids
+                idx.cluster_counts = None
+                idx.skew_warned = False
                 # first add of an untrained index retrains on everything seen so
                 # far and rebuilds storage (cluster ids exist only after training)
                 combined = (
@@ -437,6 +441,10 @@ class FaissSparkEngine:
                 self._rebalance_corpus(idx)
                 if int(idx.params.get("warm_on_build", 0)):
                     self.warm(idx.name)
+            else:
+                # trained append: the running histogram (maintained by the
+                # slice-materialization job) flags drift past the cap once
+                self._warn_if_corpus_drifted(idx)
             if (
                 idx.spec.hnsw_m > 0
                 and idx.spec.kind == "ivf"
@@ -492,7 +500,9 @@ class FaissSparkEngine:
             cache = cache_frame
         else:
             vecs = vecs.persist()
-            batch_n = vecs.count()  # O(batch): only the new slice materializes
+            # O(batch): only the new slice materializes (histogram rides
+            # the same job when cluster ids are present)
+            batch_n = self._count_batch(idx, vecs)
             cache = vecs
         if rebuild:
             self._unpersist_slices(idx)
@@ -724,6 +734,60 @@ class FaissSparkEngine:
                 merged.count()
                 self._replace_slices(idx, picked, merged, merged_rows)
 
+    def _count_batch(self, idx: FaissIndex, vecs: DataFrame) -> int:
+        """Materialize the persisted slice and return its row count.  When
+        the slice carries cluster ids, the SAME materialization job emits
+        the per-cluster histogram (map-side combined to O(nlist) rows
+        before the collect), which keeps ``idx.cluster_counts`` current —
+        the append-drift warning costs zero extra jobs and never scans the
+        corpus."""
+        if "cluster_id" not in vecs.columns or idx.centroids is None:
+            return vecs.count()
+        rows = vecs.groupBy("cluster_id").count().collect()
+        nlive = len(idx.centroids)
+        if idx.cluster_counts is None or len(idx.cluster_counts) < nlive:
+            old = idx.cluster_counts
+            idx.cluster_counts = np.zeros(nlive, dtype=np.int64)
+            if old is not None:
+                idx.cluster_counts[: len(old)] = old
+        for r in rows:
+            c = int(r["cluster_id"])
+            if 0 <= c < nlive:
+                idx.cluster_counts[c] += int(r["count"])
+        return int(sum(int(r["count"]) for r in rows))
+
+    def _warn_if_corpus_drifted(self, idx: FaissIndex) -> None:
+        """Append-only ingest drifts the corpus histogram without any
+        retrain to catch it: when the running counts cross the rebalance
+        cap, say so ONCE (rebalance() resets the latch).  Trained-append
+        calls only — the train-time add runs the corpus pass itself."""
+        if (
+            idx.spec.kind != "ivf"
+            or idx.cluster_counts is None
+            or idx.codebooks is not None
+            or idx.spec.hnsw_m > 0
+            or idx.skew_warned
+            or not int(idx.params.get("rebalance_clusters", 1))
+        ):
+            return
+        counts = idx.cluster_counts
+        n = int(counts.sum())
+        nlist0 = max(int(idx.spec.nlist), 1)
+        cap = max(self.REBALANCE_CAP_SHARE * n / nlist0, 32.0)
+        if n and counts.max() > cap:
+            idx.skew_warned = True
+            import warnings
+
+            warnings.warn(
+                f"Index {idx.name}: appended rows drifted the corpus "
+                f"histogram over the skew cap — max cluster "
+                f"{int(counts.max())} rows = "
+                f"{counts.max() * nlist0 / n:.1f}x the even share (cap "
+                f"{self.REBALANCE_CAP_SHARE}x).  Wide-nprobe searches and "
+                "bulk grouped joins are bounded below by that cluster; "
+                f"call engine.rebalance({idx.name!r}) to split it."
+            )
+
     def _add_disk(self, idx: FaissIndex, vecs: DataFrame, rebuild: bool) -> None:
         """Append the slice to the index's parquet directory: flat lineage
         (a single scan node no matter how many adds), cluster-partitioned
@@ -735,7 +799,7 @@ class FaissSparkEngine:
             return self._add_disk_graph(idx, vecs, rebuild)
         data_path = os.path.join(idx.storage_path, "data.parquet")
         vecs = vecs.persist()
-        batch_n = vecs.count()
+        batch_n = self._count_batch(idx, vecs)
         # rebuild only happens on the FIRST add of an untrained index (any add
         # triggers training), so overwrite never races a read of the same path
         writer = vecs.write.mode("overwrite" if rebuild else "append")
@@ -1664,6 +1728,8 @@ class FaissSparkEngine:
             for c, v in hist.items():
                 counts[c] = v
             n = int(counts.sum())
+            idx.cluster_counts = counts.copy()  # ground-truth refresh
+            idx.skew_warned = False
             if not n:
                 break
             # even share stays pinned to the FACTORY nlist — growth must

@@ -50,6 +50,13 @@ class FaissIndex:
     # `codes ARRAY<TINYINT>` instead of `vector`, decoded lazily at search
     sq_vmin: Optional[np.ndarray] = None
     sq_vdiff: Optional[np.ndarray] = None
+    # running full-corpus per-cluster row counts (IVF), maintained for free
+    # by the slice-materialization job at each add (engine._count_batch) —
+    # powers the append-drift warning without ever scanning the corpus.
+    # None until the first assigned add; reset by retrain, refreshed to
+    # ground truth by every corpus-rebalance pass.
+    cluster_counts: Optional[np.ndarray] = None
+    skew_warned: bool = False  # one warning per drift crossing
     # cached per-add slices (memory mode): add() persists only the NEW batch
     # and unions lazily — O(batch) work per add instead of re-counting the
     # whole lineage (VERDICT r1 #4); compacted when the list grows deep

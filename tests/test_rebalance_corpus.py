@@ -178,3 +178,50 @@ def test_rebalance_disk_mode_rewrites_only_offender_dirs(spark, tmp_path):
         map(tuple, eng.search_flat("cr_disk", 5, q, params={"nprobe": NLIST}).collect())
     )
     assert exact_before == exact_after
+
+
+def test_append_drift_warning_and_running_histogram(spark):
+    """Trained appends maintain the corpus histogram for free (the slice
+    materialization job) and warn ONCE when drift crosses the cap;
+    rebalance() splits and resets the latch."""
+    import warnings as w
+
+    rng = np.random.default_rng(3)
+    spread = rng.uniform(-4.0, 4.0, size=(800, 8)).astype(np.float32)
+    eng = _build(spark, spread, "cr_drift")  # even-ish corpus, trains clean
+    idx = eng.registry.get("cr_drift")
+    assert idx.cluster_counts is not None
+    assert int(idx.cluster_counts.sum()) == 800
+    # append a tight blob: all rows land in ONE cluster and cross the cap
+    blob = (rng.normal(0.0, 0.02, size=(1600, 8)) + 5.0).astype(np.float32)
+    blob_df = spark.createDataFrame(
+        [(800 + i, [float(v) for v in r]) for i, r in enumerate(blob)],
+        "label bigint, vector array<float>",
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        eng.add("cr_drift", blob_df)
+        drift = [c for c in caught if "drifted" in str(c.message)]
+    assert len(drift) == 1, [str(c.message) for c in caught]
+    assert int(idx.cluster_counts.sum()) == 2400
+    # running counts match the true histogram exactly
+    true_hist = _hist(idx)
+    for c, n_ in true_hist.items():
+        assert int(idx.cluster_counts[c]) == n_
+    # second append: latch holds, no duplicate warning
+    with w.catch_warnings(record=True) as caught2:
+        w.simplefilter("always")
+        eng.add("cr_drift", blob_df.withColumn("label", F.col("label") + 10000).limit(50))
+        drift2 = [c for c in caught2 if "drifted" in str(c.message)]
+    assert not drift2
+    # rebalance splits the drifted cluster and resets the latch
+    out = eng.rebalance("cr_drift")
+    assert out["splits"] > 0
+    assert not idx.skew_warned
+    cap = max(
+        FaissSparkEngine.REBALANCE_CAP_SHARE
+        * int(idx.cluster_counts.sum())
+        / NLIST,
+        32.0,
+    )
+    assert max(_hist(idx).values()) <= cap
