@@ -118,3 +118,86 @@ def min_shingle_fingerprint(col, n: int = 5) -> Column:
         lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, n))),
     )
     return F.array_min(grams)
+
+
+# --------------------------------------------------- chunking / scrubbing (r10)
+
+def chunk_spans(col, chunk_chars: int = 2048, overlap: int = 256) -> Column:
+    """ARRAY<STRUCT<chunk_id INT, char_start INT, chunk STRING>> — fixed
+    character windows with ``overlap`` chars of left context, the standard
+    long-document -> training-sample shaping op.  Stride is
+    ``chunk_chars - overlap``; the last window is the remainder (never
+    empty, never past the end).  Pure codegen: sequence + transform +
+    substring — at 100 TB this is a narrow map, no shuffle, no Python."""
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(
+            f"chunk_spans: need 0 <= overlap < chunk_chars, got "
+            f"{overlap} / {chunk_chars}"
+        )
+    text = _c(col)
+    stride = chunk_chars - overlap
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(text) - F.lit(overlap)) / F.lit(stride)).cast("int"),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            (i * stride).cast("int").alias("char_start"),
+            F.substring(text, i * stride + 1, chunk_chars).alias("chunk"),
+        ),
+    )
+
+
+def chunk_text(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 2048,
+    overlap: int = 256,
+):
+    """(id_col, chunk_id, char_start, chunk) — one row per window.  The
+    explode multiplies rows by ~len/stride; everything else is codegen."""
+    spans = chunk_spans(F.col(text_col), chunk_chars, overlap)
+    return df.select(
+        F.col(id_col), F.explode(spans).alias("s")
+    ).select(id_col, "s.chunk_id", "s.char_start", "s.chunk")
+
+
+# Redaction patterns (java.util.regex — Spark's engine; the phone pattern
+# uses a lookbehind, fine there).  Anchored on word-ish boundaries so
+# replacements never chain into each other's placeholders.  Order matters:
+# emails before phone-ish digit runs (an email's digits must not be
+# half-eaten by the phone pattern first).
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+    # no trailing separator: the run ends on a digit, not on "[ -]?"
+    ("CARD", r"\b\d(?:[ -]?\d){12,15}\b"),
+    ("PHONE", r"(?<![\w.])\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{2,4}\b"),
+)
+
+
+def scrub_pii(col) -> Column:
+    """Redact common PII shapes (emails, IPv4s, SSNs, card-like digit runs,
+    phone numbers) to ``[TYPE]`` placeholders — the scrubbing pass every
+    training-data pipeline runs before tokenization.  Heuristic by design
+    (pipeline plumbing, not a compliance system) and fully codegen: five
+    chained regexp_replace expressions, no Python in the hot path."""
+    out = _c(col)
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{name}]")
+    return out
+
+
+def pii_count(col) -> Column:
+    """How many PII placeholders a scrub WOULD insert — the audit/filter
+    column (e.g. drop documents with > N hits instead of scrubbing)."""
+    out = _c(col)
+    total = F.lit(0)
+    for name, pat in PII_PATTERNS:
+        total = total + F.size(F.split(out, pat)) - 1
+        out = F.regexp_replace(out, pat, f"[{name}]")
+    return total.cast("bigint")

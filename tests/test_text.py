@@ -70,3 +70,69 @@ def test_min_shingle_fingerprint_stability(spark):
     fps = {r["doc_id"]: r["v"] for r in df.select("doc_id", T.min_shingle_fingerprint("text").alias("v")).collect()}
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+
+
+# --------------------------------------------------- chunking / scrubbing (r10)
+
+
+def test_chunk_text_coverage_and_overlap(spark):
+    """Reassembling chunks (dropping each chunk's overlap prefix after the
+    first) reproduces the document EXACTLY, for lengths around every
+    boundary case."""
+    import pyspark.sql.functions as F
+
+    from duckdb_faiss_ext_spark.functions.text import chunk_text
+
+    chunk_chars, overlap = 100, 20
+    stride = chunk_chars - overlap
+    docs = []
+    for i, n in enumerate([1, 79, 80, 81, 100, 101, 179, 180, 181, 500, 1000]):
+        docs.append((i, "".join(chr(97 + (j % 26)) for j in range(n))))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = chunk_text(df, chunk_chars=chunk_chars, overlap=overlap).collect()
+    by_doc: dict = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        assert r["char_start"] == r["chunk_id"] * stride
+        assert 1 <= len(r["chunk"]) <= chunk_chars
+        cur = by_doc.setdefault(r["doc_id"], "")
+        piece = r["chunk"] if r["chunk_id"] == 0 else r["chunk"][overlap:]
+        assert cur[-overlap:] == r["chunk"][:overlap] or r["chunk_id"] == 0
+        by_doc[r["doc_id"]] = cur + piece
+    for i, text in docs:
+        assert by_doc[i] == text, (i, len(text))
+
+
+def test_chunk_spans_validation():
+    import pytest as _pytest
+
+    from duckdb_faiss_ext_spark.functions.text import chunk_spans
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_spans("text", chunk_chars=100, overlap=100)
+
+
+def test_scrub_pii_and_count(spark):
+    import pyspark.sql.functions as F
+
+    from duckdb_faiss_ext_spark.functions.text import pii_count, scrub_pii
+
+    rows = [
+        (0, "contact bob.smith+spam@example.co.uk or call +1 (555) 123-4567"),
+        (1, "server at 192.168.1.100 leaked ssn 123-45-6789"),
+        (2, "card 4111 1111 1111 1111 expires soon"),
+        (3, "no pii here, just the number 42 and v1.2.3"),
+    ]
+    df = spark.createDataFrame(rows, "i bigint, text string")
+    got = {
+        r["i"]: (r["s"], r["n"])
+        for r in df.select(
+            "i", scrub_pii("text").alias("s"), pii_count("text").alias("n")
+        ).collect()
+    }
+    assert got[0][0] == "contact [EMAIL] or call [PHONE]"
+    assert got[0][1] == 2
+    assert got[1][0] == "server at [IP] leaked ssn [SSN]"
+    assert got[1][1] == 2
+    assert got[2][0] == "card [CARD] expires soon"
+    assert got[2][1] == 1
+    assert got[3][0] == rows[3][1] and got[3][1] == 0  # untouched
