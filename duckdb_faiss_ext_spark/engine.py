@@ -772,6 +772,12 @@ class FaissSparkEngine:
             return
         counts = idx.cluster_counts
         n = int(counts.sum())
+        if n < int(idx.count):
+            # the running histogram doesn't cover the whole corpus (e.g. a
+            # disk index re-attached mid-life) — a share computed over a
+            # partial window would be spurious (r10 review finding); the
+            # ground-truth pass in rebalance() re-seeds it
+            return
         nlist0 = max(int(idx.spec.nlist), 1)
         cap = max(self.REBALANCE_CAP_SHARE * n / nlist0, 32.0)
         if n and counts.max() > cap:
@@ -1631,12 +1637,26 @@ class FaissSparkEngine:
     REBALANCE_CORPUS_SAMPLE = 4096
 
     @staticmethod
-    def _lloyd_np(x: np.ndarray, k: int, seed: int = 42, iters: int = 8) -> np.ndarray:
+    def _lloyd_np(
+        x: np.ndarray,
+        k: int,
+        seed: int = 42,
+        iters: int = 8,
+        spherical: bool = False,
+    ) -> np.ndarray:
         """Seeded k-means++ (D² cumsum inversion) + Lloyd over a small numpy
         sample, f64 under L2 — the split-boundary fitter for corpus
         rebalance (same numerics as ``_fit_kmeans_local`` without the
         DataFrame plumbing or empty-cluster repair: children that collapse
-        empty simply attract no rows)."""
+        empty simply attract no rows).
+
+        ``spherical``: unit-normalize the children after every mean update
+        (faiss Clustering's spherical option) — REQUIRED when rows will be
+        reassigned under INNER_PRODUCT/COSINE: L2-mean children have
+        unequal norms, and an IP argmax then routes (nearly) every row to
+        the largest-norm child, burning the split without reducing the max
+        cluster (r10 review finding).  Unit-norm children make the IP
+        argmax a pure direction choice."""
         rng = np.random.default_rng(seed)
         x = x.astype(np.float64)
         k = min(k, len(x))
@@ -1660,6 +1680,9 @@ class FaissSparkEngine:
                 sel = x[lab == j]
                 if len(sel):
                     cents[j] = sel.mean(0)
+            if spherical:
+                nrm = np.sqrt((cents**2).sum(1, keepdims=True))
+                np.divide(cents, nrm, out=cents, where=nrm > 0)
         return cents.astype(np.float32)
 
     def rebalance(self, name: str) -> dict:
@@ -1716,17 +1739,30 @@ class FaissSparkEngine:
         growth_budget = nlist0 - (len(idx.centroids) - nlist0)
         stats = {"passes": 0, "splits": 0, "max_share": None}
         samp = self.REBALANCE_CORPUS_SAMPLE
+        prev_max = None
         for _pass in range(max_passes + 1):
-            hist = {
-                int(r["cluster_id"]): int(r["cnt"])
-                for r in idx.data.groupBy("cluster_id")
-                .agg(F.count("*").alias("cnt"))
-                .collect()
-            }
             nlive = len(idx.centroids)
-            counts = np.zeros(nlive, dtype=np.int64)
-            for c, v in hist.items():
-                counts[c] = v
+            if (
+                _pass == 0
+                and idx.cluster_counts is not None
+                and len(idx.cluster_counts) == nlive
+                and int(idx.cluster_counts.sum()) == int(idx.count)
+            ):
+                # the incrementally-maintained histogram covers the whole
+                # corpus (build-time adds populate it from the SAME job
+                # that materialized the slice) — skip the duplicate
+                # full-corpus groupBy on pass 0 (r10 review finding)
+                counts = idx.cluster_counts.astype(np.int64)
+            else:
+                hist = {
+                    int(r["cluster_id"]): int(r["cnt"])
+                    for r in idx.data.groupBy("cluster_id")
+                    .agg(F.count("*").alias("cnt"))
+                    .collect()
+                }
+                counts = np.zeros(nlive, dtype=np.int64)
+                for c, v in hist.items():
+                    counts[c] = v
             n = int(counts.sum())
             idx.cluster_counts = counts.copy()  # ground-truth refresh
             idx.skew_warned = False
@@ -1739,6 +1775,19 @@ class FaissSparkEngine:
             over = [int(c) for c in np.argsort(-counts) if counts[c] > cap]
             if not over or growth_budget <= 0 or _pass == max_passes:
                 break
+            if prev_max is not None and counts.max() >= prev_max:
+                # a pass that didn't shrink the max cluster will not start
+                # shrinking it on identical inputs — stop instead of
+                # burning the growth budget (degenerate metric/data
+                # regimes; r10 review finding)
+                logger.warning(
+                    "rebalance(%s): pass %d left max cluster at %d rows — "
+                    "splits are not separating this data under metric %s; "
+                    "stopping",
+                    idx.name, _pass, int(counts.max()), idx.metric,
+                )
+                break
+            prev_max = int(counts.max())
             # bounded driver copy of the offenders' rows: biggest first,
             # ~samp rows per cluster via seeded per-cluster sampling, and a
             # 256 MB f32 byte budget overall (same rule as the sample-level
@@ -1783,7 +1832,15 @@ class FaissSparkEngine:
                 # pass rather than fanning out on a thin sample)
                 k_c = int(np.ceil(counts[c] / (0.5 * cap)))
                 k_c = max(2, min(k_c, 16, growth_budget + 1, len(p)))
-                sub = self._lloyd_np(p, k_c, seed=9000 + c)
+                from duckdb_faiss_ext_spark.metrics import resolve_metric
+
+                sub = self._lloyd_np(
+                    p, k_c, seed=9000 + c,
+                    # dot-selection metrics need unit-norm children (see
+                    # _lloyd_np docstring); L2-family keeps plain means
+                    spherical=resolve_metric(metric)
+                    in ("INNER_PRODUCT", "COSINE"),
+                )
                 k_c = len(sub)
                 if k_c < 2:
                     continue
@@ -1856,6 +1913,10 @@ class FaissSparkEngine:
                 rewrite = reassigned(
                     idx.data.filter(F.col("cluster_id").isin(split_ids))
                 ).localCheckpoint(eager=True)
+                emitted = {
+                    int(r["cluster_id"])
+                    for r in rewrite.select("cluster_id").distinct().collect()
+                }
                 (
                     rewrite.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
@@ -1863,6 +1924,21 @@ class FaissSparkEngine:
                     .parquet(data_path)
                 )
                 rewrite.unpersist()
+                # dynamic overwrite only replaces directories the rewrite
+                # EMITS: an offender whose rows all re-picked non-first
+                # children would leave its stale directory behind and
+                # duplicate the whole cluster (r10 review finding) — drop
+                # any offender dir the rewrite did not re-emit.  (Local
+                # filesystem delete; on an object store this is the same
+                # per-prefix delete the overwrite itself performs.)
+                import shutil
+
+                for c in split_ids:
+                    if c not in emitted:
+                        shutil.rmtree(
+                            os.path.join(data_path, f"cluster_id={c}"),
+                            ignore_errors=True,
+                        )
                 idx.centroids = new_cents
                 idx.data = self.spark.read.parquet(data_path)
             else:
@@ -2613,6 +2689,10 @@ class FaissSparkEngine:
         dec = self._decoded_view(idx, idx.data)
         if "vector" in dec.columns:
             row = dec.select("vector").first()
+            if row is None:
+                raise FaissSparkError(
+                    f"Index {name} is empty; add vectors first"
+                )
             vec = [float(v) for v in row["vector"]]
         else:
             # PQ storage keeps only codes; any in-range query works for a JIT

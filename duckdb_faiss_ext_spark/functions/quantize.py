@@ -27,7 +27,28 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["sq8_train", "sq8_encode", "sq8_decode", "sq8_reconstruction_error"]
+__all__ = [
+    "sq8_train",
+    "sq8_encode",
+    "sq8_decode",
+    "sq8_decode_np",
+    "sq8_reconstruction_error",
+]
+
+
+def sq8_decode_np(
+    raw: np.ndarray, vmin: np.ndarray, vdiff: np.ndarray, dtype=np.float32
+) -> np.ndarray:
+    """Kernel-side decode of STORED codes (int8, offset -128): the single
+    numpy implementation every Arrow kernel shares (operators/topk.py,
+    operators/simjoin.py) — f64 math mirroring the JVM ``sq8_decode``
+    expression term-for-term, then ONE round to ``dtype``, so all decode
+    paths are bit-identical.  ``raw`` is (n, dim), any integer or float
+    dtype holding the stored code values."""
+    return (
+        (raw.astype(np.float64) + 128.5) / 255.0 * vdiff.astype(np.float64)
+        + vmin.astype(np.float64)
+    ).astype(dtype)
 
 
 def sq8_train(df: DataFrame, vec_col: str = "embedding") -> tuple:

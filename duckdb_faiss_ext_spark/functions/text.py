@@ -158,10 +158,14 @@ def chunk_text(
     overlap: int = 256,
 ):
     """(id_col, chunk_id, char_start, chunk) — one row per window.  The
-    explode multiplies rows by ~len/stride; everything else is codegen."""
+    explode multiplies rows by ~len/stride; everything else is codegen.
+    NULL-text documents keep one row with NULL chunk columns
+    (explode_outer) so the id space survives for downstream joins/audits —
+    silently vanishing ids would be indistinguishable from a dropped
+    partition (r10 review finding)."""
     spans = chunk_spans(F.col(text_col), chunk_chars, overlap)
     return df.select(
-        F.col(id_col), F.explode(spans).alias("s")
+        F.col(id_col), F.explode_outer(spans).alias("s")
     ).select(id_col, "s.chunk_id", "s.char_start", "s.chunk")
 
 

@@ -130,7 +130,17 @@ def _decode_feature(payload: bytes, fmt: str, dim: int):
             try:
                 frame = C.decode_mp4_frame(payload)
             except C.MediaDecodeError as e:
-                if "no decoder" in str(e) or "no video track" in str(e):
+                # honest-stub cases: codec we can't decode, no video
+                # track, or sample tables that don't cover the request
+                # (fragmented/moof MP4s keep samples outside stbl — their
+                # metadata is real, the decode is legitimately unavailable;
+                # r10 review finding).  Only a corrupt sample range or a
+                # broken JPEG behind a valid header is a decode_error.
+                if (
+                    "no decoder" in str(e)
+                    or "no video track" in str(e)
+                    or "not resolvable" in str(e)
+                ):
                     return _decode_stub(payload, dim), "kept_stub", None
                 raise  # corrupt MJPEG sample behind a valid header
             return C.image_grid_feature(frame, dim), "kept", None

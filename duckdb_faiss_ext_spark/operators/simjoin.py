@@ -136,13 +136,11 @@ def _pack_blocks(
             dim = len(raw) // n
             eff_rows = rows_for_budget(block_rows, block_bytes, dim, np_t().itemsize)
             if sq8 is not None:
-                vmin_, vdiff_ = sq8
-                x = (
-                    (raw.reshape(n, dim).astype(np.float64) + 128.5)
-                    / 255.0
-                    * vdiff_.astype(np.float64)
-                    + vmin_.astype(np.float64)
-                ).astype(np_t)
+                from duckdb_faiss_ext_spark.functions.quantize import (
+                    sq8_decode_np,
+                )
+
+                x = sq8_decode_np(raw.reshape(n, dim), sq8[0], sq8[1], np_t)
             else:
                 x = raw.astype(np_t).reshape(n, dim)
             if grouped:

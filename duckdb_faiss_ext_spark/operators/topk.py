@@ -317,13 +317,11 @@ def partial_topk(
                     [np.asarray(v, dtype=dtype) for v in vec_arr.to_pylist()]
                 )
             if sq8 is not None:
-                vmin_, vdiff_ = sq8
-                x = (
-                    (raw.astype(np.float64) + 128.5)
-                    / 255.0
-                    * vdiff_.astype(np.float64)
-                    + vmin_.astype(np.float64)
-                ).astype(dtype)
+                from duckdb_faiss_ext_spark.functions.quantize import (
+                    sq8_decode_np,
+                )
+
+                x = sq8_decode_np(raw, sq8[0], sq8[1], dtype)
             else:
                 x = np.ascontiguousarray(raw, dtype=dtype)
             labels = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)

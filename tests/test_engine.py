@@ -557,3 +557,20 @@ def test_warm_affordance(spark):
     eng.add("warm_ix2", df)
     hit2 = eng.search_flat("warm_ix2", 1, q, params={"nprobe": 4}).collect()
     assert hit2 and hit2[0]["label"] == 0
+
+
+def test_warm_on_zero_row_index_raises_cleanly(spark):
+    """idx.data non-None but EMPTY: warm() must raise the same clear
+    'empty' error as the data-is-None case, not a NoneType subscript
+    (r10 review fix)."""
+    import pytest as _pytest
+
+    from duckdb_faiss_ext_spark.engine import FaissSparkEngine
+    from duckdb_faiss_ext_spark.errors import FaissSparkError
+
+    eng = FaissSparkEngine(spark)
+    eng.create("warm_zero", 4, "IDMap,Flat")
+    empty = spark.createDataFrame([], "label bigint, vector array<float>")
+    eng.add("warm_zero", empty)
+    with _pytest.raises(FaissSparkError, match="empty"):
+        eng.warm("warm_zero")

@@ -354,3 +354,28 @@ def test_curate_media_keeps_real_mjpeg_mp4(spark):
     ref = C.image_grid_feature(C.decode_mp4_frame(good), 16)
     assert np.allclose(feat, ref, atol=1e-6)
     assert out[1]["status"] == "kept_stub"  # honest stub for avc1
+
+
+def test_curate_mjpeg_without_sample_tables_is_kept_stub(spark):
+    """A container that declares an MJPEG video track but whose sample
+    tables don't resolve (fragmented-MP4 shape: samples outside stbl)
+    keeps the honest kept_stub disposition — its metadata is real, the
+    decode is legitimately unavailable (r10 review fix)."""
+    from duckdb_faiss_ext_spark.operators.curate import MediaPolicy, curate_media
+    from duckdb_faiss_ext_spark.operators.media_codecs import _mp4_box
+
+    entry = _mp4_box(b"jpeg", b"\x00" * 6 + (1).to_bytes(2, "big") + b"\x00" * 70)
+    stsd = _mp4_box(b"stsd", (0).to_bytes(4, "big") + (1).to_bytes(4, "big") + entry)
+    hdlr = _mp4_box(
+        b"hdlr", (0).to_bytes(4, "big") * 2 + b"vide" + b"\x00" * 12
+    )
+    moov = _mp4_box(
+        b"moov",
+        _mp4_box(b"trak", _mp4_box(b"mdia", hdlr + _mp4_box(b"minf", _mp4_box(b"stbl", stsd)))),
+    )
+    frag = _mp4_box(b"ftyp", b"isom" + b"\x00" * 4 + b"iso5") + moov
+    with pytest.raises(C.MediaDecodeError, match="not resolvable"):
+        C.extract_mp4_frame(frag)
+    df = spark.createDataFrame([(0, bytearray(frag))], "media_id bigint, payload binary")
+    out = curate_media(df, MediaPolicy(formats=("mp4",)), dim=8).collect()
+    assert out[0]["status"] == "kept_stub", out[0]

@@ -225,3 +225,29 @@ def test_append_drift_warning_and_running_histogram(spark):
         32.0,
     )
     assert max(_hist(idx).values()) <= cap
+
+
+def test_rebalance_inner_product_spherical_children(spark):
+    """Dot-selection metrics need unit-norm split children: L2-mean
+    children have unequal norms and an IP argmax routes every row to the
+    largest-norm child, burning the split (r10 review finding).  With
+    spherical children the blob separates and the cap holds."""
+    x = _skewed(n=2000)
+    eng = FaissSparkEngine(spark)
+    eng.create(
+        "cr_ip", 8, f"IDMap,IVF{NLIST}", metric_type="INNER_PRODUCT",
+        params={"train_points_per_centroid": "32", "rebalance_clusters": "0"},
+    )
+    eng.add("cr_ip", _df(spark, x))
+    idx = eng.registry.get("cr_ip")
+    cap = max(FaissSparkEngine.REBALANCE_CAP_SHARE * 2000 / NLIST, 32.0)
+    before = max(_hist(idx).values())
+    assert before > cap  # unnormalized IP concentrates the blob
+    idx.params["rebalance_clusters"] = "1"
+    out = eng.rebalance("cr_ip")
+    after = max(_hist(idx).values())
+    # the split must actually separate rows — strictly shrinking max, and
+    # either under cap or stopped honestly by the no-progress guard
+    assert after < before, (before, after)
+    assert out["splits"] > 0
+    assert sum(_hist(idx).values()) == 2000

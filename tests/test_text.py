@@ -136,3 +136,19 @@ def test_scrub_pii_and_count(spark):
     assert got[2][0] == "card [CARD] expires soon"
     assert got[2][1] == 1
     assert got[3][0] == rows[3][1] and got[3][1] == 0  # untouched
+
+
+def test_chunk_text_null_text_keeps_doc_id(spark):
+    from duckdb_faiss_ext_spark.functions.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, None), (2, "")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_text(df, chunk_chars=8, overlap=2).collect()
+    ids = sorted({r["doc_id"] for r in out})
+    assert ids == [0, 1, 2]  # null-text doc survives (explode_outer)
+    null_rows = [r for r in out if r["doc_id"] == 1]
+    assert len(null_rows) == 1 and null_rows[0]["chunk"] is None
+    empty_rows = [r for r in out if r["doc_id"] == 2]
+    assert len(empty_rows) == 1 and empty_rows[0]["chunk"] == ""
