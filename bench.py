@@ -71,7 +71,10 @@ LOCAL_BASELINES = {
     # on the interpreted JVM zip_with path).
     "vec1m_build_sec": 148.1,
     "vec1m_flat_build_sec": 0.39,
-    "vec1m_warm_sec": 9.91,
+    # warm() became a FULL-probe pass mid-r10 (the nprobe=1 warm left 30/32
+    # workers cold, SCALE.md r10) — q1-q3 measured the old cheap warm;
+    # min of the post-fix runs (q4 16.87 / q5 21.55) is the honest value
+    "vec1m_warm_sec": 16.87,
     "vec1m_knn_exact": 3.44,
     "vec1m_knn_np4": 2.63,
     "vec1m_knn_np16": 3.01,
