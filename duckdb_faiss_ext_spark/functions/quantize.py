@@ -63,6 +63,8 @@ def sq8_train(df: DataFrame, vec_col: str = "embedding") -> tuple:
             F.min("v").alias("lo"),
             F.max("v").alias("hi"),
             F.count("v").alias("n"),
+            F.count(F.lit(1)).alias("n_all"),
+            F.max(F.isnan("v")).alias("has_nan"),
         )
         .collect()
     )
@@ -73,8 +75,28 @@ def sq8_train(df: DataFrame, vec_col: str = "embedding") -> tuple:
             f"sq8_train: no vector values found in column {vec_col!r} "
             "(empty DataFrame or all-null column)"
         )
+    # NaN poisons the range silently otherwise (ADVICE r10): Spark's
+    # NaN-is-largest ordering makes F.max return NaN, so one NaN component
+    # would corrupt that dim's vdiff and every later encode/decode
+    nan_dims = sorted(r["j"] for r in rows if r["has_nan"])
+    if nan_dims:
+        raise ValueError(
+            f"sq8_train: NaN vector components in column {vec_col!r} at "
+            f"dims {nan_dims[:8]}{'...' if len(nan_dims) > 8 else ''}; "
+            "filter or impute them before training"
+        )
+    # null elements inside fixed-length vectors are a DIFFERENT defect
+    # than ragged lengths (ADVICE r10): count(v) skips nulls, count(*)
+    # doesn't — a gap between them names the real problem
+    null_dims = sorted(r["j"] for r in rows if r["n"] != r["n_all"])
+    if null_dims:
+        raise ValueError(
+            f"sq8_train: null vector components in column {vec_col!r} at "
+            f"dims {null_dims[:8]}{'...' if len(null_dims) > 8 else ''}; "
+            "SQ8 needs fully-populated vectors"
+        )
     dim = max(r["j"] for r in rows) + 1
-    n_per_dim = {r["j"]: r["n"] for r in rows}
+    n_per_dim = {r["j"]: r["n_all"] for r in rows}
     if len(set(n_per_dim.values())) > 1 or len(n_per_dim) != dim:
         raise ValueError(
             f"sq8_train: ragged vectors in column {vec_col!r} — per-dim "

@@ -180,7 +180,10 @@ PII_PATTERNS = (
     ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
     # no trailing separator: the run ends on a digit, not on "[ -]?"
     ("CARD", r"\b\d(?:[ -]?\d){12,15}\b"),
-    ("PHONE", r"(?<![\w.])\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{2,4}\b"),
+    # country code OPTIONAL (ADVICE r10): the mandatory leading \d{1,3}
+    # group meant the most common bare US shapes '555-123-4567' and
+    # '(555) 123-4567' never matched while '+1 (555) 123-4567' did
+    ("PHONE", r"(?<![\w.])(?:\+?\d{1,3}[-. (]{0,2})?\(?\d{3}[-. )]{0,2}\d{3}[-. ]?\d{2,4}\b"),
 )
 
 

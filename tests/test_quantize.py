@@ -80,6 +80,20 @@ def test_sq8_train_errors(spark):
     )
     with pytest.raises(ValueError, match="ragged"):
         sq8_train(ragged)
+    # NaN components would poison vdiff via NaN-is-largest max (ADVICE r10)
+    nan_df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [float("nan"), 3.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="NaN vector components"):
+        sq8_train(nan_df)
+    # null COMPONENTS in fixed-dim vectors: named as such, not "ragged"
+    null_comp = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [None, 3.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="null vector components"):
+        sq8_train(null_comp)
 
 
 def test_sq8_knn_recall_on_testdata(spark, sf_dir):

@@ -182,13 +182,14 @@ def test_rebalance_disk_mode_rewrites_only_offender_dirs(spark, tmp_path):
 
 def test_append_drift_warning_and_running_histogram(spark):
     """Trained appends maintain the corpus histogram for free (the slice
-    materialization job) and warn ONCE when drift crosses the cap;
-    rebalance() splits and resets the latch."""
+    materialization job) and — with auto-rebalance opted out — warn ONCE
+    when drift crosses the cap; rebalance() splits and resets the latch."""
     import warnings as w
 
     rng = np.random.default_rng(3)
     spread = rng.uniform(-4.0, 4.0, size=(800, 8)).astype(np.float32)
-    eng = _build(spark, spread, "cr_drift")  # even-ish corpus, trains clean
+    eng = _build(spark, spread, "cr_drift",
+                 params={"rebalance_on_append": "0"})
     idx = eng.registry.get("cr_drift")
     assert idx.cluster_counts is not None
     assert int(idx.cluster_counts.sum()) == 800
@@ -225,6 +226,115 @@ def test_append_drift_warning_and_running_histogram(spark):
         32.0,
     )
     assert max(_hist(idx).values()) <= cap
+
+
+def _drift_fixture(spark, seed=3, n0=800, nblob=1600):
+    """Even-ish trained corpus + a tight blob append that lands in ONE
+    cluster and crosses the rebalance cap."""
+    rng = np.random.default_rng(seed)
+    spread = rng.uniform(-4.0, 4.0, size=(n0, 8)).astype(np.float32)
+    blob = (rng.normal(0.0, 0.02, size=(nblob, 8)) + 5.0).astype(np.float32)
+    blob_df = spark.createDataFrame(
+        [(n0 + i, [float(v) for v in r]) for i, r in enumerate(blob)],
+        "label bigint, vector array<float>",
+    )
+    return spread, blob_df
+
+
+def test_append_drift_auto_rebalance_restores_cap(spark):
+    """Default behavior (VERDICT r10 task 5): the add that drifts the
+    histogram over the cap triggers the corpus rebalance itself, so the
+    cap invariant holds after EVERY add — no warning, no manual call.
+    Mirrors the reference's add path keeping index invariants on every
+    add (faiss_extension.cpp:505-532)."""
+    import warnings as w
+
+    spread, blob_df = _drift_fixture(spark)
+    eng = _build(spark, spread, "cr_adrift")  # defaults: auto ON
+    idx = eng.registry.get("cr_adrift")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        eng.add("cr_adrift", blob_df)
+        drift = [c for c in caught if "drifted" in str(c.message)]
+    assert not drift, [str(c.message) for c in caught]
+    n = 800 + 1600
+    cap = max(FaissSparkEngine.REBALANCE_CAP_SHARE * n / NLIST, 32.0)
+    hist = _hist(idx)
+    assert max(hist.values()) <= cap, (max(hist.values()), cap)
+    assert sum(hist.values()) == n  # no row lost or duplicated
+    assert NLIST < len(idx.centroids) <= 2 * NLIST  # blob actually split
+    # the refreshed running histogram matches ground truth
+    for c, n_ in hist.items():
+        assert int(idx.cluster_counts[c]) == n_
+    # self-hit search survives the mid-stream layout rewrite
+    q = blob_df.limit(4).select(
+        F.col("label").alias("qid"), F.col("vector")
+    )
+    hits = eng.search_flat("cr_adrift", 1, q, params={"nprobe": NLIST}).collect()
+    assert all(r["qid"] == r["label"] for r in hits)
+
+
+def test_append_drift_auto_rebalance_disk_mode(spark, tmp_path):
+    """Same invariant on the disk layout: the auto pass rewrites only the
+    offender partition directories and the cap holds after the add."""
+    spread, blob_df = _drift_fixture(spark)
+    eng = _build(
+        spark, spread, "cr_adrift_disk",
+        params={"storage_path": str(tmp_path / "cr_adrift_disk")},
+    )
+    idx = eng.registry.get("cr_adrift_disk")
+    eng.add("cr_adrift_disk", blob_df)
+    n = 800 + 1600
+    cap = max(FaissSparkEngine.REBALANCE_CAP_SHARE * n / NLIST, 32.0)
+    hist = _hist(idx)
+    assert max(hist.values()) <= cap, (max(hist.values()), cap)
+    assert sum(hist.values()) == n
+    q = blob_df.limit(4).select(F.col("label").alias("qid"), F.col("vector"))
+    hits = eng.search_flat(
+        "cr_adrift_disk", 1, q, params={"nprobe": NLIST}
+    ).collect()
+    assert all(r["qid"] == r["label"] for r in hits)
+
+
+def test_append_auto_rebalance_retry_latch(spark):
+    """A pass that CANNOT restore the cap (growth budget spent /
+    non-separating data) must not re-fire on every micro-batch: the
+    corpus size is latched and no retry happens until it grows 25%."""
+    import warnings as w
+
+    spread, blob_df = _drift_fixture(spark)
+    eng = _build(spark, spread, "cr_latch")
+    idx = eng.registry.get("cr_latch")
+    calls = []
+    real = eng._rebalance_corpus
+
+    def failing(ix, **kw):
+        calls.append(int(ix.cluster_counts.sum()))
+        ix.skew_warned = False
+        return {"passes": 1, "splits": 0, "max_share": 99.0}
+
+    eng._rebalance_corpus = failing
+    try:
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            eng.add("cr_latch", blob_df)  # crosses cap -> pass fires, fails
+            drift = [c for c in caught if "drifted" in str(c.message)]
+        assert len(calls) == 1 and len(drift) == 1
+        # tiny follow-up appends: latched, no retry, no duplicate warning
+        with w.catch_warnings(record=True) as caught2:
+            w.simplefilter("always")
+            eng.add(
+                "cr_latch",
+                blob_df.withColumn("label", F.col("label") + 10000).limit(40),
+            )
+        assert len(calls) == 1
+        assert not [c for c in caught2 if "drifted" in str(c.message)]
+        # grow the corpus >= 25% past the latch point: retry fires
+        big = blob_df.withColumn("label", F.col("label") + 20000)
+        eng.add("cr_latch", big)
+        assert len(calls) == 2, calls
+    finally:
+        eng._rebalance_corpus = real
 
 
 def test_rebalance_inner_product_spherical_children(spark):

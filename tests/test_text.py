@@ -121,6 +121,10 @@ def test_scrub_pii_and_count(spark):
         (1, "server at 192.168.1.100 leaked ssn 123-45-6789"),
         (2, "card 4111 1111 1111 1111 expires soon"),
         (3, "no pii here, just the number 42 and v1.2.3"),
+        # bare US shapes with NO country code (ADVICE r10: the mandatory
+        # leading digit group silently skipped exactly these)
+        (4, "call 555-123-4567 today"),
+        (5, "office (555) 123-4567 x12"),
     ]
     df = spark.createDataFrame(rows, "i bigint, text string")
     got = {
@@ -136,6 +140,10 @@ def test_scrub_pii_and_count(spark):
     assert got[2][0] == "card [CARD] expires soon"
     assert got[2][1] == 1
     assert got[3][0] == rows[3][1] and got[3][1] == 0  # untouched
+    assert got[4][0] == "call [PHONE] today"
+    assert got[4][1] == 1
+    assert got[5][0] == "office [PHONE] x12"
+    assert got[5][1] == 1
 
 
 def test_chunk_text_null_text_keeps_doc_id(spark):
