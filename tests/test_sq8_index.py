@@ -160,3 +160,45 @@ def test_sq8_bulk_path_identical_to_driver_path(spark):
         map(tuple, eng.search_flat("sqbulk_f", 5, q, params={"bulk_queries": 1}).collect())
     )
     assert d2 == b2
+
+
+def test_sq8_margin_warning_on_tie_dense_corpus(spark):
+    """Build-time quantization-bound-recall warning (VERDICT r10 task 3):
+    unit-normalized tight clusters have inter-neighbor margins far below
+    the half-bin decode error, the regime where SQ8 recall parks at ~0.39
+    flat-in-nprobe (SCALE.md r10) — the engine must say so when the tier
+    is picked, not leave it to a README note."""
+    import warnings as w
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 16))
+    pts = (
+        np.repeat(centers, 40, axis=0)
+        + rng.normal(0.0, 1e-4, size=(320, 16))
+    ).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    eng = FaissSparkEngine(spark)
+    eng.create("sq_tie", 16, "IDMap,Flat,SQ8", metric_type="INNER_PRODUCT")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        eng.add("sq_tie", _emb_df(spark, pts))
+    hits = [c for c in caught if "QUANTIZATION-bound" in str(c.message)]
+    assert len(hits) == 1, [str(c.message) for c in caught]
+
+
+def test_sq8_margin_warning_absent_on_spread_corpus(spark, sf_dir):
+    """The same check stays SILENT on corpora whose neighbor gaps exceed
+    the codec resolution — the driver testdata embeddings measure recall
+    >= 0.9 through SQ8 (test_quantize), so a warning here would be noise."""
+    import warnings as w
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("label"), F.col("embedding").alias("vector")
+    )
+    eng = FaissSparkEngine(spark)
+    eng.create("sq_ok", 64, "IDMap,Flat,SQ8", metric_type="INNER_PRODUCT")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        eng.add("sq_ok", emb)
+    hits = [c for c in caught if "QUANTIZATION-bound" in str(c.message)]
+    assert not hits, [str(c.message) for c in hits]
