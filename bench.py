@@ -127,16 +127,29 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
-    spark = get_spark("bench")
+    # progress bar OFF: stray progress output must never share stdout with
+    # the single headline JSON line the driver tail-captures (VERDICT r10
+    # task 2)
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     queries: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # standalone-section switch for quiet-host re-pinning (VERDICT r10
+    # task 1): SPARK_GRAFT_BENCH_ONLY=vec1m runs just that section (the
+    # ctrl warmup always runs).  Only self-contained sections qualify —
+    # vec1m is; most sf0.1 sections share qdf48/exact_hits from
+    # engine_exact and would record an error instead of a bogus number.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
 
     def section(name):
         """Run one bench section; on failure record the error and move on."""
 
         def deco(fn):
+            if only and name != only:
+                return
             try:
                 fn()
             except Exception as e:  # noqa: BLE001 — bench must not die
@@ -621,6 +634,24 @@ def main() -> None:
         )
         from _synth import synth_clusterable
 
+        # host-state receipt for the whole section (VERDICT r10 task 1: the
+        # r10 vec1m pins were min-of-contended-runs and 4 keys breached
+        # their own guards on round one; every vec1m number now carries the
+        # ctrl ratio needed to adjudicate ambient vs real)
+        queries["vec1m_ctrl_ratio"] = round(ctrl_time() / ctrl0, 2)
+
+        def timed_build(name, fn):
+            """Build keys can't be cheaply re-run like search keys — time
+            once, and on a >2x-of-baseline breach attach the ctrl ratio so
+            the artifact itself says whether the host was slow."""
+            t0 = time.perf_counter()
+            fn()
+            t = time.perf_counter() - t0
+            queries[name] = round(t, 4)
+            b = r1.get(name)
+            if b and t > 2.0 * b:
+                queries[f"{name}_ctrl_ratio"] = round(ctrl_time() / ctrl0, 2)
+
         n1m, vdim, vnlist = 1_000_000, 64, 2048
         corp = synth_clusterable(spark, n1m, vdim, n_clusters=1024).persist()
         corp.count()
@@ -630,21 +661,26 @@ def main() -> None:
             ).cache()
         )
         q256.count()
-        t0 = time.perf_counter()
-        eng.create("bench_v1m_flat", vdim, "IDMap,Flat", metric_type="L2")
-        eng.add("bench_v1m_flat", corp)
-        queries["vec1m_flat_build_sec"] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        eng.create("bench_v1m", vdim, f"IDMap,IVF{vnlist}", metric_type="L2")
-        eng.add("bench_v1m", corp)
-        queries["vec1m_build_sec"] = round(time.perf_counter() - t0, 4)
+
+        def _build_flat():
+            eng.create("bench_v1m_flat", vdim, "IDMap,Flat", metric_type="L2")
+            eng.add("bench_v1m_flat", corp)
+
+        timed_build("vec1m_flat_build_sec", _build_flat)
+
+        def _build_ivf():
+            eng.create("bench_v1m", vdim, f"IDMap,IVF{vnlist}", metric_type="L2")
+            eng.add("bench_v1m", corp)
+
+        timed_build("vec1m_build_sec", _build_ivf)
         # corpus-histogram skew receipt: a measurement-only rebalance pass
         # (the build already enforced the cap; this records the ratio)
         queries["vec1m_corpus_max_share"] = eng.rebalance("bench_v1m")[
             "max_share"
         ]
-        queries["vec1m_warm_sec"] = round(
-            eng.warm("bench_v1m") + eng.warm("bench_v1m_flat"), 4
+        timed_build(
+            "vec1m_warm_sec",
+            lambda: (eng.warm("bench_v1m"), eng.warm("bench_v1m_flat")),
         )
         bench_entry(
             "vec1m_knn_exact",
@@ -674,6 +710,21 @@ def main() -> None:
                 ).collect()
             }
             queries[key] = round(len(hits & v_exact) / len(v_exact), 4)
+        # filtered search at corpus scale (VERDICT r10 task 6): the
+        # reference's headline bench axis is filtered search across
+        # selectivities (go/main_test.go:34-49, go/benches_c.go:167) but
+        # the sf0.1 filtered keys run over 2,000 rows — pure fixed
+        # overhead.  Semi-join pre-filter against the 1M corpus at the
+        # reference's sweep endpoints: p=1% prunes the scan to ~10k rows
+        # (the semi-join dominates), p=50% scans half the corpus.
+        for p in (1, 50):
+            allowed = corp.filter(F.col("label") % 100 < p).select("label")
+            bench_entry(
+                f"vec1m_filtered_p{p}",
+                lambda a=allowed: eng.search_flat(
+                    "bench_v1m", 10, q256, params={"nprobe": 16}, allowed_df=a
+                ).count(),
+            )
         # bulk grouped equi-join path (the plan corpus-scale query sides
         # auto-route onto; the path r9 made 2.6x faster had NO bench guard)
         qbulk = synth_clusterable(
@@ -688,10 +739,11 @@ def main() -> None:
         # SQ8 storage tier: same corpus, same exact-scan plan through the
         # lazy bin-center decode — the decode overhead is the A/B delta vs
         # vec1m_knn_exact
-        t0 = time.perf_counter()
-        eng.create("bench_v1m_sq", vdim, "IDMap,Flat,SQ8", metric_type="L2")
-        eng.add("bench_v1m_sq", corp)
-        queries["vec1m_sq8_build_sec"] = round(time.perf_counter() - t0, 4)
+        def _build_sq():
+            eng.create("bench_v1m_sq", vdim, "IDMap,Flat,SQ8", metric_type="L2")
+            eng.add("bench_v1m_sq", corp)
+
+        timed_build("vec1m_sq8_build_sec", _build_sq)
         eng.warm("bench_v1m_sq")
         bench_entry(
             "vec1m_sq8_knn",
@@ -751,16 +803,62 @@ def main() -> None:
         4,
     )
     queries = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in queries.items()}
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # --- artifact split (VERDICT r10 task 2): the r10 headline line grew
+    # past the driver's 2000-char stdout tail capture and the round's
+    # bench recorded `parsed: null`.  EVERYTHING still lands in a full
+    # side file; the stdout line keeps the timing/throughput/recall keys
+    # and moves pure diagnostics (ctrl ratios, rerun markers, heap/load
+    # attribution, per-stage splits of an already-counted pipeline, and
+    # per-floor booleans — summarized to one `floors_ok`) to the file.
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "tools", "bench_full_latest.json")
+    full_out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": queries,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full_out["errors"] = errors
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full_out, f, indent=1)
+    except OSError:
+        full_path = None
+
+    def is_side(k: str) -> bool:
+        return (
+            k.endswith(("_ctrl_ratio", "_reruns", "_heap_used_mb", "_load1m"))
+            or k.startswith("dedup_stage_")
+            or k.endswith("_floor_ok")
+        )
+
+    compact = {k: v for k, v in queries.items() if not is_side(k)}
+    floor_keys = [k for k in queries if k.endswith("_floor_ok")]
+    compact["floors_ok"] = bool(floor_keys) and all(
+        queries[k] for k in floor_keys
+    )
+    for k in floor_keys:  # red floors stay in-line, never only in the file
+        if not queries[k]:
+            compact[k] = False
+    out = dict(full_out, queries=compact)
+    if full_path:
+        out["full"] = os.path.relpath(full_path, here)
+    if errors:  # headline keeps error NAMES; tracebacks/messages in the file
+        out["errors"] = {k: v[:60] for k, v in errors.items()}
+    line = json.dumps(out)
+    if len(line) > 1900:
+        # last-resort trim, loudly: recalls are floor-guarded above and
+        # fully recorded in the side file
+        out["queries"] = {
+            k: v for k, v in compact.items() if "_recall" not in k
+        }
+        out["trimmed"] = "recall keys -> full file"
+        line = json.dumps(out)
+    print(line)
     if errors and not queries:
         sys.exit(1)
 
