@@ -2869,7 +2869,13 @@ class FaissSparkEngine:
         `SELECT {idsel} FROM {table} WHERE {filter}=1` on a fresh connection
         and builds a bitmap selector; Spark needs no reentrancy — the allowed
         set is a DataFrame and the bitmap/set distinction (:974-1022) is a
-        physical detail Catalyst's broadcast-semi-join already covers."""
+        physical detail Catalyst's broadcast-semi-join already covers.
+
+        ``filter_expr``/``table`` are interpolated into SQL text and are
+        TRUSTED input, exactly like the reference's generated query
+        (faiss_extension.cpp:939-944) — pass only application-controlled
+        strings, or use ``search_flat(..., allowed_df=...)`` with a
+        DataFrame you built yourself."""
         # CAST to BOOLEAN so both boolean predicates and the reference's 0/1
         # UTINYINT filter values (faiss_extension.cpp:857, :940-941) are
         # accepted — Spark's WHERE alone rejects a numeric filter expression
