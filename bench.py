@@ -71,24 +71,30 @@ LOCAL_BASELINES = {
     # (load 6.5) — the r6 declared 2.44 was a lucky draw, not the central
     # value; min of the recorded quiet runs is the honest guard
     "wide1536_simjoin": 3.138,
-    # vec1m scaled-throughput leg (r10): min across the three r10 pinning
-    # runs (tools/out_r10/bench_q{1,2,3}.json; ambient load 15-30 during
-    # all three — the sandbox's noisy-neighbor regime, control query
-    # normal, so these are conservative-but-honest guards).  sq8_knn is
-    # min of q2/q3 only: q1 predates the kernel-side decode fix (33.4 s
-    # on the interpreted JVM zip_with path).
-    "vec1m_build_sec": 148.1,
-    "vec1m_flat_build_sec": 0.39,
-    # warm() became a FULL-probe pass mid-r10 (the nprobe=1 warm left 30/32
-    # workers cold, SCALE.md r10) — q1-q3 measured the old cheap warm;
-    # min of the post-fix runs (q4 16.87 / q5 21.55) is the honest value
-    "vec1m_warm_sec": 16.87,
-    "vec1m_knn_exact": 3.44,
-    "vec1m_knn_np4": 2.63,
-    "vec1m_knn_np16": 3.01,
-    "vec1m_bulk_np16": 14.63,
-    "vec1m_sq8_build_sec": 2.22,
-    "vec1m_sq8_knn": 5.43,
+    # vec1m scaled-throughput leg — r11 re-pin (VERDICT r10 task 1: the
+    # r10 pins were the MIN of three contended runs and 4 of 9 keys
+    # breached their own 2x guards on round one).  Pins below are the
+    # MEDIAN of SIX r11 runs of identical code (3 standalone vec1m
+    # sections started at load < 2 + 3 full-suite runs;
+    # tools/out_r11/{vec1m_pin,full_bench}{1,2,3}_full.json).  The
+    # measured cross-run spread rides in each comment: the section-start
+    # ctrl ratios were 0.19-1.19 across all six runs (the 0.5 s control
+    # query sees a HEALTHY host) while the heavy legs still swing up to
+    # 4.7x — the variance lives inside the big parallel stages
+    # (GC/page-cache/neighbor effects invisible to a small probe), so a
+    # breach of these guards is adjudicated by the rerun-min logic, not
+    # by the ctrl ratio alone.
+    "vec1m_build_sec": 152.7,   # 133..208 (1.6x)
+    "vec1m_flat_build_sec": 0.84,  # 0.37..1.69 (4.5x, sub-second key)
+    "vec1m_warm_sec": 14.8,     # 9.6..24.8 (2.6x)
+    "vec1m_knn_exact": 5.96,    # 2.9..13.4 (4.7x)
+    "vec1m_knn_np4": 2.97,      # 2.7..3.7 (1.4x)
+    "vec1m_knn_np16": 3.57,     # 3.3..5.2 (1.6x)
+    "vec1m_filtered_p1": 3.63,  # 3.5..5.0 (1.5x)
+    "vec1m_filtered_p50": 4.8,  # 4.0..6.1 (1.5x)
+    "vec1m_bulk_np16": 31.8,    # 10.6..47.6 (4.5x)
+    "vec1m_sq8_build_sec": 4.11,  # 2.2..7.8 (3.5x)
+    "vec1m_sq8_knn": 10.3,      # 4.7..15.2 (3.2x)
 }
 
 # re-pinned declared baselines (r9) applied AFTER the cross-round min.

@@ -2851,6 +2851,18 @@ class FaissSparkEngine:
             else None
         )
         self.search_flat(name, k, q, params=params).collect()
+        # The BULK grouped-join path is a different physical plan with its
+        # own worker-side kernel (executor-side packed blocks / grouped
+        # equi-join) that the driver-path pass above never touches: the
+        # r11 variance probe measured the first bulk search at ~3-5x its
+        # steady state (49.8 s vs 9-23 s at 1M/20k queries) AFTER a full
+        # warm().  One NARROW forced-bulk query (partitions are already
+        # hot from the full-probe pass; this pays only the plan/kernel
+        # first-use cost) closes that gap.
+        bulk_params = {"bulk_queries": 1}
+        if idx.spec.kind == "ivf":
+            bulk_params["nprobe"] = 1
+        self.search_flat(name, k, q, params=bulk_params).collect()
         return _time.perf_counter() - t0
 
     def search_filter(

@@ -169,6 +169,45 @@ def chunk_text(
     ).select(id_col, "s.chunk_id", "s.char_start", "s.chunk")
 
 
+def vocab_stats(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+):
+    """Corpus vocabulary statistics — the pass a training pipeline runs to
+    build/size a tokenizer vocabulary and spot contamination (boilerplate
+    tokens with huge doc_freq): ``(token, term_freq, doc_freq)``, one row
+    per distinct lowercased alnum token.
+
+    Scale shape (100 TB): term_freq is ONE groupBy with full map-side
+    combine (token counts partially aggregate to O(vocab) rows per
+    partition before the shuffle — Zipf's heaviest tokens are exactly the
+    ones partial aggregation compresses best); doc_freq dedups (token,
+    doc) pairs with the same partial-agg property, then reuses the
+    token-hash shuffle.  No UDFs, no driver data.
+
+    Tokenization = lowercase, split on non-alnum runs ([^a-z0-9]+) —
+    identical semantics in Java regex and RE2/DuckDB, so the op has an
+    exact cross-engine oracle (tests/test_text.py)."""
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(
+            F.regexp_extract_all(F.lower(_c(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("token"),
+    )
+    tf = toks.groupBy("token").agg(F.count("*").alias("term_freq"))
+    dfq = (
+        toks.distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    out = tf.join(dfq, "token")
+    if min_count > 1:
+        out = out.filter(F.col("term_freq") >= min_count)
+    return out
+
+
 # Redaction patterns (java.util.regex — Spark's engine; the phone pattern
 # uses a lookbehind, fine there).  Anchored on word-ish boundaries so
 # replacements never chain into each other's placeholders.  Order matters:

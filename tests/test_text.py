@@ -160,3 +160,136 @@ def test_chunk_text_null_text_keeps_doc_id(spark):
     assert len(null_rows) == 1 and null_rows[0]["chunk"] is None
     empty_rows = [r for r in out if r["doc_id"] == 2]
     assert len(empty_rows) == 1 and empty_rows[0]["chunk"] == ""
+
+
+def test_chunk_text_matches_duckdb_oracle(spark, sf_dir):
+    """Cross-engine check (VERDICT r10 task 8): chunk_text's window
+    arithmetic has an exact ANSI-SQL twin (substr arithmetic + a series
+    join).  Run both over the real documents table and compare the full
+    row multisets.  NULL-text behavior is pinned separately
+    (test_chunk_text_null_text_keeps_doc_id) — DuckDB's lateral join
+    drops NULL-length docs, so the oracle covers non-null texts."""
+    import duckdb
+
+    from duckdb_faiss_ext_spark.functions.text import chunk_text
+
+    chunk_chars, overlap = 64, 16
+    stride = chunk_chars - overlap
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("text IS NOT NULL")
+        .select("doc_id", "text")
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["char_start"], r["chunk"])
+        for r in chunk_text(
+            docs, chunk_chars=chunk_chars, overlap=overlap
+        ).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            f"""
+            SELECT d.doc_id,
+                   CAST(g.i AS INT) AS chunk_id,
+                   CAST(g.i * {stride} AS INT) AS char_start,
+                   substr(d.text, CAST(g.i * {stride} AS INT) + 1,
+                          {chunk_chars}) AS chunk
+            FROM read_parquet('{sf_dir}/documents.parquet') d,
+                 generate_series(
+                   0,
+                   greatest(
+                     1,
+                     CAST(ceil((length(d.text) - {overlap})
+                               / {stride}.0) AS INT)
+                   ) - 1
+                 ) AS g(i)
+            WHERE d.text IS NOT NULL
+            """
+        ).fetchall()
+    )
+    assert got == want, (len(got), len(want), got[:2], want[:2])
+
+
+def test_scrub_pii_matches_python_re(spark, sf_dir):
+    """Cross-engine check: the five PII patterns produce the same
+    redactions under java.util.regex (Spark codegen) and Python re —
+    guards against engine-specific regex semantics (lookbehind, class
+    ranges) silently diverging.  Corpus = real document texts with PII
+    shapes injected at deterministic offsets."""
+    import re
+
+    from duckdb_faiss_ext_spark.functions.text import PII_PATTERNS, scrub_pii
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("text IS NOT NULL")
+        .limit(40)
+        .collect()
+    ]
+    inject = [
+        "mail me at jo.doe+x@corp.io",
+        "call 555-123-4567",
+        "or +44 20 7946 0958",
+        "host 10.0.42.7",
+        "ssn 987-65-4320",
+        "card 4111-1111-1111-1111",
+    ]
+    rows = [
+        (i, f"{t[: (7 * i) % 40]} {inject[i % len(inject)]} {t[:60]}")
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "i bigint, text string")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", scrub_pii("text").alias("s")).collect()
+    }
+
+    def py_scrub(s: str) -> str:
+        for name, pat in PII_PATTERNS:
+            s = re.sub(pat, f"[{name}]", s)
+        return s
+
+    for i, t in rows:
+        assert got[i] == py_scrub(t), (i, t, got[i], py_scrub(t))
+
+
+def test_vocab_stats_matches_duckdb_oracle(spark, sf_dir):
+    """Cross-engine check: vocab_stats (term_freq + doc_freq over
+    lowercased alnum tokens) vs the identical DuckDB formulation on the
+    real documents table."""
+    import duckdb
+
+    from duckdb_faiss_ext_spark.functions.text import vocab_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = sorted(
+        (r["token"], r["term_freq"], r["doc_freq"])
+        for r in vocab_stats(docs, min_count=2).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            f"""
+            WITH toks AS (
+              SELECT d.doc_id, t.token
+              FROM read_parquet('{sf_dir}/documents.parquet') d,
+                   unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+'))
+                     AS t(token)
+            )
+            SELECT token,
+                   count(*) AS term_freq,
+                   count(DISTINCT doc_id) AS doc_freq
+            FROM toks GROUP BY token HAVING count(*) >= 2
+            """
+        ).fetchall()
+    )
+    assert got == want, (len(got), len(want), got[:3], want[:3])
+    # sanity: doc_freq never exceeds term_freq, and a known-common token
+    # (driver synth text is english-ish) appears
+    assert all(d <= t for _, t, d in got)
