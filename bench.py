@@ -86,13 +86,20 @@ LOCAL_BASELINES = {
     # by the ctrl ratio alone.
     "vec1m_build_sec": 152.7,   # 133..208 (1.6x)
     "vec1m_flat_build_sec": 0.84,  # 0.37..1.69 (4.5x, sub-second key)
-    "vec1m_warm_sec": 14.8,     # 9.6..24.8 (2.6x)
+    # warm() grew a bulk-path leg mid-r11 (the variance probe showed the
+    # bulk grouped-join kernel stayed cold through warm; SCALE.md r11) —
+    # warm/bulk pins come from the three POST-fix runs only
+    # (tools/out_r11/vec1m_pin{4,5,6}_full.json; runs 4-5 under an
+    # externally noisy window, load 23-44)
+    "vec1m_warm_sec": 31.3,     # post-fix: 16.4..49.2
     "vec1m_knn_exact": 5.96,    # 2.9..13.4 (4.7x)
     "vec1m_knn_np4": 2.97,      # 2.7..3.7 (1.4x)
     "vec1m_knn_np16": 3.57,     # 3.3..5.2 (1.6x)
     "vec1m_filtered_p1": 3.63,  # 3.5..5.0 (1.5x)
     "vec1m_filtered_p50": 4.8,  # 4.0..6.1 (1.5x)
-    "vec1m_bulk_np16": 31.8,    # 10.6..47.6 (4.5x)
+    "vec1m_bulk_np16": 17.0,    # post-fix: 15.9..19.5 — the warm-bulk
+    # fix REMOVED the first-use premium that made the pre-fix spread
+    # 10.6..47.6 (4.5x); the leg now measures steady state
     "vec1m_sq8_build_sec": 4.11,  # 2.2..7.8 (3.5x)
     "vec1m_sq8_knn": 10.3,      # 4.7..15.2 (3.2x)
 }

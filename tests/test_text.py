@@ -187,6 +187,17 @@ def test_chunk_text_matches_duckdb_oracle(spark, sf_dir):
         ).collect()
     )
     con = duckdb.connect()
+    # this DuckDB build rejects lateral column params in generate_series,
+    # so the series is static (0..max chunks over the corpus) and each doc
+    # keeps the prefix its length implies — same rows, join-then-filter
+    max_i = con.execute(
+        f"""
+        SELECT max(greatest(1, CAST(ceil((length(text) - {overlap})
+                                         / {stride}.0) AS INT))) - 1
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE text IS NOT NULL
+        """
+    ).fetchone()[0]
     want = sorted(
         tuple(t)
         for t in con.execute(
@@ -196,15 +207,10 @@ def test_chunk_text_matches_duckdb_oracle(spark, sf_dir):
                    CAST(g.i * {stride} AS INT) AS char_start,
                    substr(d.text, CAST(g.i * {stride} AS INT) + 1,
                           {chunk_chars}) AS chunk
-            FROM read_parquet('{sf_dir}/documents.parquet') d,
-                 generate_series(
-                   0,
-                   greatest(
-                     1,
-                     CAST(ceil((length(d.text) - {overlap})
-                               / {stride}.0) AS INT)
-                   ) - 1
-                 ) AS g(i)
+            FROM read_parquet('{sf_dir}/documents.parquet') d
+            JOIN generate_series(0, {max_i}) AS g(i)
+              ON g.i < greatest(1, CAST(ceil((length(d.text) - {overlap})
+                                             / {stride}.0) AS INT))
             WHERE d.text IS NOT NULL
             """
         ).fetchall()
