@@ -863,9 +863,11 @@ def main() -> None:
 
     compact = {k: v for k, v in queries.items() if not is_side(k)}
     floor_keys = [k for k in queries if k.endswith("_floor_ok")]
-    compact["floors_ok"] = bool(floor_keys) and all(
-        queries[k] for k in floor_keys
-    )
+    if floor_keys:
+        # only when floors were actually evaluated — a floorless partial
+        # run (SPARK_GRAFT_BENCH_ONLY on a floorless section, or both
+        # floor sections erroring) must not read as a floor regression
+        compact["floors_ok"] = all(queries[k] for k in floor_keys)
     for k in floor_keys:  # red floors stay in-line, never only in the file
         if not queries[k]:
             compact[k] = False
@@ -876,10 +878,13 @@ def main() -> None:
         out["errors"] = {k: v[:60] for k, v in errors.items()}
     line = json.dumps(out)
     if len(line) > 1900:
-        # last-resort trim, loudly: recalls are floor-guarded above and
-        # fully recorded in the side file
+        # last-resort trim, loudly: recall VALUES are floor-guarded above
+        # and fully recorded in the side file — but red *_floor_ok keys
+        # (re-added deliberately just above) stay in-line
         out["queries"] = {
-            k: v for k, v in compact.items() if "_recall" not in k
+            k: v
+            for k, v in compact.items()
+            if "_recall" not in k or k.endswith("_floor_ok")
         }
         out["trimmed"] = "recall keys -> full file"
         line = json.dumps(out)

@@ -794,18 +794,23 @@ class FaissSparkEngine:
         if not n or counts.max() <= cap:
             return
         if int(idx.params.get("rebalance_on_append", 1)):
-            floor = getattr(idx, "_append_rebalance_floor", None)
+            floor = idx.append_rebalance_floor
             if floor is not None and n < 1.25 * floor:
                 return  # retry latch: warned when it was set
             out = self._rebalance_corpus(idx)
-            if (
-                out is not None
-                and out.get("max_share") is not None
-                and out["max_share"] <= self.REBALANCE_CAP_SHARE
-            ):
-                idx._append_rebalance_floor = None
-                return
-            idx._append_rebalance_floor = n
+            # success = the OPERATIVE cap (the same max(share, 32-row
+            # floor) rule the trigger above applies) holds on the
+            # refreshed ground-truth histogram — judging the raw share
+            # ratio alone misfires in the small-n floor regime, where
+            # the pass stops at 32-row clusters whose share can still
+            # exceed CAP_SHARE (r11 review finding)
+            if out is not None and idx.cluster_counts is not None:
+                n2 = int(idx.cluster_counts.sum())
+                cap2 = max(self.REBALANCE_CAP_SHARE * n2 / nlist0, 32.0)
+                if n2 and idx.cluster_counts.max() <= cap2:
+                    idx.append_rebalance_floor = None
+                    return
+            idx.append_rebalance_floor = n
             # fall through: the pass could not restore the cap — say so
         if idx.skew_warned:
             return  # already said so; only suppresses the duplicate warning
@@ -1288,6 +1293,10 @@ class FaissSparkEngine:
         Warn when the perturbation reaches the margin.  Supported for the
         metrics SQ8 search actually optimizes (L2 / IP / COSINE); exotic
         metrics skip the check."""
+        from duckdb_faiss_ext_spark.functions.quantize import (
+            sq8_decode_np,
+            sq8_encode_np,
+        )
         from duckdb_faiss_ext_spark.metrics import (
             is_descending,
             pairwise,
@@ -1298,25 +1307,32 @@ class FaissSparkEngine:
         if metric not in ("L2", "INNER_PRODUCT", "COSINE"):
             return
         k = self.SQ_MARGIN_K
-        rows = (
-            vec_df.select("vector").limit(self.SQ_MARGIN_SAMPLE).collect()
-        )
+        # seeded random sample, NOT limit(): limit takes the first rows in
+        # partition order, and on a clustered/sorted corpus (the engine's
+        # own cluster-partitioned layout) the first 512 rows can be one
+        # tight cluster — biasing the margin estimate both ways (r11
+        # review finding).  One count job prices the fraction; build-time
+        # only.
+        n = vec_df.count()
+        if n < k + 2:
+            return
+        samp = vec_df.select("vector")
+        if n > self.SQ_MARGIN_SAMPLE:
+            samp = samp.filter(
+                F.rand(11) < min(1.0, 1.3 * self.SQ_MARGIN_SAMPLE / n)
+            )
+        rows = samp.limit(self.SQ_MARGIN_SAMPLE).collect()
         if len(rows) < k + 2:
             return
         x = np.asarray([r["vector"] for r in rows], dtype=np.float32)
-        vmin = idx.sq_vmin.astype(np.float64)
-        vdiff = idx.sq_vdiff.astype(np.float64)
-        codes = np.clip(
-            np.floor(
-                (x.astype(np.float64) - vmin)
-                / np.where(vdiff > 0, vdiff, 1.0)
-                * 255.0
-            ),
-            0,
-            255,
-        )
-        xq = np.where(vdiff > 0, vmin + (codes + 0.5) / 255.0 * vdiff, vmin).astype(
-            np.float32
+        # one-sided quantization through THE canonical numpy codec pair
+        # (bit-identical to every kernel path) — a hand-copied formula
+        # here would drift if the codec convention ever changes again
+        # (the r9 round-vs-floor fix; r11 review finding)
+        xq = sq8_decode_np(
+            sq8_encode_np(x, idx.sq_vmin, idx.sq_vdiff).astype(np.float64),
+            idx.sq_vmin,
+            idx.sq_vdiff,
         )
         d_true = pairwise(x, x, metric, idx.metric_arg, dtype=np.float64)
         d_quant = pairwise(x, xq, metric, idx.metric_arg, dtype=np.float64)
@@ -1866,13 +1882,21 @@ class FaissSparkEngine:
                 # full-corpus groupBy on pass 0 (r10 review finding)
                 counts = idx.cluster_counts.astype(np.int64)
             else:
+                # NULL cluster ids (e.g. rows under a hive default
+                # partition from a hand-repaired layout) are orphans too —
+                # int(None) one line down would be the unhelpful crash
+                # this guard exists to prevent (r11 review finding)
                 hist = {
-                    int(r["cluster_id"]): int(r["cnt"])
+                    (int(r["cluster_id"]) if r["cluster_id"] is not None else None):
+                        int(r["cnt"])
                     for r in idx.data.groupBy("cluster_id")
                     .agg(F.count("*").alias("cnt"))
                     .collect()
                 }
-                orphans = sorted(c for c in hist if not 0 <= c < nlive)
+                orphans = sorted(
+                    (c for c in hist if c is None or not 0 <= c < nlive),
+                    key=lambda c: (c is None, c),
+                )
                 if orphans:
                     # disk data.parquet can hold child partitions from an
                     # interrupted earlier rebalance (data write landed,

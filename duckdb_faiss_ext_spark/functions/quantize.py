@@ -31,9 +31,32 @@ __all__ = [
     "sq8_train",
     "sq8_encode",
     "sq8_decode",
+    "sq8_encode_np",
     "sq8_decode_np",
     "sq8_reconstruction_error",
 ]
+
+
+def sq8_encode_np(x: np.ndarray, vmin: np.ndarray, vdiff: np.ndarray) -> np.ndarray:
+    """Kernel/driver-side encode mirroring the JVM ``sq8_encode``
+    expression term-for-term: clamp x_norm to [0,1], truncating
+    code = floor(255 * x_norm), STORED as int8 (code - 128); degenerate
+    (vdiff <= 0) dims store -128 (decode = vmin, exact).  The single
+    numpy encode every non-JVM path shares, so codes are bit-identical
+    across paths (the decode twin is ``sq8_decode_np``)."""
+    vmin = vmin.astype(np.float64)
+    vdiff = vdiff.astype(np.float64)
+    codes = np.clip(
+        np.floor(
+            (x.astype(np.float64) - vmin)
+            / np.where(vdiff > 0, vdiff, 1.0)
+            * 255.0
+        ),
+        0,
+        255,
+    )
+    codes = np.where(vdiff > 0, codes, 0.0)
+    return (codes - 128).astype(np.int8)
 
 
 def sq8_decode_np(

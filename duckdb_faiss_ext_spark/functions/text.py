@@ -180,12 +180,14 @@ def vocab_stats(
     tokens with huge doc_freq): ``(token, term_freq, doc_freq)``, one row
     per distinct lowercased alnum token.
 
-    Scale shape (100 TB): term_freq is ONE groupBy with full map-side
-    combine (token counts partially aggregate to O(vocab) rows per
-    partition before the shuffle — Zipf's heaviest tokens are exactly the
-    ones partial aggregation compresses best); doc_freq dedups (token,
-    doc) pairs with the same partial-agg property, then reuses the
-    token-hash shuffle.  No UDFs, no driver data.
+    Scale shape (100 TB): ONE corpus scan + tokenize, ONE aggregation —
+    count(*) partially aggregates map-side to O(vocab) rows per partition
+    (Zipf's heaviest tokens are exactly the ones partial aggregation
+    compresses best), and count(DISTINCT doc) rides the same groupBy via
+    Spark's expand/two-phase distinct-aggregate rewrite.  The first cut
+    ran tf and doc-freq as two independent consumers of the uncached
+    explode — two full scans and three shuffles for the same output (r11
+    review finding).  No UDFs, no driver data.
 
     Tokenization = lowercase, split on non-alnum runs ([^a-z0-9]+) —
     identical semantics in Java regex and RE2/DuckDB, so the op has an
@@ -196,13 +198,10 @@ def vocab_stats(
             F.regexp_extract_all(F.lower(_c(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
         ).alias("token"),
     )
-    tf = toks.groupBy("token").agg(F.count("*").alias("term_freq"))
-    dfq = (
-        toks.distinct()
-        .groupBy("token")
-        .agg(F.count("*").alias("doc_freq"))
+    out = toks.groupBy("token").agg(
+        F.count("*").alias("term_freq"),
+        F.count_distinct(F.col("__doc")).alias("doc_freq"),
     )
-    out = tf.join(dfq, "token")
     if min_count > 1:
         out = out.filter(F.col("term_freq") >= min_count)
     return out
@@ -221,8 +220,17 @@ PII_PATTERNS = (
     ("CARD", r"\b\d(?:[ -]?\d){12,15}\b"),
     # country code OPTIONAL (ADVICE r10): the mandatory leading \d{1,3}
     # group meant the most common bare US shapes '555-123-4567' and
-    # '(555) 123-4567' never matched while '+1 (555) 123-4567' did
-    ("PHONE", r"(?<![\w.])(?:\+?\d{1,3}[-. (]{0,2})?\(?\d{3}[-. )]{0,2}\d{3}[-. ]?\d{2,4}\b"),
+    # '(555) 123-4567' never matched while '+1 (555) 123-4567' did.
+    # Three alternatives so the optional group can't shrink the minimum
+    # to 8 bare digits (which would redact compact dates like 20260815 —
+    # r11 review finding): explicit-+ international with 2-4-digit
+    # groupings ('+44 20 7946 0958'); NANP-ish shapes that REQUIRE a
+    # separator after the area code; bare runs keep the original
+    # >= 9-digit minimum.
+    ("PHONE",
+     r"\+\d{1,3}(?:[-. ]\d{2,4}){2,4}\b"
+     r"|(?<![\w.])(?:\+?\d{1,3}[-. (]{0,2})?\(?\d{3}[-. )]{1,2}\d{3}[-. ]?\d{2,4}\b"
+     r"|(?<![\w.])\+?\d{9,13}\b"),
 )
 
 

@@ -57,6 +57,9 @@ class FaissIndex:
     # ground truth by every corpus-rebalance pass.
     cluster_counts: Optional[np.ndarray] = None
     skew_warned: bool = False  # one warning per drift crossing
+    # retry latch for auto-rebalance-on-append: corpus size at the last
+    # pass that could NOT restore the cap; no retry until +25% growth
+    append_rebalance_floor: Optional[int] = None
     # cached per-add slices (memory mode): add() persists only the NEW batch
     # and unions lazily — O(batch) work per add instead of re-counting the
     # whole lineage (VERDICT r1 #4); compacted when the list grows deep

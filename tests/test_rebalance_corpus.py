@@ -361,3 +361,41 @@ def test_rebalance_inner_product_spherical_children(spark):
     assert after < before, (before, after)
     assert out["splits"] > 0
     assert sum(_hist(idx).values()) == 2000
+
+
+def test_append_auto_rebalance_floor_regime_counts_as_success(spark):
+    """Small-n regime (r11 review finding): when the operative cap is the
+    32-row ABSOLUTE floor (4n/nlist < 32), a pass that splits the drifted
+    cluster down to <= 32 rows has restored the invariant — the success
+    test must apply the same max(share, floor) rule as the trigger, not
+    the raw share ratio (which can read > 4.0x here and would falsely
+    latch + warn)."""
+    import warnings as w
+
+    nlist = 64
+    rng = np.random.default_rng(9)
+    spread = rng.uniform(-4.0, 4.0, size=(400, 8)).astype(np.float32)
+    eng = FaissSparkEngine(spark)
+    eng.create(
+        "cr_floor", 8, f"IDMap,IVF{nlist}", metric_type="L2",
+        params={"train_points_per_centroid": "32"},
+    )
+    eng.add("cr_floor", _df(spark, spread))
+    idx = eng.registry.get("cr_floor")
+    blob = (rng.normal(0.0, 0.02, size=(100, 8)) + 5.0).astype(np.float32)
+    blob_df = spark.createDataFrame(
+        [(400 + i, [float(v) for v in r]) for i, r in enumerate(blob)],
+        "label bigint, vector array<float>",
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        eng.add("cr_floor", blob_df)
+        drift = [c for c in caught if "drifted" in str(c.message)]
+    cap = max(FaissSparkEngine.REBALANCE_CAP_SHARE * 500 / nlist, 32.0)
+    assert cap == 32.0  # the fixture really is in the floor regime
+    hist = _hist(idx)
+    assert max(hist.values()) <= cap, (max(hist.values()), cap)
+    assert sum(hist.values()) == 500
+    # restored-under-the-operative-cap = SUCCESS: no warning, no latch
+    assert not drift, [str(c.message) for c in drift]
+    assert idx.append_rebalance_floor is None
