@@ -178,3 +178,44 @@ def test_sq8_ivf_disk_scan_prunes_partitions(spark, tmp_path):
         "PartitionFilters", 1
     )[1].split("]", 1)[0], plan
     assert res.count() == 3
+
+
+def test_vocab_stats_single_scan_partial_agg(spark, sf_dir):
+    """vocab_stats: ONE scan of the source (the r11 review fix — the
+    first cut scanned twice), partial aggregation before the shuffle, and
+    the Expand-based distinct-aggregate rewrite (tf + doc_freq in one
+    groupBy)."""
+    import re
+
+    from duckdb_faiss_ext_spark.functions.text import vocab_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(vocab_stats(docs))
+    # exactly ONE scan node (the formatted plan repeats the node header in
+    # its detail section, so count node ids, not the substring)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:500]
+    # distinct-aggregate rewrite: tf + doc_freq in one pipeline — either
+    # Expand-based or the two-level (token,doc)->token rewrite (>= 4
+    # HashAggregates), both with map-side partials
+    n_agg = plan.count("HashAggregate") + plan.count("ObjectHashAggregate")
+    assert "Expand" in plan or n_agg >= 4, n_agg
+
+
+def test_text_ops_are_pure_codegen(spark, sf_dir):
+    """scrub_pii / pii_count / chunk_text: zero Python in the plan — the
+    whole point of expressing them as column expressions."""
+    from duckdb_faiss_ext_spark.functions.text import (
+        chunk_text,
+        pii_count,
+        scrub_pii,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (
+        docs.select(scrub_pii("text"), pii_count("text")),
+        chunk_text(docs),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "mapInPandas" not in plan.lower()
