@@ -1,0 +1,452 @@
+"""Curation-op tests (r11): Gopher repetition signals, n-gram
+contamination, and the one-pass curate_text policy operator — handcrafted
+pins plus full cross-engine DuckDB oracles on the real documents table
+(the contract pattern of test_text.py's vocab/chunk checks)."""
+
+import duckdb
+import pytest
+import pyspark.sql.functions as F
+
+from duckdb_faiss_ext_spark.functions.curation import (
+    TextPolicy,
+    curate_text,
+    ngram_contamination,
+    repetition_signals,
+)
+
+
+@pytest.fixture(scope="module")
+def rep_docs(spark):
+    rows = [
+        (0, "a b a b a b"),
+        (1, "x\ny\nx\nzz zz"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (3, None),
+        (4, "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5 w1 w2 w3 w4 w5 tail"),
+        (5, ""),
+        (6, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_repetition_signals_handcrafted(rep_docs):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_signals(
+            rep_docs, top_ns=(2,), dup_ns=(5,)
+        ).collect()
+    }
+    # doc 0: "a b" occurs 3x, 3 chars each -> 9/11
+    assert got[0]["top_2gram_char_frac"] == pytest.approx(9 / 11)
+    assert got[0]["dup_5gram_char_frac"] == 0.0  # both 5-grams unique
+    # doc 1: 4 non-empty lines, 'x' repeated once -> 1/4; chars 8, dup 1
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_frac"] == pytest.approx(0.25)
+    assert got[1]["dup_line_char_frac"] == pytest.approx(1 / 8)
+    # all-count-1 2-grams tie-break toward larger coverage: "zz zz" (5)
+    assert got[1]["top_2gram_char_frac"] == pytest.approx(5 / 11)
+    # doc 4: heavy 5-gram repetition -> coverage above 1 (documented)
+    assert got[4]["dup_5gram_char_frac"] > 1.0
+    # NULL / empty / sub-n docs survive with zeroed signals
+    for d in (3, 5, 6):
+        assert got[d]["top_2gram_char_frac"] == 0.0
+        assert got[d]["dup_5gram_char_frac"] == 0.0
+    assert got[3]["n_chars"] == 0 and got[3]["n_lines"] == 0
+    # blank-only lines are not lines
+    assert got[5]["n_lines"] == 0
+
+
+def test_repetition_signals_validation(rep_docs):
+    with pytest.raises(ValueError, match="n must be"):
+        repetition_signals(rep_docs, top_ns=(0,))
+
+
+def _max_toks(con, parquet: str) -> int:
+    """generate_series only accepts CONSTANT bounds in this DuckDB build
+    (no lateral params, no subqueries), so the series length is computed
+    up front and inlined — join-then-filter keeps the row sets exact."""
+    return con.execute(
+        f"""
+        SELECT coalesce(max(len(regexp_extract_all(
+                   lower(coalesce(text, '')), '[a-z0-9]+'))), 1)
+        FROM read_parquet('{parquet}')
+        """
+    ).fetchone()[0]
+
+
+def _rep_oracle_sql(parquet: str, top_ns, dup_ns, max_toks: int):
+    """The exact DuckDB twin of repetition_signals (series join instead of
+    lateral generate_series params — this build rejects those)."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    n_values = ", ".join(f"({n})" for n in all_ns)
+    top_cols = ", ".join(
+        f"coalesce(max(CASE WHEN c.n = {n} THEN {{'cnt': c.cnt, 'cov': c.cov}} END).cov"
+        f" / greatest(b.n_chars, 1), 0.0) AS top_{n}gram_char_frac"
+        for n in top_ns
+    )
+    dup_cols = ", ".join(
+        f"coalesce(sum(CASE WHEN c.n = {n} AND c.cnt > 1 THEN c.cov END)"
+        f" / greatest(b.n_chars, 1), 0.0) AS dup_{n}gram_char_frac"
+        for n in dup_ns
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             coalesce(length(text), 0) AS n_chars,
+             list_filter(string_split(coalesce(text, ''), chr(10)),
+                         l -> length(trim(l)) > 0) AS lines,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+      FROM read_parquet('{parquet}')
+    ),
+    linesig AS (
+      SELECT doc_id, n_chars,
+             len(lines) AS n_lines,
+             (len(lines) - len(list_distinct(lines)))
+               / greatest(len(lines), 1)::DOUBLE AS dup_line_frac,
+             (coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+              - coalesce(list_sum(list_transform(list_distinct(lines),
+                                                 l -> length(l))), 0))
+               / greatest(coalesce(list_sum(list_transform(lines,
+                                            l -> length(l))), 0), 1)::DOUBLE
+               AS dup_line_char_frac,
+             t
+      FROM base
+    ),
+    grams AS (
+      SELECT b.doc_id, nv.n,
+             array_to_string(b.t[g.i : g.i + nv.n - 1], ' ') AS gram
+      FROM linesig b
+      JOIN (VALUES {n_values}) nv(n) ON len(b.t) >= nv.n
+      JOIN generate_series(1, {max_toks}) g(i)
+        ON g.i <= len(b.t) - nv.n + 1
+    ),
+    counted AS (
+      SELECT doc_id, n, gram, count(*) AS cnt,
+             count(*) * length(gram) AS cov
+      FROM grams GROUP BY doc_id, n, gram
+    )
+    SELECT b.doc_id, b.n_chars, b.n_lines, b.dup_line_frac,
+           b.dup_line_char_frac, {top_cols}, {dup_cols}
+    FROM linesig b LEFT JOIN counted c USING (doc_id)
+    GROUP BY b.doc_id, b.n_chars, b.n_lines, b.dup_line_frac,
+             b.dup_line_char_frac
+    """
+
+
+def test_repetition_signals_matches_duckdb_oracle(spark, sf_dir):
+    """Full cross-engine check on the real documents table: every signal
+    column, every row, exact to 1e-12."""
+    top_ns, dup_ns = (2, 3), (5, 8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cols = (
+        ["doc_id", "n_chars", "n_lines", "dup_line_frac", "dup_line_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in top_ns]
+        + [f"dup_{n}gram_char_frac" for n in dup_ns]
+    )
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in repetition_signals(
+            docs, top_ns=top_ns, dup_ns=dup_ns
+        ).collect()
+    )
+    con = duckdb.connect()
+    parquet = f"{sf_dir}/documents.parquet"
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            _rep_oracle_sql(parquet, top_ns, dup_ns, _max_toks(con, parquet))
+        ).fetchall()
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        for gv, wv in zip(g[3:], w[3:]):
+            assert gv == pytest.approx(wv, abs=1e-12), (g, w)
+
+
+def test_ngram_contamination_handcrafted(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # 2 distinct 5-grams
+            (1, "alpha beta gamma delta epsilon"),        # the eval text itself
+            (2, "unrelated words entirely here now ok"),
+            (3, "too short"),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(0, "ALPHA beta gamma, delta epsilon!")], "i bigint, text string"
+    )  # normalization: case/punct-insensitive
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_contamination(docs, ev, n=5).collect()
+    }
+    assert got[0]["n_grams"] == 2 and got[0]["n_contaminated"] == 1
+    assert got[0]["contam_frac"] == pytest.approx(0.5)
+    assert got[0]["is_contaminated"] is True
+    assert got[1]["n_contaminated"] == 1 and got[1]["is_contaminated"] is True
+    assert got[2]["n_contaminated"] == 0 and got[2]["is_contaminated"] is False
+    assert got[3]["n_grams"] == 0 and got[3]["is_contaminated"] is False
+    assert got[4]["n_grams"] == 0 and got[4]["is_contaminated"] is False
+
+
+def test_ngram_contamination_matches_duckdb_oracle(spark, sf_dir):
+    """Eval set = 40 real document texts (so collisions actually occur);
+    corpus = the full documents table.  n=8 keeps gram counts meaningful
+    on the synthetic corpus' doc lengths."""
+    n = 8
+    parquet = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(parquet).select("doc_id", "text")
+    ev = spark.read.parquet(parquet).filter("doc_id % 13 = 0").select("text")
+    got = sorted(
+        (
+            r["doc_id"],
+            r["n_grams"],
+            r["n_contaminated"],
+            r["is_contaminated"],
+        )
+        for r in ngram_contamination(docs, ev, n=n).collect()
+    )
+    con = duckdb.connect()
+    max_toks = _max_toks(con, parquet)
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            f"""
+        WITH base AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')),
+                                    '[a-z0-9]+') AS t
+          FROM read_parquet('{parquet}')
+        ),
+        doc_grams AS (
+          SELECT b.doc_id,
+                 array_to_string(b.t[g.i : g.i + {n} - 1], ' ') AS gram
+          FROM base b
+          JOIN generate_series(1, {max_toks}) g(i)
+            ON g.i <= len(b.t) - {n} + 1
+          GROUP BY b.doc_id, gram
+        ),
+        eval_grams AS (
+          SELECT DISTINCT gram FROM doc_grams
+          WHERE doc_id % 13 = 0
+        ),
+        counts AS (
+          SELECT d.doc_id,
+                 count(*) AS n_grams,
+                 count(e.gram) AS n_contaminated
+          FROM doc_grams d LEFT JOIN eval_grams e USING (gram)
+          GROUP BY d.doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(c.n_grams, 0) AS n_grams,
+               coalesce(c.n_contaminated, 0) AS n_contaminated,
+               coalesce(c.n_contaminated, 0) > 0 AS is_contaminated
+        FROM base b LEFT JOIN counts c USING (doc_id)
+        """
+        ).fetchall()
+    )
+    assert got == want, (len(got), len(want), got[:3], want[:3])
+    assert any(r[3] for r in got)  # the eval subset collides with itself
+
+
+def test_curate_text_statuses(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog and runs on"),
+            (1, "tiny"),
+            (2, None),
+            (3, "spam spam spam spam spam spam spam spam spam spam"),
+            (4, "reach me at bob@example.com or bob2@example.com or b3@ex.io"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pol = TextPolicy(
+        min_tokens=3,
+        max_pii_count=2,
+        max_top_ngram_frac={2: 0.20},
+        max_dup_ngram_frac={5: 0.15},
+    )
+    got = {r["doc_id"]: r["status"] for r in curate_text(docs, pol).collect()}
+    assert got[0] == "kept"
+    assert got[1] == "filtered:min_tokens"
+    assert got[2] == "filtered:null_text"
+    # first-failing-rule order: top-2-gram fires before dup-5-gram
+    assert got[3] == "filtered:max_top_2gram_frac"
+    assert got[4] == "filtered:max_pii_count"
+    # every input row is present exactly once
+    assert sorted(got) == [0, 1, 2, 3, 4]
+
+
+def test_curate_text_disabled_policy_keeps_everything(spark):
+    docs = spark.createDataFrame(
+        [(0, "x"), (1, "y y y y y y y y")], "doc_id bigint, text string"
+    )
+    pol = TextPolicy(
+        min_tokens=None,
+        max_dup_line_frac=None,
+        max_dup_line_char_frac=None,
+        max_top_ngram_frac={},
+        max_dup_ngram_frac={},
+    )
+    out = curate_text(docs, pol)
+    assert [r["status"] for r in out.collect()] == ["kept", "kept"]
+    # n-gram columns are not computed when nothing caps them
+    assert not any("gram_char_frac" in c for c in out.columns)
+
+
+def test_curate_text_matches_duckdb_oracle(spark, sf_dir):
+    """End-to-end policy disposition cross-check on the real documents
+    table: the DuckDB twin recomputes the same signals (token/char counts,
+    lang-id, quality, PII count, repetition) and the same first-failing
+    CASE chain; statuses must match row-for-row.  Thresholds are set so
+    the corpus splits into several disposition classes (asserted), not
+    one degenerate bucket."""
+    parquet = f"{sf_dir}/documents.parquet"
+    pol = TextPolicy(
+        min_tokens=15,
+        allowed_langs=("en", "und"),
+        min_quality=0.35,
+        max_pii_count=0,
+        max_dup_line_frac=0.30,
+        max_dup_line_char_frac=0.20,
+        max_top_ngram_frac={2: 0.08},
+        max_dup_ngram_frac={5: 0.30},
+    )
+    docs = spark.read.parquet(parquet).select("doc_id", "text")
+    got = sorted(
+        (r["doc_id"], r["status"]) for r in curate_text(docs, pol).collect()
+    )
+
+    stop = {
+        "en": ["the", "a", "and", "of", "to", "is"],
+        "es": ["el", "la", "y", "de", "que", "los"],
+        "de": ["der", "die", "das", "und", "ist", "ein"],
+        "fr": ["le", "la", "et", "les", "des", "est"],
+    }
+
+    def stop_expr(lang):
+        lst = ", ".join(f"'{w}'" for w in stop[lang])
+        return (
+            "len(list_filter(string_split_regex(trim(lower(coalesce(text,''))),"
+            f" '\\s+'), w -> w IN ({lst})))"
+        )
+
+    langs = ["en", "es", "de", "fr"]
+    lang_case = "CASE WHEN length(regexp_replace(coalesce(text,''), '[^一-鿿]', '', 'g')) > 0 THEN 'zh' "
+    for lang in langs:
+        conds = [f"{stop_expr(lang)} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = "<" if langs.index(other) < langs.index(lang) else "<="
+            conds.append(f"{stop_expr(other)} {op} {stop_expr(lang)}")
+        lang_case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    lang_case += "ELSE 'und' END"
+
+    con = duckdb.connect()
+    rep = _rep_oracle_sql(parquet, (2,), (5,), _max_toks(con, parquet))
+    # The PHONE pattern's lookbehind is java.util.regex / Python re syntax
+    # that DuckDB's RE2 rejects, so n_pii comes from a THIRD engine:
+    # Python re replicating pii_count's exact semantics (pattern i counted
+    # on text already scrubbed by patterns < i).  Python re ≡ Spark regex
+    # for these patterns is pinned separately by
+    # test_scrub_pii_matches_python_re.
+    import re as _re
+
+    import pandas as _pd
+
+    from duckdb_faiss_ext_spark.functions.text import PII_PATTERNS
+
+    def py_pii_count(s):
+        if s is None:
+            return None
+        total = 0
+        for name, pat in PII_PATTERNS:
+            total += len(_re.findall(pat, s))
+            s = _re.sub(pat, f"[{name}]", s)
+        return total
+
+    raw = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{parquet}')"
+    ).fetchall()
+    pii_pdf = _pd.DataFrame(
+        {"doc_id": [r[0] for r in raw],
+         "n_pii": [py_pii_count(r[1]) for r in raw]}
+    )
+    con.register("pii", pii_pdf)
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            f"""
+        WITH rep AS ({rep}),
+        sig AS (
+          SELECT d.doc_id,
+                 CASE WHEN trim(coalesce(d.text,'')) = '' THEN 1
+                      ELSE len(string_split_regex(trim(d.text), '\\s+'))
+                 END AS n_tokens,
+                 length(d.text) AS n_chars,
+                 {lang_case} AS lang,
+                 0.5 * least(length(coalesce(d.text,'')) / 500.0, 1.0)
+                 + 0.3 * (1.0 - least(
+                     length(regexp_replace(coalesce(d.text,''),
+                                           '[A-Za-z0-9\\s]', '', 'g'))
+                     / greatest(CASE WHEN trim(coalesce(d.text,'')) = ''
+                                     THEN 1
+                                     ELSE len(string_split_regex(
+                                              trim(d.text), '\\s+')) END,
+                                1)::DOUBLE, 1.0))
+                 + 0.2 * least({stop_expr('en')}
+                     / greatest(CASE WHEN trim(coalesce(d.text,'')) = ''
+                                     THEN 1
+                                     ELSE len(string_split_regex(
+                                              trim(d.text), '\\s+')) END,
+                                1)::DOUBLE * 5.0, 1.0) AS quality,
+                 p.n_pii AS n_pii,
+                 d.text IS NULL AS null_text
+          FROM read_parquet('{parquet}') d JOIN pii p USING (doc_id)
+        )
+        SELECT s.doc_id,
+               CASE
+                 WHEN s.null_text THEN 'filtered:null_text'
+                 WHEN s.n_tokens < 15 THEN 'filtered:min_tokens'
+                 WHEN s.lang NOT IN ('en', 'und') THEN 'filtered:allowed_langs'
+                 WHEN s.quality < 0.35 THEN 'filtered:min_quality'
+                 WHEN s.n_pii > 0 THEN 'filtered:max_pii_count'
+                 WHEN r.dup_line_frac > 0.30 THEN 'filtered:max_dup_line_frac'
+                 WHEN r.dup_line_char_frac > 0.20
+                   THEN 'filtered:max_dup_line_char_frac'
+                 WHEN r.top_2gram_char_frac > 0.08
+                   THEN 'filtered:max_top_2gram_frac'
+                 WHEN r.dup_5gram_char_frac > 0.30
+                   THEN 'filtered:max_dup_5gram_frac'
+                 ELSE 'kept'
+               END AS status
+        FROM sig s JOIN rep r USING (doc_id)
+        """
+        ).fetchall()
+    )
+    assert got == want, (
+        len(got),
+        len(want),
+        [p for p in zip(got, want) if p[0] != p[1]][:4],
+    )
+    classes = {s for _, s in got}
+    assert "kept" in classes and len(classes) >= 3, classes
+
+
+def test_curate_text_plan_has_no_python_udf(spark, rep_docs):
+    """The whole signal vector stays JVM-side: no BatchEvalPython /
+    ArrowEvalPython nodes anywhere in the physical plan."""
+    out = curate_text(rep_docs, TextPolicy())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # n-gram aggregation projects the gram string away before the
+    # per-document reduce: the second shuffle's output carries cov/cnt
+    assert "gram" in plan  # the explode exists...
+    exchanges = plan.count("Exchange")
+    assert exchanges >= 2  # ...and both aggregation shuffles are real
