@@ -22,18 +22,27 @@ against DuckDB in tests/test_curation.py):
   ``filtered:<first-failing-constraint>`` — the filter log IS the audit
   trail.
 
-Scale shape (100 TB): the line-level signals are pure per-row column
-expressions (codegen, zero shuffle).  The n-gram signals explode to
-``(doc, n, gram)`` rows once for ALL requested n and aggregate
-immediately — the wide shuffle has to carry the gram string (it is the
-grouping key), but map-side partial combine collapses exactly the
-repeated grams the signals measure, and the gram text is projected away
-before the second, per-document reduce, which carries only
-``(doc_id, n, cnt, cov)``.
-Contamination broadcasts the (small) eval-gram set so the corpus side is
-one scan with a broadcast hash semi-join; only colliding grams reach the
-per-document count shuffle.  No UDFs anywhere — every expression is
-whole-stage-codegen SQL.
+Scale shape (100 TB): every repetition signal is a PER-DOCUMENT
+statistic, so none of them needs data movement at all — the first cut
+exploded (doc, n, gram) rows and aggregated them back (two shuffles of
+~9x the corpus token count to compute row-local facts; r11 review
+finding).  Both shipped implementations are zero-shuffle narrow maps:
+
+- ``impl='arrow'`` (default): an Arrow-batched ``mapInPandas`` kernel —
+  token-id tuples counted per document (Counter + prefix-sum char
+  lengths).  This is the measured-fast path: the pure-SQL fold below
+  runs ~0.19M tokens/s because Spark evaluates higher-order-function
+  lambdas with struct accumulators INTERPRETED, outside whole-stage
+  codegen (the same cliff r10 hit with dim-length zip_with decode —
+  SCALE.md r11 records the A/B).
+- ``impl='sql'``: sort_array + an O(L) run-length fold (``F.aggregate``)
+  per n, no Python anywhere — the semantics reference, cross-checked
+  against both the arrow kernel and a DuckDB oracle in
+  tests/test_curation.py.
+
+Contamination broadcasts the (small) eval-gram set so the corpus side
+is one scan with a broadcast hash join; only per-document partial
+counts reach the shuffle.
 
 The reference engine (duckdb-faiss-ext) has no text-curation surface;
 these extend the engine for the pipelines the 100 TB target serves, the
@@ -102,21 +111,188 @@ DEFAULT_TOP_NS = (2, 3, 4)
 DEFAULT_DUP_NS = (5, 6, 7, 8, 9, 10)
 
 
-def _gram_rows(toks: Column, n: int) -> Column:
-    """ARRAY<STRUCT<n INT, gram STRING>> of the word n-grams of ``toks``
-    (space-joined).  Documents shorter than n yield an empty array — the
-    guard matters because sequence(1, 0) would produce a DESCENDING
-    sequence, not an empty one."""
+def _gram_strings(toks: Column, n: int) -> Column:
+    """ARRAY<STRING> of the word n-grams of ``toks`` (space-joined).
+    Documents shorter than n yield an empty array — the guard matters
+    because sequence(1, 0) would produce a DESCENDING sequence, not an
+    empty one."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
-            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
-    ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_B = lambda v: F.lit(v).cast("bigint")  # noqa: E731
+
+
+def _run_length_stats(sorted_grams: Column) -> Column:
+    """STRUCT<top_cov BIGINT, dup_cov BIGINT> from a SORTED gram array,
+    via one O(L) run-length fold — equal grams are adjacent after
+    sort_array, so "count per distinct gram" is just run lengths:
+
+    - ``top_cov`` = cnt*len(gram) of the most frequent gram (ties toward
+      larger coverage — the same (cnt, cov) lexicographic max the
+      explode/groupBy formulation's max(struct(cnt, cov)) computes);
+    - ``dup_cov`` = sum of cnt*len(gram) over grams with cnt > 1.
+
+    This keeps the whole statistic inside the row: no explode, no
+    shuffle, no join back (the first cut paid two corpus-width shuffles
+    for this per-document fact)."""
+    g = sorted_grams
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x == acc["prev"]
+        # a differing gram closes acc.prev's run: fold it into top/dup
+        cov = acc["run"] * F.length(acc["prev"])
+        better = (acc["run"] > acc["top_cnt"]) | (
+            (acc["run"] == acc["top_cnt"]) & (cov > acc["top_cov"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + _B(1)).otherwise(_B(1)).alias("run"),
+            F.when(same | ~better, acc["top_cnt"])
+            .otherwise(acc["run"])
+            .alias("top_cnt"),
+            F.when(same | ~better, acc["top_cov"]).otherwise(cov).alias(
+                "top_cov"
+            ),
+            F.when(same, acc["dup"])
+            .otherwise(
+                acc["dup"] + F.when(acc["run"] > 1, cov).otherwise(_B(0))
+            )
+            .alias("dup"),
+        )
+
+    def finish(acc: Column) -> Column:
+        cov = acc["run"] * F.length(acc["prev"])
+        better = (acc["run"] > acc["top_cnt"]) | (
+            (acc["run"] == acc["top_cnt"]) & (cov > acc["top_cov"])
+        )
+        return F.struct(
+            F.when(better, cov).otherwise(acc["top_cov"]).alias("top_cov"),
+            (
+                acc["dup"] + F.when(acc["run"] > 1, cov).otherwise(_B(0))
+            ).alias("dup_cov"),
+        )
+
+    init = F.struct(
+        F.element_at(g, 1).alias("prev"),
+        _B(1).alias("run"),
+        _B(0).alias("top_cnt"),
+        _B(0).alias("top_cov"),
+        _B(0).alias("dup"),
+    )
+    empty = F.struct(_B(0).alias("top_cov"), _B(0).alias("dup_cov"))
+    return F.when(
+        F.size(g) > 0,
+        F.aggregate(F.slice(g, 2, F.size(g) - 1), init, step, finish),
+    ).otherwise(empty)
+
+
+def _rep_signal_fields(top_ns, dup_ns) -> list:
+    from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField
+
+    return (
+        [
+            StructField("n_chars", LongType()),
+            StructField("n_lines", IntegerType()),
+            StructField("dup_line_frac", DoubleType()),
+            StructField("dup_line_char_frac", DoubleType()),
+        ]
+        + [
+            StructField(f"top_{n}gram_char_frac", DoubleType())
+            for n in top_ns
+        ]
+        + [
+            StructField(f"dup_{n}gram_char_frac", DoubleType())
+            for n in dup_ns
+        ]
+    )
+
+
+def _repetition_arrow(
+    df: DataFrame,
+    text_col: str,
+    passthrough: list,
+    top_ns: tuple,
+    dup_ns: tuple,
+) -> DataFrame:
+    """Arrow-batched kernel for repetition_signals: per-document Counter
+    over token-ID tuples (ints, never gram strings) with prefix-sum char
+    lengths — ~100x the interpreted higher-order-function fold (SCALE.md
+    r11).  Semantics are pinned equal to the SQL impl and the DuckDB
+    oracle by tests/test_curation.py."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    all_ns = tuple(dict.fromkeys(top_ns + dup_ns))
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [in_fields[c] for c in passthrough]
+        + _rep_signal_fields(top_ns, dup_ns)
+    )
+    tok_re = _re.compile(r"[a-z0-9]+")
+    frac_cols = [f.name for f in _rep_signal_fields(top_ns, dup_ns)]
+
+    def row_signals(text):
+        if text is None:
+            return [0, 0, 0.0, 0.0] + [0.0] * (len(top_ns) + len(dup_ns))
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        n_lines = len(lines)
+        distinct = set(lines)
+        chars = sum(len(ln) for ln in lines)
+        dchars = sum(len(ln) for ln in distinct)
+        out = [
+            len(text),
+            n_lines,
+            (n_lines - len(distinct)) / max(n_lines, 1),
+            (chars - dchars) / max(chars, 1),
+        ]
+        toks = tok_re.findall(text.lower())
+        ids_of: dict = {}
+        ids = [ids_of.setdefault(t, len(ids_of)) for t in toks]
+        id_len = [0] * len(ids_of)
+        for t, i in ids_of.items():
+            id_len[i] = len(t)
+        safe_chars = max(len(text), 1)
+        stats = {}
+        for n in all_ns:
+            if len(ids) < n:
+                stats[n] = (0, 0)
+                continue
+            from collections import Counter
+
+            cnt = Counter(zip(*[ids[i:] for i in range(n)]))
+            top_key, dup_cov = (0, 0), 0
+            for gram, c in cnt.items():
+                cov = c * (sum(id_len[g] for g in gram) + n - 1)
+                if (c, cov) > top_key:
+                    top_key = (c, cov)
+                if c > 1:
+                    dup_cov += cov
+            stats[n] = (top_key[1], dup_cov)
+        out += [stats[n][0] / safe_chars for n in top_ns]
+        out += [stats[n][1] / safe_chars for n in dup_ns]
+        return out
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sig = pd.DataFrame(
+                [row_signals(t) for t in pdf[text_col]], columns=frac_cols
+            )
+            out = pdf[passthrough].reset_index(drop=True)
+            for c in frac_cols:
+                out[c] = sig[c]
+            yield out
+
+    return df.mapInPandas(run, out_schema)
 
 
 def repetition_signals(
@@ -125,6 +301,7 @@ def repetition_signals(
     id_col: str = "doc_id",
     top_ns: Sequence[int] = DEFAULT_TOP_NS,
     dup_ns: Sequence[int] = DEFAULT_DUP_NS,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-document repetition statistics (Gopher Table A1): one row per
     input document with
@@ -149,82 +326,165 @@ def repetition_signals(
     with single spaces; gram character length therefore counts the n-1
     separators — a documented, engine-independent convention.
 
-    Plan shape: per-row line/char signals (codegen, no shuffle) LEFT-join
-    the n-gram aggregate, which explodes (doc, n, gram) once for all n,
-    counts with map-side partial aggregation, drops the gram string, and
-    reduces to one row per document.  Documents with no grams (short or
-    NULL text) still appear, with zero fractions."""
+    Plan shape: zero shuffles, zero joins under BOTH impls.
+    ``impl='arrow'`` (default) is one Arrow-batched ``mapInPandas``
+    narrow map (see module docstring for why it beats the SQL fold by
+    ~100x); ``impl='sql'`` is pure per-row column expressions — line/char
+    signals directly, n-gram counts via sort_array + a run-length fold
+    per n (``_run_length_stats``), with three-projection layering
+    (tokens -> sorted gram arrays -> stats) so Catalyst's CollapseProject
+    does not inline the expensive arrays into every one of their
+    consumers.  Documents with no grams (short or NULL text) appear with
+    zero fractions.
+
+    Every input column except ``text_col`` passes through unchanged (the
+    op behaves like a withColumns), so callers chain it without a join;
+    input columns whose names collide with a signal column are replaced
+    by the signal."""
     top_ns = tuple(dict.fromkeys(int(n) for n in top_ns))
     dup_ns = tuple(dict.fromkeys(int(n) for n in dup_ns))
     if any(n < 1 for n in top_ns + dup_ns):
         raise ValueError(f"repetition_signals: n must be >= 1, got {top_ns + dup_ns}")
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"repetition_signals: impl must be arrow|sql, got {impl!r}")
     all_ns = tuple(dict.fromkeys(top_ns + dup_ns))
+
+    signal_names = (
+        ["n_chars", "n_lines", "dup_line_frac", "dup_line_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in top_ns]
+        + [f"dup_{n}gram_char_frac" for n in dup_ns]
+    )
+    passthrough = [
+        c for c in df.columns if c != text_col and c not in signal_names
+    ]
+    if impl == "arrow":
+        return _repetition_arrow(df, text_col, passthrough, top_ns, dup_ns)
 
     text = F.col(text_col)
     toks = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), F.lit(0))
     ls = line_stats(text)
-    base = df.select(
-        F.col(id_col),
+    line_cols = [
         F.coalesce(F.length(text), F.lit(0)).cast("bigint").alias("n_chars"),
         F.coalesce(ls["n_lines"], F.lit(0)).alias("n_lines"),
         F.coalesce(ls["dup_line_frac"], F.lit(0.0)).alias("dup_line_frac"),
         F.coalesce(ls["dup_line_char_frac"], F.lit(0.0)).alias(
             "dup_line_char_frac"
         ),
-        toks.alias("__toks"),
+    ]
+    base = df.select(*passthrough, *line_cols, toks.alias("__toks"))
+    carried = passthrough + signal_names[:4]
+    sorted_grams = base.select(
+        *carried,
+        *[
+            F.sort_array(_gram_strings(F.col("__toks"), n)).alias(f"__g{n}")
+            for n in all_ns
+        ],
     )
-
-    grams = base.select(
-        F.col(id_col),
-        F.explode(
-            F.flatten(F.array(*[_gram_rows(F.col("__toks"), n) for n in all_ns]))
-        ).alias("g"),
-    ).select(id_col, "g.n", "g.gram")
-    counted = grams.groupBy(id_col, "n", "gram").agg(
-        F.count("*").alias("cnt")
+    stats = sorted_grams.select(
+        *carried,
+        *[
+            _run_length_stats(F.col(f"__g{n}")).alias(f"__s{n}")
+            for n in all_ns
+        ],
     )
-    # the gram string has done its job (grouping); shuffle only its length
-    slim = counted.select(
-        id_col,
-        "n",
-        F.col("cnt"),
-        (F.col("cnt") * F.length("gram")).cast("bigint").alias("cov"),
-    )
-    aggs = []
-    for n in top_ns:
-        # max(struct(cnt, cov)) = most frequent gram, coverage tie-break —
-        # identical field-order semantics in Spark and DuckDB
-        aggs.append(
-            F.max(
-                F.when(F.col("n") == n, F.struct(F.col("cnt"), F.col("cov")))
-            )["cov"].alias(f"__top{n}_cov")
-        )
-    for n in dup_ns:
-        aggs.append(
-            F.sum(
-                F.when((F.col("n") == n) & (F.col("cnt") > 1), F.col("cov"))
-            ).alias(f"__dup{n}_cov")
-        )
-    per_doc = slim.groupBy(id_col).agg(*aggs)
-
-    out = base.drop("__toks").join(per_doc, on=id_col, how="left")
     safe_chars = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
-    for n in top_ns:
-        out = out.withColumn(
-            f"top_{n}gram_char_frac",
-            F.coalesce(F.col(f"__top{n}_cov") / safe_chars, F.lit(0.0)),
-        )
-    for n in dup_ns:
-        out = out.withColumn(
-            f"dup_{n}gram_char_frac",
-            F.coalesce(F.col(f"__dup{n}_cov") / safe_chars, F.lit(0.0)),
-        )
-    return out.drop(
-        *[f"__top{n}_cov" for n in top_ns], *[f"__dup{n}_cov" for n in dup_ns]
+    return stats.select(
+        *carried,
+        *[
+            (F.col(f"__s{n}")["top_cov"] / safe_chars).alias(
+                f"top_{n}gram_char_frac"
+            )
+            for n in top_ns
+        ],
+        *[
+            (F.col(f"__s{n}")["dup_cov"] / safe_chars).alias(
+                f"dup_{n}gram_char_frac"
+            )
+            for n in dup_ns
+        ],
     )
 
 
 # ------------------------------------------------------------- contamination
+
+
+def _contamination_arrow(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    eval_text_col: str,
+    max_eval_grams: int,
+) -> DataFrame:
+    """Broadcast-set kernel for ngram_contamination: the eval grams are
+    collected (bounded) and shipped as a frozenset; each corpus document
+    is scored inside one Arrow batch — tokenize, window, set-membership.
+    Gram normalization is pinned identical to the JVM path (lowercase
+    alnum tokens, single-space join) by the impl-equivalence test."""
+    import re as _re
+
+    import pandas as pd
+
+    # bounded driver data: an eval benchmark is small by definition; an
+    # oversized one must fail loudly, not truncate silently
+    toks_of = F.regexp_extract_all(
+        F.lower(T._c(eval_text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    grams_expr = F.when(
+        F.size(toks_of) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_of) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks_of, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = (
+        eval_df.select(F.explode(grams_expr).alias("gram"))
+        .distinct()
+        .limit(max_eval_grams + 1)
+        .collect()
+    )
+    if len(rows) > max_eval_grams:
+        raise ValueError(
+            f"ngram_contamination: eval set exceeds max_eval_grams="
+            f"{max_eval_grams} distinct {n}-grams; pass impl='join' to "
+            "keep the eval side distributed, or raise the cap"
+        )
+    eset = frozenset(r["gram"] for r in rows)
+    bc = docs.sparkSession.sparkContext.broadcast(eset)
+    tok_re = _re.compile(r"[a-z0-9]+")
+    id_field = [f for f in docs.schema.fields if f.name == id_col][0]
+    schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, n_grams bigint, "
+        "n_contaminated bigint, contam_frac double, is_contaminated boolean"
+    )
+
+    def run(batches):
+        ev = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tok_re.findall(text.lower()) if text is not None else []
+                grams = {
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                }
+                hits = sum(1 for g in grams if g in ev)
+                out.append(
+                    (did, len(grams), hits, hits / max(len(grams), 1),
+                     hits > 0)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "n_grams", "n_contaminated", "contam_frac",
+                    "is_contaminated",
+                ],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def ngram_contamination(
@@ -234,6 +494,8 @@ def ngram_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     eval_text_col: str = "text",
+    impl: str = "arrow",
+    max_eval_grams: int = 2_000_000,
 ) -> DataFrame:
     """Benchmark-decontamination check (GPT-3 appendix C): flag training
     documents sharing any normalized word ``n``-gram with an evaluation
@@ -251,14 +513,24 @@ def ngram_contamination(
     the document cannot be flagged.  Use a smaller ``n`` for short-form
     eval sets (the GPT-3 paper itself scales N with example length).
 
-    Scale shape: the eval side is grams-distinct and **broadcast** (an
-    eval benchmark is KBs-to-MBs against a 100 TB corpus); the corpus
-    side is one scan + explode of per-document distinct grams, a
-    broadcast hash join that keeps only collisions, and a per-document
-    count of the (rare) survivors.  The full gram population never
-    shuffles."""
+    Scale shape: the eval side is always tiny relative to a 100 TB
+    corpus (it is a benchmark), so the default ``impl='arrow'`` collects
+    its distinct grams to the driver (hard-capped at ``max_eval_grams``
+    — a loud error, never silent truncation), broadcasts the set, and
+    counts per-document hits inside ONE Arrow-batched narrow map: no
+    explode, no join, no shuffle, and ~an order of magnitude faster than
+    building 13-gram strings with interpreted JVM lambdas (SCALE.md
+    r11).  ``impl='join'`` keeps everything distributed for oversized
+    eval sets: per-document distinct grams explode into a broadcast hash
+    join and one aggregation — only per-document partial counts reach
+    the shuffle.  Both impls are pinned equal to each other and to a
+    DuckDB oracle in tests/test_curation.py."""
     if n < 1:
         raise ValueError(f"ngram_contamination: n must be >= 1, got {n}")
+    if impl not in ("arrow", "join"):
+        raise ValueError(
+            f"ngram_contamination: impl must be arrow|join, got {impl!r}"
+        )
 
     def doc_grams(col) -> Column:
         toks = F.regexp_extract_all(
@@ -274,29 +546,33 @@ def ngram_contamination(
             ).otherwise(F.array().cast("array<string>"))
         )
 
+    if impl == "arrow":
+        return _contamination_arrow(
+            docs, eval_df, n, text_col, id_col, eval_text_col, max_eval_grams
+        )
+
     eval_grams = (
         eval_df.select(F.explode(doc_grams(eval_text_col)).alias("gram"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    base = docs.select(
-        F.col(id_col), doc_grams(text_col).alias("__grams")
-    ).select(
-        id_col, F.size("__grams").cast("bigint").alias("n_grams"), "__grams"
+    # explode_outer keeps gram-less documents (short/NULL text) as one
+    # NULL-gram row, so ONE aggregation yields both counts — no second
+    # join back to the document side (r11 review: the first cut re-joined
+    # base, a whole extra shuffle for a count the explode already knew)
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode_outer(doc_grams(text_col)).alias("gram"),
     )
-    hits = (
-        base.select(id_col, F.explode("__grams").alias("gram"))
-        .join(F.broadcast(eval_grams), on="gram", how="inner")
+    counts = (
+        exploded.join(F.broadcast(eval_grams), on="gram", how="left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    out = (
-        base.drop("__grams")
-        .join(hits, on=id_col, how="left")
-        .withColumn(
-            "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0))
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.count("__hit").alias("n_contaminated"),
         )
     )
-    return out.select(
+    return counts.select(
         id_col,
         "n_grams",
         "n_contaminated",
@@ -347,6 +623,7 @@ def curate_text(
     policy: TextPolicy | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """One-pass text curation: compute every signal the policy consults,
     evaluate constraints in declaration order, and return EVERY input row
@@ -355,44 +632,77 @@ def curate_text(
     training corpus; the rest is the per-rule audit trail a curation run
     has to report anyway (mirrors operators/curate.py for media).
 
-    All signals are SQL expressions over one corpus scan; the repetition
-    signals add the one exploded aggregation documented in
-    ``repetition_signals``.  Signals whose constraints are disabled are
-    still emitted (they are nearly free on the same scan) EXCEPT the
-    n-gram fractions, which are computed only for the n values the policy
-    actually caps."""
+    All signals are per-row SQL expressions over ONE corpus scan — the
+    repetition signals chain through ``repetition_signals``'s
+    column-passthrough form, so the whole operator is a zero-shuffle
+    narrow map (the first cut joined a separate aggregate back on doc_id;
+    the join vanished with the r11 fold rewrite).  Signals whose
+    constraints are disabled are still emitted (they are nearly free on
+    the same scan) EXCEPT the n-gram fractions, which are computed only
+    for the n values the policy actually caps."""
     policy = policy or TextPolicy()
     top_ns = tuple(sorted(policy.max_top_ngram_frac or {}))
     dup_ns = tuple(sorted(policy.max_dup_ngram_frac or {}))
 
     text = F.col(text_col)
-    sig = df.select(
+    # two-layer projection: the count subtrees (tokenize/stopwords/punct)
+    # are computed ONCE here, then lang/quality combine the columns.  One
+    # flat projection would inline each count into every consumer (the
+    # lang CASE alone references each stopword score ~7x) and balloon the
+    # generated code — measured 17 s -> ~7 s at 100k docs (SCALE.md r11).
+    pre = df.select(
         F.col(id_col),
         text,
         T.token_count(text).alias("n_tokens"),
         T.char_count(text).alias("n_chars"),
-        T.lang_id(text).alias("lang"),
-        T.quality_score(text).alias("quality"),
+        T.punct_count(text).alias("__punct"),
+        *[
+            T.stopword_count(text, lang).alias(f"__stop_{lang}")
+            for lang in T.LANG_ORDER
+        ],
+        T.has_cjk(text).alias("__cjk"),
         T.pii_count(text).alias("n_pii"),
+    )
+    sig = pre.select(
+        id_col,
+        text_col,
+        "n_tokens",
+        "n_chars",
+        T.lang_from_scores(
+            {lang: F.col(f"__stop_{lang}") for lang in T.LANG_ORDER},
+            F.col("__cjk"),
+        ).alias("lang"),
+        T.quality_from_parts(
+            F.col("n_chars"),
+            F.greatest(F.col("n_tokens"), F.lit(1)),
+            F.col("__punct"),
+            F.col("__stop_en"),
+        ).alias("quality"),
+        "n_pii",
     )
     if top_ns or dup_ns or policy.max_dup_line_frac is not None or (
         policy.max_dup_line_char_frac is not None
     ):
-        rep = repetition_signals(
-            df.select(id_col, text_col),
+        # passthrough form: appends the repetition columns per row and
+        # drops text_col (n_chars is replaced by the coalesced-0 variant)
+        sig = repetition_signals(
+            sig,
             text_col=text_col,
             id_col=id_col,
             top_ns=top_ns,
             dup_ns=dup_ns,
-        ).drop("n_chars")
-        sig = sig.join(rep, on=id_col, how="left")
+            impl=impl,
+        )
+    else:
+        sig = sig.drop(text_col)
     mean_word = (F.col("n_chars") - (F.col("n_tokens") - 1)) / F.greatest(
         F.col("n_tokens"), F.lit(1)
     ).cast("double")
     sig = sig.withColumn("mean_word_chars", mean_word)
 
     checks: list[tuple[str, Column]] = [
-        ("null_text", text.isNull()),
+        # token_count is NULL exactly when text is NULL
+        ("null_text", F.col("n_tokens").isNull()),
     ]
     if policy.min_tokens is not None:
         checks.append(("min_tokens", F.col("n_tokens") < policy.min_tokens))
@@ -449,4 +759,4 @@ def curate_text(
     status = F.lit("kept")
     for name, failed in reversed(checks):
         status = F.when(failed, F.lit(f"filtered:{name}")).otherwise(status)
-    return sig.withColumn("status", status).drop(text_col)
+    return sig.withColumn("status", status)

@@ -61,19 +61,33 @@ def stopword_count(col, lang: str = "en") -> Column:
 
 
 def cjk_count(col) -> Column:
-    """CJK codepoints (for zh detection)."""
+    """CJK codepoint count (text_stats surface).
+
+    NOTE: the regexp_replace formulation runs a per-char replace loop
+    (the class matches nearly every char on latin text) and measurably
+    degrades OTHER regex expressions sharing its projection (~5x on the
+    full signal set — java.util.regex JIT profile pollution, SCALE.md
+    r11).  Use ``has_cjk`` when only the boolean gate is needed."""
     return F.length(F.regexp_replace(_c(col), r"[^一-鿿]", "")).cast("bigint")
 
 
-def quality_score(col) -> Column:
-    """Deterministic quality heuristic in [0,1]:
-    0.5 * min(chars/500, 1)  (length)
-    + 0.3 * (1 - min(punct/tokens, 1))  (punctuation burden)
-    + 0.2 * min(stopwords_en/tokens * 5, 1)  (natural-language-ness)."""
-    chars = char_count(col).cast("double")
-    toks = F.greatest(token_count(col), F.lit(1)).cast("double")
-    punct = punct_count(col).cast("double")
-    stop = stopword_count(col, "en").cast("double")
+def has_cjk(col) -> Column:
+    """Any CJK codepoint present — one lazy scan (rlike), no replace
+    loop; the fast zh gate for lang_id and curate_text."""
+    return _c(col).rlike("[一-鿿]")
+
+
+def quality_from_parts(chars, toks, punct, stop) -> Column:
+    """quality_score's arithmetic over ALREADY-COMPUTED component columns
+    (chars / tokens-clamped-to-1 / punct / en-stopword counts).  Callers
+    that need several text signals in one projection compute the counts
+    once behind a projection boundary and combine here — inlining the
+    full trees into one giant projection repeats the count subtrees and
+    can push the generated code past JIT limits (curate_text, r11)."""
+    chars = chars.cast("double")
+    toks = toks.cast("double")
+    punct = punct.cast("double")
+    stop = stop.cast("double")
     return (
         F.lit(0.5) * F.least(chars / F.lit(500.0), F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - F.least(punct / toks, F.lit(1.0)))
@@ -81,12 +95,24 @@ def quality_score(col) -> Column:
     )
 
 
-def lang_id(col) -> Column:
-    """Stopword/codepoint language heuristic: zh if any CJK; otherwise the
-    max stopword-hit language in LANG_ORDER (ties -> earlier); 'und' if no
-    hits at all."""
-    scores = {lang: stopword_count(col, lang) for lang in LANG_ORDER}
-    expr = F.lit("und")
+def quality_score(col) -> Column:
+    """Deterministic quality heuristic in [0,1]:
+    0.5 * min(chars/500, 1)  (length)
+    + 0.3 * (1 - min(punct/tokens, 1))  (punctuation burden)
+    + 0.2 * min(stopwords_en/tokens * 5, 1)  (natural-language-ness)."""
+    return quality_from_parts(
+        char_count(col),
+        F.greatest(token_count(col), F.lit(1)),
+        punct_count(col),
+        stopword_count(col, "en"),
+    )
+
+
+def lang_from_scores(scores: dict, cjk_any: Column) -> Column:
+    """lang_id's CASE chain over ALREADY-COMPUTED per-language stopword
+    scores + a BOOLEAN any-CJK gate (see quality_from_parts for why the
+    split exists).  ``scores`` maps each LANG_ORDER language to its
+    count."""
     # build CASE from the last tie-break backwards so earlier langs win ties
     best = None
     for lang in LANG_ORDER:
@@ -101,7 +127,15 @@ def lang_id(col) -> Column:
             )
         best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
     best = best.otherwise(F.lit("und"))
-    return F.when(cjk_count(col) > 0, F.lit("zh")).otherwise(best)
+    return F.when(cjk_any, F.lit("zh")).otherwise(best)
+
+
+def lang_id(col) -> Column:
+    """Stopword/codepoint language heuristic: zh if any CJK; otherwise the
+    max stopword-hit language in LANG_ORDER (ties -> earlier); 'und' if no
+    hits at all."""
+    scores = {lang: stopword_count(col, lang) for lang in LANG_ORDER}
+    return lang_from_scores(scores, has_cjk(col))
 
 
 def fingerprint(col) -> Column:

@@ -1,21 +1,25 @@
 """Text curation pipeline: the pre-tokenization passes an LLM corpus runs.
 
-Chains the text operators (functions/text.py) over the documents table,
-each stage one codegen scan — the shape that holds at 100 TB because
-nothing here shuffles the text column except the vocabulary aggregation
-(which moves O(vocab) rows, not the corpus):
+Chains the text operators over the documents table in the shape that
+holds at 100 TB — per-document signals are codegen scans, the only
+corpus-wide shuffles move O(vocab) / O(gram-count) rows, never the text:
 
-  1. audit     — pii_count + quality_score + lang_id per doc (one scan);
-                 documents over the PII budget or under the quality floor
-                 are dropped WITH a recorded reason (curation must be
-                 auditable — silent drops poison downstream statistics)
-  2. scrub     — redact the surviving docs' remaining PII shapes
+  1. curate    — curate_text(policy): ONE pass computes length, language,
+                 quality, PII and the Gopher repetition signals, and gives
+                 every document a disposition (kept / filtered:<rule>) —
+                 curation must be auditable, silent drops poison
+                 downstream statistics
+  2. decontam  — ngram_contamination vs an evaluation set: any training
+                 document sharing a normalized 13-gram with the benchmark
+                 is dropped (the GPT-3 appendix-C method); the eval side
+                 broadcasts
+  3. scrub     — redact the survivors' remaining PII shapes
                  ([EMAIL]/[IP]/[SSN]/[CARD]/[PHONE] placeholders)
-  3. vocabulary — corpus term/doc frequency in one scan + one aggregation
+  4. vocabulary — corpus term/doc frequency in one scan + one aggregation
                  (33M tokens/s measured at 2M docs, SCALE.md r11);
                  boilerplate detector: tokens whose doc_freq ratio
                  exceeds BOILERPLATE_DF are reported
-  4. chunk     — overlapping fixed-char windows sized for an embedding
+  5. chunk     — overlapping fixed-char windows sized for an embedding
                  model's context (NULL-text docs keep their id row)
 
 Run:  python examples/text_curation.py [sf_dir]
@@ -32,63 +36,66 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MAX_PII = 3          # drop docs with more PII hits than this (audit trail)
 MIN_QUALITY = 0.15   # drop docs under this quality score
+CONTAM_N = 13        # GPT-3 decontamination n-gram size
 BOILERPLATE_DF = 0.5  # report tokens present in over half the corpus
 CHUNK_CHARS, OVERLAP = 512, 64
 
 
-def run_pipeline(docs):
+def run_pipeline(docs, eval_df=None):
+    from duckdb_faiss_ext_spark.functions.curation import (
+        TextPolicy,
+        curate_text,
+        ngram_contamination,
+    )
     from duckdb_faiss_ext_spark.functions.text import (
         chunk_text,
-        lang_id,
-        pii_count,
-        quality_score,
         scrub_pii,
         vocab_stats,
     )
 
-    # 1. audit: one scan computes every per-doc signal
-    audited = docs.select(
-        "doc_id",
-        "text",
-        pii_count("text").alias("pii_hits"),
-        quality_score("text").alias("quality"),
-        lang_id("text").alias("lang"),
-    ).withColumn(
-        "drop_reason",
-        F.when(F.col("pii_hits") > MAX_PII, F.lit("pii_budget"))
-        .when(F.col("quality") < MIN_QUALITY, F.lit("low_quality"))
-        .otherwise(F.lit(None)),
-    ).persist()
-    dropped = (
-        audited.filter("drop_reason IS NOT NULL")
-        .groupBy("drop_reason")
-        .count()
-        .collect()
-    )
-    kept = audited.filter("drop_reason IS NULL")
+    # 1. one-pass policy curation: every doc keeps its signal vector and
+    # disposition; the status histogram IS the curation report
+    policy = TextPolicy(max_pii_count=MAX_PII, min_quality=MIN_QUALITY)
+    curated = curate_text(docs, policy).persist()
+    status_counts = {
+        r["status"]: r["count"]
+        for r in curated.groupBy("status").count().collect()
+    }
+    kept_ids = curated.filter("status = 'kept'").select("doc_id")
+    kept = docs.join(kept_ids, on="doc_id", how="left_semi")
 
-    # 2. scrub the survivors
-    clean = kept.select(
-        "doc_id", "lang", "quality", scrub_pii("text").alias("text")
-    )
+    # 2. benchmark decontamination (skippable when no eval set is given)
+    contam_dropped = 0
+    if eval_df is not None:
+        flags = ngram_contamination(kept, eval_df, n=CONTAM_N)
+        contam_dropped = flags.filter("is_contaminated").count()
+        kept = kept.join(
+            flags.filter("NOT is_contaminated").select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
 
-    # 3. vocabulary + boilerplate report
-    n_docs = kept.count()
+    # 3. scrub the survivors (lang/quality already live in `curated`)
+    clean = kept.select("doc_id", scrub_pii("text").alias("text"))
+
+    # 4. vocabulary + boilerplate report
+    n_docs = clean.count()
     vocab = vocab_stats(clean, min_count=2)
     boilerplate = (
-        vocab.filter(F.col("doc_freq") > BOILERPLATE_DF * n_docs)
+        vocab.filter(F.col("doc_freq") > BOILERPLATE_DF * max(n_docs, 1))
         .orderBy(F.desc("doc_freq"))
         .limit(20)
         .collect()
     )
 
-    # 4. chunk for embedding/tokenization
+    # 5. chunk for embedding/tokenization
     chunks = chunk_text(clean, chunk_chars=CHUNK_CHARS, overlap=OVERLAP)
 
     return {
         "docs_in": docs.count(),
         "docs_kept": n_docs,
-        "drops": {r["drop_reason"]: r["count"] for r in dropped},
+        "statuses": status_counts,
+        "contam_dropped": contam_dropped,
         "vocab_size": vocab.count(),
         "boilerplate_tokens": [r["token"] for r in boilerplate],
         "chunks": chunks.count(),
@@ -102,7 +109,10 @@ def main() -> None:
     spark = get_spark("text-curation")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    stats = run_pipeline(docs.select("doc_id", "text"))
+    # demo eval set: a slice of the corpus itself, so the decontamination
+    # stage provably fires (those docs collide with themselves)
+    eval_df = docs.filter("doc_id % 97 = 0").select("text")
+    stats = run_pipeline(docs.select("doc_id", "text"), eval_df)
     import json
 
     print(json.dumps(stats))

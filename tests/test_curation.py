@@ -29,11 +29,12 @@ def rep_docs(spark):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
-def test_repetition_signals_handcrafted(rep_docs):
+@pytest.mark.parametrize("impl", ["arrow", "sql"])
+def test_repetition_signals_handcrafted(rep_docs, impl):
     got = {
         r["doc_id"]: r.asDict()
         for r in repetition_signals(
-            rep_docs, top_ns=(2,), dup_ns=(5,)
+            rep_docs, top_ns=(2,), dup_ns=(5,), impl=impl
         ).collect()
     }
     # doc 0: "a b" occurs 3x, 3 chars each -> 9/11
@@ -133,9 +134,12 @@ def _rep_oracle_sql(parquet: str, top_ns, dup_ns, max_toks: int):
     """
 
 
-def test_repetition_signals_matches_duckdb_oracle(spark, sf_dir):
+@pytest.mark.parametrize("impl", ["arrow", "sql"])
+def test_repetition_signals_matches_duckdb_oracle(spark, sf_dir, impl):
     """Full cross-engine check on the real documents table: every signal
-    column, every row, exact to 1e-12."""
+    column, every row, exact to 1e-12 — BOTH implementations (the Arrow
+    kernel and the pure-SQL fold) against the same DuckDB formulation,
+    which also pins them equal to each other."""
     top_ns, dup_ns = (2, 3), (5, 8)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
@@ -148,7 +152,7 @@ def test_repetition_signals_matches_duckdb_oracle(spark, sf_dir):
     got = sorted(
         tuple(r[c] for c in cols)
         for r in repetition_signals(
-            docs, top_ns=top_ns, dup_ns=dup_ns
+            docs, top_ns=top_ns, dup_ns=dup_ns, impl=impl
         ).collect()
     )
     con = duckdb.connect()
@@ -166,7 +170,8 @@ def test_repetition_signals_matches_duckdb_oracle(spark, sf_dir):
             assert gv == pytest.approx(wv, abs=1e-12), (g, w)
 
 
-def test_ngram_contamination_handcrafted(spark):
+@pytest.mark.parametrize("impl", ["arrow", "join"])
+def test_ngram_contamination_handcrafted(spark, impl):
     docs = spark.createDataFrame(
         [
             (0, "alpha beta gamma delta epsilon zeta"),   # 2 distinct 5-grams
@@ -182,7 +187,7 @@ def test_ngram_contamination_handcrafted(spark):
     )  # normalization: case/punct-insensitive
     got = {
         r["doc_id"]: r.asDict()
-        for r in ngram_contamination(docs, ev, n=5).collect()
+        for r in ngram_contamination(docs, ev, n=5, impl=impl).collect()
     }
     assert got[0]["n_grams"] == 2 and got[0]["n_contaminated"] == 1
     assert got[0]["contam_frac"] == pytest.approx(0.5)
@@ -193,7 +198,8 @@ def test_ngram_contamination_handcrafted(spark):
     assert got[4]["n_grams"] == 0 and got[4]["is_contaminated"] is False
 
 
-def test_ngram_contamination_matches_duckdb_oracle(spark, sf_dir):
+@pytest.mark.parametrize("impl", ["arrow", "join"])
+def test_ngram_contamination_matches_duckdb_oracle(spark, sf_dir, impl):
     """Eval set = 40 real document texts (so collisions actually occur);
     corpus = the full documents table.  n=8 keeps gram counts meaningful
     on the synthetic corpus' doc lengths."""
@@ -208,7 +214,7 @@ def test_ngram_contamination_matches_duckdb_oracle(spark, sf_dir):
             r["n_contaminated"],
             r["is_contaminated"],
         )
-        for r in ngram_contamination(docs, ev, n=n).collect()
+        for r in ngram_contamination(docs, ev, n=n, impl=impl).collect()
     )
     con = duckdb.connect()
     max_toks = _max_toks(con, parquet)
@@ -438,15 +444,59 @@ def test_curate_text_matches_duckdb_oracle(spark, sf_dir):
     assert "kept" in classes and len(classes) >= 3, classes
 
 
-def test_curate_text_plan_has_no_python_udf(spark, rep_docs):
-    """The whole signal vector stays JVM-side: no BatchEvalPython /
-    ArrowEvalPython nodes anywhere in the physical plan."""
-    out = curate_text(rep_docs, TextPolicy())
+@pytest.mark.parametrize("impl", ["arrow", "sql"])
+def test_curate_text_plan_is_a_zero_shuffle_narrow_map(spark, rep_docs, impl):
+    """The whole signal vector — including every repetition signal — is
+    per-row: no Exchange and no Join anywhere in the plan, under BOTH
+    impls.  The repetition statistics are per-document facts; the r11
+    rewrite keeps them inside the row (Arrow kernel or sort_array +
+    run-length fold), so curate_text pipelines into whatever consumes it
+    with zero data movement.  The sql impl additionally has no Python
+    anywhere; the arrow impl's single Python node is the Arrow-batched
+    mapInPandas kernel, never row-at-a-time BatchEvalPython."""
+    out = curate_text(rep_docs, TextPolicy(), impl=impl)
     plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
-    # n-gram aggregation projects the gram string away before the
-    # per-document reduce: the second shuffle's output carries cov/cnt
-    assert "gram" in plan  # the explode exists...
-    exchanges = plan.count("Exchange")
-    assert exchanges >= 2  # ...and both aggregation shuffles are real
+    if impl == "sql":
+        assert "Python" not in plan and "Arrow" not in plan
+    else:
+        assert plan.count("MapInPandas") == 1
+
+
+def test_text_curation_example_pipeline(spark, sf_dir):
+    """examples/text_curation.py end-to-end: curate -> decontaminate ->
+    scrub -> vocab -> chunk over the real documents table.  The demo eval
+    set is a corpus slice, so the decontamination stage must fire."""
+    from examples.text_curation import run_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev = docs.filter("doc_id % 97 = 0").select("text")
+    stats = run_pipeline(docs, ev)
+    assert stats["docs_in"] == 500
+    assert 0 < stats["docs_kept"] <= 500
+    assert sum(stats["statuses"].values()) == 500
+    # every eval doc that SURVIVED the policy stage must self-collide;
+    # eval docs the policy already filtered can't (they never reach
+    # decontamination)
+    assert stats["contam_dropped"] > 0
+    assert stats["contam_dropped"] <= stats["statuses"].get("kept", 0)
+    assert stats["docs_kept"] == (
+        stats["statuses"].get("kept", 0) - stats["contam_dropped"]
+    )
+    assert stats["vocab_size"] > 0 and stats["chunks"] >= stats["docs_kept"]
+
+
+def test_ngram_contamination_eval_cap_is_loud(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "doc_id bigint, text string"
+    )
+    ev = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i}") for i in range(8)],
+        "i bigint, text string",
+    )
+    with pytest.raises(ValueError, match="max_eval_grams"):
+        ngram_contamination(docs, ev, n=2, max_eval_grams=5)
