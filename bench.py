@@ -624,6 +624,58 @@ def main() -> None:
             warmup=True,
         )
 
+    # --- curation ops at visible scale (r11) --------------------------------
+    # The curation kernels (repetition_signals / ngram_contamination /
+    # curate_text) are Arrow narrow maps whose cost is per-row CPU — at
+    # sf0.1's 2,000 documents they'd be fixed-overhead keys blind to kernel
+    # regressions (the same argument that created the vec1m leg).  100k
+    # synthetic docs x 120 tokens makes a 10x kernel regression a >10 s
+    # signal while costing the suite ~25 s.  Self-contained: qualifies for
+    # SPARK_GRAFT_BENCH_ONLY=curation100k quiet-host re-pinning.
+    @section("curation100k")
+    def _curation():
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from _synth import synth_docs
+
+        from duckdb_faiss_ext_spark.functions.curation import (
+            TextPolicy,
+            curate_text,
+            ngram_contamination,
+            repetition_signals,
+        )
+
+        cn = 100_000
+        docs = synth_docs(spark, cn, 120, degenerate_every=1000).persist()
+        docs.count()
+        holder = {}
+
+        def rep():
+            holder["flagged"] = (
+                repetition_signals(docs)
+                .filter("top_2gram_char_frac > 0.5")
+                .count()
+            )
+
+        bench_entry("cur100k_rep_sec", rep)
+        # every 1000th doc is the known-degenerate fixture; missing any is
+        # a kernel-correctness regression, not a timing one
+        queries["cur100k_rep_flagged_floor_ok"] = holder["flagged"] == cn // 1000
+
+        ev = docs.filter("doc_id % 2111 = 0").select("text")
+        bench_entry(
+            "cur100k_contam_sec",
+            lambda: ngram_contamination(docs, ev, n=13)
+            .filter("is_contaminated")
+            .count(),
+        )
+        bench_entry(
+            "cur100k_curate_sec",
+            lambda: curate_text(docs, TextPolicy()).groupBy("status").count().count(),
+        )
+        docs.unpersist()
+
     # --- scaled vector-throughput leg (VERDICT r9 task 2) ------------------
     # Every other vector key runs over the 2,000-row sf0.1 embeddings
     # fixture — pure fixed job overhead, blind to kernel regressions

@@ -73,3 +73,48 @@ def synth_clusterable(
             ).cast("float"),
         ).alias(vec_col),
     )
+
+
+def synth_docs(
+    spark,
+    n: int,
+    words_per_doc: int = 120,
+    vocab_n: int = 20_000,
+    degenerate_every: int = 0,
+    partitions: int = 64,
+):
+    """Deterministic synthetic document corpus, fully codegen (no driver
+    data, no UDFs): each doc = ``words_per_doc`` tokens from a synthetic
+    vocabulary with a cubic power-law bias (Zipf-ish: a few tokens appear
+    in nearly every doc).  ``degenerate_every`` > 0 makes every k-th doc
+    a two-token repetition ("spam ham spam ham ...") so repetition/
+    curation ops have known-degenerate rows to catch — the shared corpus
+    of tools/{text,curation}_scale_probe.py and bench.py's curation leg."""
+    import pyspark.sql.functions as F
+
+    def h(expr):
+        s = F.sin(expr) * 43758.5453
+        return s - F.floor(s)
+
+    def word(j):
+        return F.concat(
+            F.lit("w"),
+            F.floor(
+                F.pow(h(F.col("id") * 131 + j * 7919), 3.0) * vocab_n
+            ).cast("int").cast("string"),
+        )
+
+    normal = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(0), F.lit(words_per_doc - 1)), word)
+    )
+    text = normal
+    if degenerate_every > 0:
+        degenerate = F.concat_ws(
+            " ", F.array_repeat(F.lit("spam ham"), words_per_doc // 2)
+        )
+        text = F.when(
+            F.col("id") % degenerate_every == 0, degenerate
+        ).otherwise(normal)
+    return spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )

@@ -57,32 +57,11 @@ def main() -> None:
         with open("/proc/loadavg") as f:
             return float(f.read().split()[0])
 
-    def h(expr):
-        s = F.sin(expr) * 43758.5453
-        return s - F.floor(s)
+    from _synth import synth_docs
 
-    word = lambda j: F.concat(  # noqa: E731
-        F.lit("w"),
-        F.floor(
-            F.pow(h(F.col("id") * 131 + j * 7919), 3.0) * vocab_n
-        ).cast("int").cast("string"),
-    )
-    normal = F.concat_ws(
-        " ", F.transform(F.sequence(F.lit(0), F.lit(wpd - 1)), word)
-    )
-    degenerate = F.concat_ws(
-        " ", F.array_repeat(F.lit("spam ham"), wpd // 2)
-    )
-    docs = (
-        spark.range(0, n, 1, 64)
-        .select(
-            F.col("id").alias("doc_id"),
-            F.when(F.col("id") % 1000 == 0, degenerate)
-            .otherwise(normal)
-            .alias("text"),
-        )
-        .persist()
-    )
+    docs = synth_docs(
+        spark, n, wpd, vocab_n=vocab_n, degenerate_every=1000
+    ).persist()
     out = {"n_docs": n, "words_per_doc": wpd, "vocab_n": vocab_n,
            "load_start": loadavg()}
     t0 = time.perf_counter()
