@@ -65,6 +65,9 @@ __all__ = [
     "ngram_contamination",
     "TextPolicy",
     "curate_text",
+    "mix_hash",
+    "mix_rates",
+    "sample_corpus_mix",
 ]
 
 
@@ -760,3 +763,85 @@ def curate_text(
     for name, failed in reversed(checks):
         status = F.when(failed, F.lit(f"filtered:{name}")).otherwise(status)
     return sig.withColumn("status", status)
+
+
+# ------------------------------------------------------------- corpus mixing
+
+
+def mix_hash(id_col, seed: int = 0) -> Column:
+    """Deterministic uniform [0, 1) draw per document: the first 8 hex
+    digits of md5(seed:id) as a fraction of 2^32.  The SAME formula is
+    expressible verbatim in ANSI SQL (md5 + substr + hex cast), so
+    sampling decisions are reproducible across engines and across runs —
+    a training-mix manifest must be re-derivable, never a Bernoulli coin
+    flip nobody can replay (tests pin Spark == DuckDB on the raw hash)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), T._c(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h / F.lit(float(2**32))
+
+
+def mix_rates(
+    df: DataFrame,
+    targets: Mapping[str, float],
+    source_col: str = "source",
+    size_col: Optional[str] = None,
+) -> dict:
+    """Per-source sampling rates that hit ``targets`` (source -> target
+    docs, or target SIZE when ``size_col`` names a per-row size such as a
+    token count): rate = min(1, target / current).  Sources missing from
+    ``targets`` get rate 0.0 (dropped — a mix is a whitelist); targets
+    naming absent sources get rate 1.0 recorded so the caller can see
+    the shortfall.  ONE aggregation over the corpus (map-side combine to
+    O(sources) rows); the returned plain dict is the audit artifact to
+    log next to the run."""
+    size = F.count("*") if size_col is None else F.sum(size_col)
+    cur = {
+        r["src"]: r["cur"]
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(size.alias("cur"))
+        .collect()
+    }
+    rates = {}
+    for src in sorted(set(cur) | set(targets)):
+        if src not in targets:
+            rates[src] = 0.0
+        elif src not in cur or not cur[src]:
+            rates[src] = 1.0
+        else:
+            rates[src] = min(1.0, float(targets[src]) / float(cur[src]))
+    return rates
+
+
+def sample_corpus_mix(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Training-mix construction: keep each row iff its deterministic
+    ``mix_hash`` draw falls under its source's rate.  The rate lookup is
+    a literal CASE over the (small) mix dict — no join, no shuffle, a
+    pure codegen filter the scan can pipeline; sources absent from
+    ``rates`` are dropped.  Compose with ``mix_rates`` for token-budget
+    mixes: ``sample_corpus_mix(df, mix_rates(df, budgets, size_col=...))``.
+
+    Reproducibility contract: same (rates, seed, ids) -> same sample, on
+    any engine (exact DuckDB twin in tests/test_curation.py); changing
+    ``seed`` redraws independently.  Growing a source's rate keeps every
+    previously sampled row (the draw is per-row and fixed), so
+    incremental budget increases are supersets — the property a
+    re-mixed training run needs for cache reuse."""
+    rate = F.lit(0.0)
+    for src, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"sample_corpus_mix: rate for {src!r} is {r}")
+        rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
+    return df.filter(mix_hash(F.col(id_col), seed) < rate)

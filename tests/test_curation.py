@@ -500,3 +500,90 @@ def test_ngram_contamination_eval_cap_is_loud(spark):
     )
     with pytest.raises(ValueError, match="max_eval_grams"):
         ngram_contamination(docs, ev, n=2, max_eval_grams=5)
+
+
+def test_mix_rates_budget_math(spark, sf_dir):
+    from duckdb_faiss_ext_spark.functions.curation import mix_rates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = mix_rates(
+        docs,
+        {"src0": 10, "src1": 10_000, "nosuch": 5},
+        size_col="n_chars",
+    )
+    con = duckdb.connect()
+    cur = dict(
+        con.execute(
+            f"""SELECT source, sum(n_chars)
+                FROM read_parquet('{sf_dir}/documents.parquet')
+                GROUP BY source"""
+        ).fetchall()
+    )
+    assert rates["src0"] == pytest.approx(min(1.0, 10 / cur["src0"]))
+    assert rates["src1"] == pytest.approx(min(1.0, 10_000 / cur["src1"]))
+    assert rates["nosuch"] == 1.0       # target names an absent source
+    assert rates["src2"] == 0.0         # source missing from the mix
+
+
+def test_sample_corpus_mix_matches_duckdb_and_is_reproducible(spark, sf_dir):
+    """The sampling decision is a pure function of (seed, id, rate):
+    exact row-set equality with the ANSI-SQL twin, superset property
+    under a raised rate, and seed independence."""
+    from duckdb_faiss_ext_spark.functions.curation import sample_corpus_mix
+
+    parquet = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(parquet)
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+    got = sorted(
+        r["doc_id"] for r in sample_corpus_mix(docs, rates, seed=7).collect()
+    )
+    con = duckdb.connect()
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in rates.items()
+    ) + " ELSE 0.0 END"
+    want = sorted(
+        t[0]
+        for t in con.execute(
+            f"""
+            SELECT doc_id FROM read_parquet('{parquet}')
+            WHERE ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  )::BIGINT / 4294967296.0 < {case}
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # src0 fully kept, src3 fully dropped
+    by_src = {
+        r["source"]: r["count"]
+        for r in sample_corpus_mix(docs, rates, seed=7)
+        .groupBy("source").count().collect()
+    }
+    n_src = {
+        r["source"]: r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    assert by_src["src0"] == n_src["src0"]
+    assert "src3" not in by_src
+    # a HALF rate lands near half on this corpus (loose band, deterministic)
+    assert 0.2 <= by_src["src1"] / n_src["src1"] <= 0.8
+    # raising a rate keeps every previously sampled row (cache-reuse
+    # property), and a different seed is an independent redraw
+    grown = sorted(
+        r["doc_id"]
+        for r in sample_corpus_mix(
+            docs, {**rates, "src1": 0.9}, seed=7
+        ).collect()
+    )
+    assert set(got) <= set(grown)
+    reseeded = sorted(
+        r["doc_id"] for r in sample_corpus_mix(docs, rates, seed=8).collect()
+    )
+    assert reseeded != got
+
+
+def test_sample_corpus_mix_validates_rates(spark, sf_dir):
+    from duckdb_faiss_ext_spark.functions.curation import sample_corpus_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="rate"):
+        sample_corpus_mix(docs, {"src0": 1.5})
