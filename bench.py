@@ -102,6 +102,14 @@ LOCAL_BASELINES = {
     # 10.6..47.6 (4.5x); the leg now measures steady state
     "vec1m_sq8_build_sec": 4.11,  # 2.2..7.8 (3.5x)
     "vec1m_sq8_knn": 10.3,      # 4.7..15.2 (3.2x)
+    # curation100k leg (r11): median of THREE standalone runs, each
+    # started at load < 3 (tools/out_r11b/cur_pin{1,2,3}.json).  Spreads
+    # were tight (rep 6.27..6.31; contam 2.92..3.53; curate 17.7..19.8) —
+    # the kernels are per-row CPU with no shuffle, so they barely see the
+    # ambient noise the vec1m joins do.
+    "cur100k_rep_sec": 6.29,
+    "cur100k_contam_sec": 3.31,
+    "cur100k_curate_sec": 18.94,
 }
 
 # re-pinned declared baselines (r9) applied AFTER the cross-round min.
