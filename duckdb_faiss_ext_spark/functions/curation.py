@@ -68,6 +68,7 @@ __all__ = [
     "mix_hash",
     "mix_rates",
     "sample_corpus_mix",
+    "pack_chunks",
 ]
 
 
@@ -845,3 +846,69 @@ def sample_corpus_mix(
             raise ValueError(f"sample_corpus_mix: rate for {src!r} is {r}")
         rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
     return df.filter(mix_hash(F.col(id_col), seed) < rate)
+
+
+# ----------------------------------------------------------- sequence packing
+
+
+def pack_chunks(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_cols: Sequence[str] = ("doc_id", "chunk_id"),
+    group_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Sequence packing: assign every chunk a ``pack_id`` so consecutive
+    chunks fill ~``budget``-token training sequences — the chunk ->
+    context-window step after ``chunk_text`` (T5/LLM "packing").
+
+    Packing discipline (documented, deterministic, exactly SQL-twinned):
+    contiguous fill in ``order_cols`` order within each ``group_cols``
+    partition — ``pack_id = floor((cumsum(tokens) - tokens) / budget)``,
+    i.e. a chunk joins the pack its STARTING offset falls in.  A pack can
+    overflow ``budget`` by at most one chunk's tail (the standard
+    cumsum approximation; exact first-fit needs a sequential scan that
+    neither distributes nor has a window-function twin).  Chunks longer
+    than ``budget`` are rejected loudly — produce them with
+    ``chunk_text(chunk_chars<=~4*budget)`` instead of silently spanning.
+
+    Output = input columns + ``pack_id`` (bigint, dense from 0 within
+    each group) + ``pack_pos`` (0-based position within the pack).
+
+    Scale shape: one shuffle on ``group_cols`` + an in-partition sort —
+    the window never crosses groups, so parallelism = number of groups;
+    at 100 TB pack within (source, shard) instead of one global order
+    (a global window collapses to a single task, the classic
+    window-without-partition trap)."""
+    from pyspark.sql import Window
+
+    if budget < 1:
+        raise ValueError(f"pack_chunks: budget must be >= 1, got {budget}")
+    if not group_cols:
+        raise ValueError(
+            "pack_chunks: group_cols must be non-empty — a global window "
+            "is a single-task plan; pass an explicit shard column"
+        )
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    tok = F.col(token_col).cast("bigint")
+    start = F.sum(tok).over(w) - tok
+    out = df.withColumn(
+        "pack_id", F.floor(start / F.lit(budget)).cast("bigint")
+    )
+    wp = Window.partitionBy(*group_cols, "pack_id").orderBy(*order_cols)
+    out = out.withColumn(
+        "pack_pos", (F.row_number().over(wp) - 1).cast("int")
+    )
+    # loud precondition: an over-budget chunk would otherwise span packs
+    # silently.  raise_error rides the same projection — no extra pass,
+    # and the job fails at the first offending row.
+    return out.withColumn(
+        "pack_id",
+        F.when(tok > budget, F.raise_error(
+            F.concat(
+                F.lit(f"pack_chunks: chunk exceeds budget {budget}: "),
+                tok.cast("string"),
+                F.lit(" tokens"),
+            )
+        ).cast("bigint")).otherwise(F.col("pack_id")),
+    )

@@ -19,8 +19,13 @@ corpus-wide shuffles move O(vocab) / O(gram-count) rows, never the text:
                  (33M tokens/s measured at 2M docs, SCALE.md r11);
                  boilerplate detector: tokens whose doc_freq ratio
                  exceeds BOILERPLATE_DF are reported
-  5. chunk     — overlapping fixed-char windows sized for an embedding
+  5. mix       — deterministic per-source sampling to a token budget
+                 (mix_rates + sample_corpus_mix: reproducible md5 draws,
+                 monotone under budget growth)
+  6. chunk     — overlapping fixed-char windows sized for an embedding
                  model's context (NULL-text docs keep their id row)
+  7. pack      — sequence packing: chunks fill ~budget-token training
+                 windows per source (pack_chunks, one window cumsum)
 
 Run:  python examples/text_curation.py [sf_dir]
 """
@@ -39,16 +44,21 @@ MIN_QUALITY = 0.15   # drop docs under this quality score
 CONTAM_N = 13        # GPT-3 decontamination n-gram size
 BOILERPLATE_DF = 0.5  # report tokens present in over half the corpus
 CHUNK_CHARS, OVERLAP = 512, 64
+PACK_TOKENS = 128  # training-sequence token budget for the packing stage
 
 
-def run_pipeline(docs, eval_df=None):
+def run_pipeline(docs, eval_df=None, source_df=None, token_budget=None):
     from duckdb_faiss_ext_spark.functions.curation import (
         TextPolicy,
         curate_text,
+        mix_rates,
         ngram_contamination,
+        pack_chunks,
+        sample_corpus_mix,
     )
     from duckdb_faiss_ext_spark.functions.text import (
         chunk_text,
+        regex_token_count,
         scrub_pii,
         vocab_stats,
     )
@@ -88,8 +98,32 @@ def run_pipeline(docs, eval_df=None):
         .collect()
     )
 
-    # 5. chunk for embedding/tokenization
+    # 5. deterministic mix to a per-source token budget (skippable)
+    rates = {}
+    if source_df is not None and token_budget:
+        sourced = clean.join(source_df, on="doc_id").withColumn(
+            "n_tokens", regex_token_count("text")
+        )
+        targets = {
+            r["source"]: token_budget
+            for r in sourced.select("source").distinct().collect()
+        }
+        rates = mix_rates(sourced, targets, size_col="n_tokens")
+        clean = sample_corpus_mix(sourced, rates).select("doc_id", "text", "source")
+
+    # 6. chunk for embedding/tokenization
     chunks = chunk_text(clean, chunk_chars=CHUNK_CHARS, overlap=OVERLAP)
+
+    # 7. pack chunks into ~PACK_TOKENS-token training sequences
+    n_packs = None
+    if source_df is not None and token_budget:
+        packed = pack_chunks(
+            chunks.join(source_df, on="doc_id").withColumn(
+                "n_tokens", regex_token_count("chunk")
+            ),
+            budget=PACK_TOKENS,
+        )
+        n_packs = packed.select("source", "pack_id").distinct().count()
 
     return {
         "docs_in": docs.count(),
@@ -98,7 +132,9 @@ def run_pipeline(docs, eval_df=None):
         "contam_dropped": contam_dropped,
         "vocab_size": vocab.count(),
         "boilerplate_tokens": [r["token"] for r in boilerplate],
+        "mix_rates": {k: round(v, 4) for k, v in rates.items()},
         "chunks": chunks.count(),
+        "packs": n_packs,
     }
 
 
@@ -112,7 +148,12 @@ def main() -> None:
     # demo eval set: a slice of the corpus itself, so the decontamination
     # stage provably fires (those docs collide with themselves)
     eval_df = docs.filter("doc_id % 97 = 0").select("text")
-    stats = run_pipeline(docs.select("doc_id", "text"), eval_df)
+    stats = run_pipeline(
+        docs.select("doc_id", "text"),
+        eval_df,
+        source_df=docs.select("doc_id", "source"),
+        token_budget=2000,
+    )
     import json
 
     print(json.dumps(stats))
