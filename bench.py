@@ -103,13 +103,15 @@ LOCAL_BASELINES = {
     "vec1m_sq8_build_sec": 4.11,  # 2.2..7.8 (3.5x)
     "vec1m_sq8_knn": 10.3,      # 4.7..15.2 (3.2x)
     # curation100k leg (r11): median of THREE standalone runs, each
-    # started at load < 3 (tools/out_r11b/cur_pin{1,2,3}.json).  Spreads
-    # were tight (rep 6.27..6.31; contam 2.92..3.53; curate 17.7..19.8) —
-    # the kernels are per-row CPU with no shuffle, so they barely see the
-    # ambient noise the vec1m joins do.
-    "cur100k_rep_sec": 6.29,
-    "cur100k_contam_sec": 3.31,
-    "cur100k_curate_sec": 18.94,
+    # started at load < 3, AFTER the section's 2k-doc JIT warmup landed
+    # (tools/out_r11b/cur_pin{4,5,6}.json; the pre-warmup pins 1-3 ran
+    # 6.3/3.3/18.9 — cold C2 compilation of the regex+Arrow paths, not
+    # steady state).  Spreads: rep 3.67..4.03, contam 1.46..1.61, curate
+    # 6.26..9.65 — per-row CPU with no shuffle, so they see far less of
+    # the ambient noise the vec1m joins do.
+    "cur100k_rep_sec": 3.74,
+    "cur100k_contam_sec": 1.58,
+    "cur100k_curate_sec": 6.32,
 }
 
 # re-pinned declared baselines (r9) applied AFTER the cross-round min.
