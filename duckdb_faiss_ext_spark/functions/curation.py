@@ -1,9 +1,8 @@
 """Corpus-curation operators for training-data pipelines (r11).
 
-Three published, deterministic curation stages the reference engine's
-users run in front of every large-scale LLM training job, each expressed
-as declarative Spark plans with exact ANSI-SQL twins (cross-checked
-against DuckDB in tests/test_curation.py):
+Published, deterministic curation stages the reference engine's users
+run in front of every large-scale LLM training job, each with an exact
+cross-engine oracle (DuckDB / Python re) in tests/test_curation.py:
 
 - ``repetition_signals`` — the Gopher repetition statistics (Rae et al.
   2021, "Scaling Language Models", Table A1): duplicate line / line-char
@@ -21,6 +20,11 @@ against DuckDB in tests/test_curation.py):
   with its full signal vector and a ``status`` of ``kept`` or
   ``filtered:<first-failing-constraint>`` — the filter log IS the audit
   trail.
+- ``mix_rates`` / ``sample_corpus_mix`` — deterministic training-mix
+  construction (per-source rates from token/doc budgets; md5-threshold
+  draws reproducible across engines and monotone under budget growth).
+- ``pack_chunks`` — sequence packing: chunk rows fill ~budget-token
+  training windows per source group via one window cumsum.
 
 Scale shape (100 TB): every repetition signal is a PER-DOCUMENT
 statistic, so none of them needs data movement at all — the first cut
@@ -40,9 +44,11 @@ finding).  Both shipped implementations are zero-shuffle narrow maps:
   against both the arrow kernel and a DuckDB oracle in
   tests/test_curation.py.
 
-Contamination broadcasts the (small) eval-gram set so the corpus side
-is one scan with a broadcast hash join; only per-document partial
-counts reach the shuffle.
+Contamination's default impl broadcasts the (small, loudly capped)
+eval-gram set into the same kind of Arrow narrow map — no explode, no
+join; ``impl='join'`` keeps oversized eval sets distributed (broadcast
+hash join, one aggregation).  The mix filter is pure codegen; packing
+is one shuffle on its group columns.
 
 The reference engine (duckdb-faiss-ext) has no text-curation surface;
 these extend the engine for the pipelines the 100 TB target serves, the
