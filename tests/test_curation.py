@@ -749,3 +749,58 @@ def test_pack_chunks_matches_duckdb_oracle(spark, sf_dir):
         total = sum(t for _, t in members)
         last = members[-1][1]
         assert total - last < budget  # start of last chunk inside budget
+
+
+@pytest.mark.parametrize("impl", ["arrow", "sql"])
+def test_curate_text_on_a_stream(spark, tmp_path, impl):
+    """Streaming curation: curate_text applies unchanged to a streaming
+    DataFrame under BOTH impls (the sql impl is pure column expressions;
+    the arrow impl's mapInPandas is a supported streaming narrow map) —
+    the shape a continuously-ingesting training pipeline needs.  The
+    memory sink collects per-doc dispositions; results must equal the
+    batch run on the same rows."""
+    import os
+    import time
+
+    src = str(tmp_path / f"cur_stream_{impl}")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs on"),
+        (1, "tiny"),
+        (2, "spam spam spam spam spam spam spam spam spam spam"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    pol = TextPolicy(min_tokens=3, max_top_ngram_frac={2: 0.2},
+                     max_dup_ngram_frac={5: 0.15})
+    batch = {
+        r["doc_id"]: r["status"]
+        for r in curate_text(df, pol, impl=impl).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    out = curate_text(stream, pol, impl=impl).select("doc_id", "status")
+    name = f"cur_stream_sink_{impl}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{impl}"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {
+                r["doc_id"]: r["status"]
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+            if len(got) == len(rows):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got == batch
+    assert got[0] == "kept" and got[2] == "filtered:max_top_2gram_frac"
