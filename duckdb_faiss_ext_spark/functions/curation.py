@@ -437,19 +437,31 @@ def _contamination_arrow(
     import pandas as pd
 
     # bounded driver data: an eval benchmark is small by definition; an
-    # oversized one must fail loudly, not truncate silently
-    toks_of = F.regexp_extract_all(
-        F.lower(T._c(eval_text_col)), F.lit("[a-z0-9]+"), F.lit(0)
-    )
-    grams_expr = F.when(
-        F.size(toks_of) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks_of) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks_of, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # oversized one must fail loudly, not truncate silently.  The eval
+    # side grams in the same kind of Arrow kernel as the corpus side —
+    # the JVM transform/concat_ws lambda formulation runs interpreted
+    # and costs ~30 s per 100k eval docs (SCALE.md r11).
+    import pandas as _epd
+    import re as _ere
+
+    _etok = _ere.compile(r"[a-z0-9]+")
+
+    def eval_grams_kernel(batches):
+        for pdf in batches:
+            grams = set()
+            for text in pdf[eval_text_col]:
+                if text is None:
+                    continue
+                toks = _etok.findall(text.lower())
+                grams.update(
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+            yield _epd.DataFrame({"gram": sorted(grams)})
+
     rows = (
-        eval_df.select(F.explode(grams_expr).alias("gram"))
+        eval_df.select(eval_text_col)
+        .mapInPandas(eval_grams_kernel, "gram string")
         .distinct()
         .limit(max_eval_grams + 1)
         .collect()
@@ -781,7 +793,9 @@ def mix_hash(id_col, seed: int = 0) -> Column:
     expressible verbatim in ANSI SQL (md5 + substr + hex cast), so
     sampling decisions are reproducible across engines and across runs —
     a training-mix manifest must be re-derivable, never a Bernoulli coin
-    flip nobody can replay (tests pin Spark == DuckDB on the raw hash)."""
+    flip nobody can replay (tests pin Spark == DuckDB on the raw hash).
+    NULL ids hash to NULL and therefore never sample in — ids are the
+    reproducibility key, so a row without one has no stable draw."""
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"{seed}:"), T._c(id_col).cast("string"))),
@@ -905,15 +919,19 @@ def pack_chunks(
     out = out.withColumn(
         "pack_pos", (F.row_number().over(wp) - 1).cast("int")
     )
-    # loud precondition: an over-budget chunk would otherwise span packs
-    # silently.  raise_error rides the same projection — no extra pass,
-    # and the job fails at the first offending row.
+    # loud preconditions: an over-budget chunk would otherwise span packs
+    # silently, and a NULL token count would silently NULL the cumsum for
+    # the rest of its group.  raise_error rides the same projection — no
+    # extra pass, and the job fails at the first offending row.
     return out.withColumn(
         "pack_id",
-        F.when(tok > budget, F.raise_error(
+        F.when(tok.isNull() | (tok > budget), F.raise_error(
             F.concat(
-                F.lit(f"pack_chunks: chunk exceeds budget {budget}: "),
-                tok.cast("string"),
+                F.lit(
+                    f"pack_chunks: chunk token count NULL or over budget "
+                    f"{budget}: "
+                ),
+                F.coalesce(tok.cast("string"), F.lit("NULL")),
                 F.lit(" tokens"),
             )
         ).cast("bigint")).otherwise(F.col("pack_id")),

@@ -674,8 +674,14 @@ def test_pack_chunks_rejects_oversized_and_bad_args(spark):
         [("s", 0, 0, 99)],
         "source string, doc_id bigint, chunk_id int, n_tokens bigint",
     )
-    with pytest.raises(Exception, match="exceeds budget"):
+    with pytest.raises(Exception, match="over budget"):
         pack_chunks(df, budget=10).collect()
+    dfn = spark.createDataFrame(
+        [("s", 0, 0, None)],
+        "source string, doc_id bigint, chunk_id int, n_tokens bigint",
+    )
+    with pytest.raises(Exception, match="NULL"):
+        pack_chunks(dfn, budget=10).collect()
     with pytest.raises(ValueError, match="group_cols"):
         pack_chunks(df, budget=10, group_cols=())
 
