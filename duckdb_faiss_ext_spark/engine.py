@@ -1346,7 +1346,10 @@ class FaissSparkEngine:
         pert = float(
             np.median(np.abs(d_quant[rows_ix, order] - top))
         )
-        if pert >= margin:
+        # pert == 0 means decode is EXACT on the sample (constant dims or
+        # duplicate-heavy corpora where vdiff = 0): no quantization effect
+        # exists, so 0 >= 0 must not warn (r11 review finding)
+        if pert > 0 and pert >= margin:
             import warnings
 
             warnings.warn(

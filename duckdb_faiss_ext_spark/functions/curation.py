@@ -246,13 +246,19 @@ def _repetition_arrow(
         [in_fields[c] for c in passthrough]
         + _rep_signal_fields(top_ns, dup_ns)
     )
+    from collections import Counter
+
     tok_re = _re.compile(r"[a-z0-9]+")
     frac_cols = [f.name for f in _rep_signal_fields(top_ns, dup_ns)]
 
     def row_signals(text):
         if text is None:
             return [0, 0, 0.0, 0.0] + [0.0] * (len(top_ns) + len(dup_ns))
-        lines = [ln for ln in text.split("\n") if ln.strip()]
+        # strip(' ') not strip(): Spark/DuckDB trim() removes only SPACE
+        # characters, so a tab-only separator line is a (non-blank) line
+        # under the sql impl and must be here too (r11 review finding —
+        # Python's bare strip() silently diverged on '\t'-only lines)
+        lines = [ln for ln in text.split("\n") if ln.strip(" ")]
         n_lines = len(lines)
         distinct = set(lines)
         chars = sum(len(ln) for ln in lines)
@@ -275,8 +281,6 @@ def _repetition_arrow(
             if len(ids) < n:
                 stats[n] = (0, 0)
                 continue
-            from collections import Counter
-
             cnt = Counter(zip(*[ids[i:] for i in range(n)]))
             top_key, dup_cov = (0, 0), 0
             for gram, c in cnt.items():
@@ -357,6 +361,11 @@ def repetition_signals(
         raise ValueError(f"repetition_signals: n must be >= 1, got {top_ns + dup_ns}")
     if impl not in ("arrow", "sql"):
         raise ValueError(f"repetition_signals: impl must be arrow|sql, got {impl!r}")
+    # id_col is not consumed (every non-text column passes through), but a
+    # typo'd name must fail loudly rather than silently mean nothing
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"repetition_signals: no column {c!r} in {df.columns}")
     all_ns = tuple(dict.fromkeys(top_ns + dup_ns))
 
     signal_names = (
@@ -436,28 +445,25 @@ def _contamination_arrow(
 
     import pandas as pd
 
+    tok_re = _re.compile(r"[a-z0-9]+")
+
     # bounded driver data: an eval benchmark is small by definition; an
     # oversized one must fail loudly, not truncate silently.  The eval
     # side grams in the same kind of Arrow kernel as the corpus side —
     # the JVM transform/concat_ws lambda formulation runs interpreted
     # and costs ~30 s per 100k eval docs (SCALE.md r11).
-    import pandas as _epd
-    import re as _ere
-
-    _etok = _ere.compile(r"[a-z0-9]+")
-
     def eval_grams_kernel(batches):
         for pdf in batches:
             grams = set()
             for text in pdf[eval_text_col]:
                 if text is None:
                     continue
-                toks = _etok.findall(text.lower())
+                toks = tok_re.findall(text.lower())
                 grams.update(
                     " ".join(toks[i : i + n])
                     for i in range(len(toks) - n + 1)
                 )
-            yield _epd.DataFrame({"gram": sorted(grams)})
+            yield pd.DataFrame({"gram": sorted(grams)})
 
     rows = (
         eval_df.select(eval_text_col)
@@ -474,7 +480,6 @@ def _contamination_arrow(
         )
     eset = frozenset(r["gram"] for r in rows)
     bc = docs.sparkSession.sparkContext.broadcast(eset)
-    tok_re = _re.compile(r"[a-z0-9]+")
     id_field = [f for f in docs.schema.fields if f.name == id_col][0]
     schema = (
         f"{id_col} {id_field.dataType.simpleString()}, n_grams bigint, "
@@ -534,6 +539,12 @@ def ngram_contamination(
     Texts shorter than ``n`` tokens have no n-grams: ``n_grams = 0`` and
     the document cannot be flagged.  Use a smaller ``n`` for short-form
     eval sets (the GPT-3 paper itself scales N with example length).
+
+    ``id_col`` values are expected UNIQUE and non-NULL (they are document
+    identities): rows sharing an id come back as one merged row under
+    ``impl='join'`` (the aggregation groups on the id) but as one row
+    per input row under ``impl='arrow'`` — the impl-equivalence contract
+    only holds for well-formed ids.
 
     Scale shape: the eval side is always tiny relative to a 100 TB
     corpus (it is a benchmark), so the default ``impl='arrow'`` collects
@@ -830,7 +841,10 @@ def mix_rates(
         .collect()
     }
     rates = {}
-    for src in sorted(set(cur) | set(targets)):
+    # NULL sources sort via the (is-None, value) key: a real corpus has
+    # them, and bare sorted() would raise TypeError mixing None with str
+    # (r11 review finding); they get rate 0.0 like any non-target source
+    for src in sorted(set(cur) | set(targets), key=lambda s: (s is None, s)):
         if src not in targets:
             rates[src] = 0.0
         elif src not in cur or not cur[src]:

@@ -257,12 +257,15 @@ PII_PATTERNS = (
     # '(555) 123-4567' never matched while '+1 (555) 123-4567' did.
     # Three alternatives so the optional group can't shrink the minimum
     # to 8 bare digits (which would redact compact dates like 20260815 —
-    # r11 review finding): explicit-+ international with 2-4-digit
-    # groupings ('+44 20 7946 0958'); NANP-ish shapes that REQUIRE a
-    # separator after the area code; bare runs keep the original
-    # >= 9-digit minimum.
+    # r11 review finding): explicit-+ international with >= 3 separated
+    # digit groups ('+44 20 7946 0958', '+33 1 42 68 53 01' — the first
+    # cut's {2,4} groups of \d{2,4} matched 5-digit non-phones like
+    # 'diff +1 23 45', second r11 review finding; the lookbehind also
+    # keeps '5+1 23 45 67' arithmetic untouched); NANP-ish shapes that
+    # REQUIRE a separator after the area code; bare runs keep the
+    # original >= 9-digit minimum.
     ("PHONE",
-     r"\+\d{1,3}(?:[-. ]\d{2,4}){2,4}\b"
+     r"(?<![\w.])\+\d{1,3}(?:[-. ]\d{1,4}){3,5}\b"
      r"|(?<![\w.])(?:\+?\d{1,3}[-. (]{0,2})?\(?\d{3}[-. )]{1,2}\d{3}[-. ]?\d{2,4}\b"
      r"|(?<![\w.])\+?\d{9,13}\b"),
 )

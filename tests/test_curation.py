@@ -810,3 +810,35 @@ def test_curate_text_on_a_stream(spark, tmp_path, impl):
         q.stop()
     assert got == batch
     assert got[0] == "kept" and got[2] == "filtered:max_top_2gram_frac"
+
+
+def test_mix_rates_null_source_survives(spark):
+    """r11 review: a NULL source must not crash the rate computation —
+    it gets rate 0.0 (not in the mix) like any non-target source."""
+    from duckdb_faiss_ext_spark.functions.curation import (
+        mix_rates,
+        sample_corpus_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 10), (1, None, 10), (2, "b", 10)],
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    rates = mix_rates(df, {"a": 5}, size_col="n_chars")
+    assert rates["a"] == 0.5 and rates[None] == 0.0 and rates["b"] == 0.0
+    kept = sample_corpus_mix(df, {k: v for k, v in rates.items() if k}).collect()
+    assert all(r["source"] == "a" for r in kept)
+
+
+@pytest.mark.parametrize("impl", ["arrow", "sql"])
+def test_repetition_whitespace_only_lines_match_sql_semantics(spark, impl):
+    """r11 review: Spark/DuckDB trim() removes only SPACES, so a tab-only
+    separator line IS a line; Python's bare strip() silently dropped it
+    in the arrow kernel.  Both impls must count 4 lines here (the '\\t'
+    separator counts, the space-only one does not)."""
+    df = spark.createDataFrame(
+        [(0, "x\n\t\nx\n   \nyy zz")], "doc_id bigint, text string"
+    )
+    r = repetition_signals(df, top_ns=(2,), dup_ns=(5,), impl=impl).first()
+    assert r["n_lines"] == 4          # x, \t, x, 'yy zz' — not the spaces
+    assert r["dup_line_frac"] == pytest.approx(0.25)

@@ -202,3 +202,23 @@ def test_sq8_margin_warning_absent_on_spread_corpus(spark, sf_dir):
         eng.add("sq_ok", emb)
     hits = [c for c in caught if "QUANTIZATION-bound" in str(c.message)]
     assert not hits, [str(c.message) for c in hits]
+
+
+def test_sq8_margin_warning_absent_when_decode_is_exact(spark):
+    """r11 review: a duplicate-heavy corpus can drive BOTH the ordering
+    margin and the quantization perturbation to exactly 0 (vdiff = 0 on
+    every dim -> decode is bit-exact).  0 >= 0 must not warn — there is
+    no quantization effect to be bound by."""
+    import warnings as w
+
+    # every vector identical per dim -> vmin == vmax -> vdiff = 0
+    pts = np.tile(
+        np.arange(8, dtype=np.float32)[None, :] / 8.0, (64, 1)
+    )
+    eng = FaissSparkEngine(spark)
+    eng.create("sq_const", 8, "IDMap,Flat,SQ8", metric_type="L2")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        eng.add("sq_const", _emb_df(spark, pts))
+    hits = [c for c in caught if "QUANTIZATION-bound" in str(c.message)]
+    assert not hits, [str(c.message) for c in hits]

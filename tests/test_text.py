@@ -299,3 +299,31 @@ def test_vocab_stats_matches_duckdb_oracle(spark, sf_dir):
     # sanity: doc_freq never exceeds term_freq, and a known-common token
     # (driver synth text is english-ish) appears
     assert all(d <= t for _, t, d in got)
+
+
+def test_phone_pattern_r11_regressions(spark):
+    """r11 review: the international alternative must not redact short
+    '+N NN NN' non-phones (diffs, scores, coordinates) and must not fire
+    mid-expression; real international shapes with >= 3 separated groups
+    still redact."""
+    from duckdb_faiss_ext_spark.functions.text import scrub_pii
+
+    rows = [
+        (0, "diff +1 23 45 applied"),          # 2 groups: NOT a phone
+        (1, "offset +20 30 40 in the grid"),   # 2 groups: NOT a phone
+        (2, "x = 5+1 23 45 67"),               # mid-expression +: untouched
+        (3, "call +44 20 7946 0958 now"),      # 3 groups: phone
+        (4, "ou +33 1 42 68 53 01 merci"),     # 5 groups: phone
+        (5, "compact date 20260815 stays"),    # 8 digits: untouched
+    ]
+    df = spark.createDataFrame(rows, "i bigint, text string")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", scrub_pii("text").alias("s")).collect()
+    }
+    assert got[0] == rows[0][1]
+    assert got[1] == rows[1][1]
+    assert got[2] == rows[2][1]
+    assert got[3] == "call [PHONE] now"
+    assert got[4] == "ou [PHONE] merci"
+    assert got[5] == rows[5][1]
