@@ -873,13 +873,38 @@ def sample_corpus_mix(
     ``seed`` redraws independently.  Growing a source's rate keeps every
     previously sampled row (the draw is per-row and fixed), so
     incremental budget increases are supersets — the property a
-    re-mixed training run needs for cache reuse."""
-    rate = F.lit(0.0)
+    re-mixed training run needs for cache reuse.
+
+    Plan shape: small mixes inline as a literal CASE (pure codegen, the
+    filter rides the scan); a web-scale mix with thousands of sources
+    would make that CASE a thousands-deep expression, so above 256
+    sources the rates ship as a broadcast hash join instead — same
+    rows, still no corpus shuffle (both paths covered by one test)."""
     for src, r in rates.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"sample_corpus_mix: rate for {src!r} is {r}")
-        rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
-    return df.filter(mix_hash(F.col(id_col), seed) < rate)
+    draw = mix_hash(F.col(id_col), seed)
+    if len(rates) <= 256:
+        rate = F.lit(0.0)
+        for src, r in rates.items():
+            rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(
+                rate
+            )
+        return df.filter(draw < rate)
+    spark = df.sparkSession
+    src_type = [
+        f.dataType.simpleString() for f in df.schema.fields
+        if f.name == source_col
+    ][0]
+    rates_df = spark.createDataFrame(
+        [(src, float(r)) for src, r in rates.items()],
+        f"{source_col} {src_type}, __mix_rate double",
+    )
+    return (
+        df.join(F.broadcast(rates_df), on=source_col, how="inner")
+        .filter(draw < F.col("__mix_rate"))
+        .select(*df.columns)
+    )
 
 
 # ----------------------------------------------------------- sequence packing

@@ -842,3 +842,31 @@ def test_repetition_whitespace_only_lines_match_sql_semantics(spark, impl):
     r = repetition_signals(df, top_ns=(2,), dup_ns=(5,), impl=impl).first()
     assert r["n_lines"] == 4          # x, \t, x, 'yy zz' — not the spaces
     assert r["dup_line_frac"] == pytest.approx(0.25)
+
+
+def test_sample_corpus_mix_join_path_equals_case_path(spark):
+    """Above 256 sources the rate lookup ships as a broadcast join; the
+    selected row set must be IDENTICAL to the literal-CASE path (forced
+    by splitting the same mix across the threshold)."""
+    from duckdb_faiss_ext_spark.functions.curation import sample_corpus_mix
+
+    n_src = 300
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % n_src).cast("string")).alias(
+            "source"
+        ),
+    )
+    rates = {f"s{i}": (i % 4) / 4.0 for i in range(n_src)}  # 0, .25, .5, .75
+    got_join = sorted(
+        r["doc_id"] for r in sample_corpus_mix(df, rates, seed=3).collect()
+    )
+    # CASE path, forced: same rates in <= 256-source slices, unioned
+    items = sorted(rates.items())
+    a, b = dict(items[:150]), dict(items[150:])
+    got_case = sorted(
+        [r["doc_id"] for r in sample_corpus_mix(df, a, seed=3).collect()]
+        + [r["doc_id"] for r in sample_corpus_mix(df, b, seed=3).collect()]
+    )
+    assert got_join == got_case and len(got_join) > 0
+    assert sample_corpus_mix(df, rates, seed=3).columns == df.columns
