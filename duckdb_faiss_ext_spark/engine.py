@@ -1575,16 +1575,31 @@ class FaissSparkEngine:
         if empty > nlist // 2 or biggest > max(0.2 * n, 5.0 * n / nlist):
             import warnings
 
+            # the root-cause hint is metric-specific (VERDICT r11 #3): the
+            # norm-collapse mechanism only exists for IP-family metrics;
+            # for L2-family the usual culprit is a degenerate/clustered
+            # training sample or nlist far above sqrt(N).
+            if metric in ("INNER_PRODUCT", "COSINE"):
+                hint = (
+                    "  With INNER_PRODUCT at high nlist this usually means "
+                    "UNNORMALIZED embeddings collapsing onto the "
+                    "largest-norm centroids — unit-normalize the vectors "
+                    "or use COSINE/L2 (README 'Sizing the knobs at scale', "
+                    "SCALE.md r6)."
+                )
+            else:
+                hint = (
+                    "  This usually means the training sample is too small "
+                    "or too clustered for this nlist — enlarge the sample "
+                    "or lower nlist toward sqrt(N) (README 'Sizing the "
+                    "knobs at scale')."
+                )
             warnings.warn(
                 f"Index {idx.name} ({idx.spec.factory!r}, metric {metric}): "
                 f"degenerate coarse assignment on the training sample — "
                 f"{empty}/{nlist} clusters empty, largest cluster holds "
                 f"{biggest / n:.0%} of sampled rows.  nprobe pruning will "
-                "buy little or nothing at search time.  With INNER_PRODUCT "
-                "at high nlist this usually means UNNORMALIZED embeddings "
-                "collapsing onto the largest-norm centroids — unit-normalize "
-                "the vectors or use COSINE/L2 (README 'Sizing the knobs at "
-                "scale', SCALE.md r6)."
+                f"buy little or nothing at search time.{hint}"
             )
 
     # rebalance trip point: a cluster above this multiple of the even share

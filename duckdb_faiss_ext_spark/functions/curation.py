@@ -630,7 +630,18 @@ class TextPolicy:
 
     ``max_top_ngram_frac`` / ``max_dup_ngram_frac`` map n -> cap; their
     keys select which repetition columns are computed, so an empty map
-    skips that signal's cost entirely."""
+    skips that signal's cost entirely.
+
+    Threshold provenance caveat: the default caps reuse Gopher's
+    published numbers (Rae et al. 2021 Table A1), but
+    ``repetition_signals`` counts every occurrence's characters
+    independently (overlaps double-counted — see its docstring) while the
+    paper's fractions are over the UNION of covered character positions.
+    On overlap-heavy documents our fractions run higher than the paper's,
+    so these defaults filter repetitive text somewhat MORE aggressively
+    than the published rule set — the conservative direction for a
+    training-data filter, and the convention with an exact SQL/DuckDB
+    twin.  Loosen the caps if you need literal-paper behavior."""
 
     min_tokens: Optional[int] = 5
     max_tokens: Optional[int] = None
@@ -673,6 +684,13 @@ def curate_text(
     constraints are disabled are still emitted (they are nearly free on
     the same scan) EXCEPT the n-gram fractions, which are computed only
     for the n values the policy actually caps."""
+    # validate impl HERE, not only inside repetition_signals: a policy
+    # with no repetition constraints skips that call entirely and an
+    # invalid impl would be silently accepted (ADVICE r12)
+    if impl not in ("arrow", "sql"):
+        raise ValueError(
+            f"curate_text: impl must be 'arrow' or 'sql', got {impl!r}"
+        )
     policy = policy or TextPolicy()
     top_ns = tuple(sorted(policy.max_top_ngram_frac or {}))
     dup_ns = tuple(sorted(policy.max_dup_ngram_frac or {}))
@@ -930,6 +948,10 @@ def pack_chunks(
     neither distributes nor has a window-function twin).  Chunks longer
     than ``budget`` are rejected loudly — produce them with
     ``chunk_text(chunk_chars<=~4*budget)`` instead of silently spanning.
+    ``order_cols`` must uniquely order rows within each group (the
+    default ``(doc_id, chunk_id)`` does): the cumsum runs over a ROWS
+    frame so ties no longer lump peers' tokens together, but tied rows
+    would still be packed in an arbitrary (nondeterministic) order.
 
     Output = input columns + ``pack_id`` (bigint, dense from 0 within
     each group) + ``pack_pos`` (0-based position within the pack).
@@ -948,7 +970,18 @@ def pack_chunks(
             "pack_chunks: group_cols must be non-empty — a global window "
             "is a single-task plan; pass an explicit shard column"
         )
-    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    # ROWS frame, not the default RANGE: under RANGE, order_cols ties are
+    # peers and every tied row gets the SAME cumulative sum (peers' tokens
+    # lumped into each other's start offset) while row_number stays
+    # per-row — silently mispacked rows (ADVICE r12).  ROWS makes the
+    # cumsum per-row; order_cols must still order rows DETERMINISTICALLY
+    # within each group (ties leave pack assignment stable only up to the
+    # shuffle's tie order), so pass unique keys like (doc_id, chunk_id).
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     tok = F.col(token_col).cast("bigint")
     start = F.sum(tok).over(w) - tok
     out = df.withColumn(

@@ -261,11 +261,13 @@ PII_PATTERNS = (
     # digit groups ('+44 20 7946 0958', '+33 1 42 68 53 01' — the first
     # cut's {2,4} groups of \d{2,4} matched 5-digit non-phones like
     # 'diff +1 23 45', second r11 review finding; the lookbehind also
-    # keeps '5+1 23 45 67' arithmetic untouched); NANP-ish shapes that
+    # keeps '5+1 23 45 67' arithmetic untouched; the {1,4} groups then
+    # need a >= 8-total-digit lookahead or 4-digit strings like
+    # '+1 2 3 4' redact — ADVICE r12); NANP-ish shapes that
     # REQUIRE a separator after the area code; bare runs keep the
     # original >= 9-digit minimum.
     ("PHONE",
-     r"(?<![\w.])\+\d{1,3}(?:[-. ]\d{1,4}){3,5}\b"
+     r"(?<![\w.])\+(?=(?:\d[-. ]?){8,})\d{1,3}(?:[-. ]\d{1,4}){3,5}\b"
      r"|(?<![\w.])(?:\+?\d{1,3}[-. (]{0,2})?\(?\d{3}[-. )]{1,2}\d{3}[-. ]?\d{2,4}\b"
      r"|(?<![\w.])\+?\d{9,13}\b"),
 )

@@ -870,3 +870,42 @@ def test_sample_corpus_mix_join_path_equals_case_path(spark):
     )
     assert got_join == got_case and len(got_join) > 0
     assert sample_corpus_mix(df, rates, seed=3).columns == df.columns
+
+
+def test_pack_chunks_rows_frame_on_tied_order_keys(spark):
+    """ADVICE r12: under the default RANGE frame, order-key ties are window
+    peers — every tied row got the SAME cumulative start (peers' tokens
+    lumped together) while pack_pos stayed per-row, silently mispacking.
+    The ROWS frame gives each row its own running sum: two identical rows
+    of 6 tokens at budget 6 must land in DIFFERENT packs (starts 0 and 6),
+    where RANGE put both at start 6 -> both pack 1 and an empty pack 0."""
+    from duckdb_faiss_ext_spark.functions.curation import pack_chunks
+
+    df = spark.createDataFrame(
+        [("s", 0, 0, 6), ("s", 0, 0, 6)],  # identical order keys: tied
+        "source string, doc_id bigint, chunk_id int, n_tokens bigint",
+    )
+    got = sorted(
+        (r["pack_id"], r["pack_pos"])
+        for r in pack_chunks(df, budget=6).collect()
+    )
+    assert got == [(0, 0), (1, 0)]
+
+
+def test_curate_text_validates_impl_even_without_repetition(spark):
+    """ADVICE r12: a policy with all repetition constraints disabled skips
+    repetition_signals entirely, so curate_text must validate impl itself
+    instead of silently accepting (and ignoring) garbage."""
+    from duckdb_faiss_ext_spark.functions.curation import TextPolicy, curate_text
+
+    df = spark.createDataFrame([(0, "hello world")], "doc_id bigint, text string")
+    pol = TextPolicy(
+        max_dup_line_frac=None,
+        max_dup_line_char_frac=None,
+        max_top_ngram_frac={},
+        max_dup_ngram_frac={},
+    )
+    with pytest.raises(ValueError, match="impl must be"):
+        curate_text(df, pol, impl="sq1")
+    # and the valid impls still work with the stripped policy
+    assert curate_text(df, pol, impl="arrow").count() == 1

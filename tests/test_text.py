@@ -327,3 +327,28 @@ def test_phone_pattern_r11_regressions(spark):
     assert got[3] == "call [PHONE] now"
     assert got[4] == "ou [PHONE] merci"
     assert got[5] == rows[5][1]
+
+
+def test_phone_min_total_digits_r12(spark):
+    """ADVICE r12: the international alternative's {1,4} groups allowed
+    4-total-digit strings like '+1 2 3 4' to redact; a >=8-total-digit
+    lookahead restores the floor without losing real phones."""
+    from duckdb_faiss_ext_spark.functions.text import scrub_pii
+
+    rows = [
+        (0, "sum +1 2 3 4 done"),            # 4 digits: NOT a phone
+        (1, "vec +1 2 3 4 5 6 here"),        # 6 digits: NOT a phone
+        (2, "call +44 20 7946 0958 now"),    # 12 digits: phone
+        (3, "ou +33 1 42 68 53 01 merci"),   # 11 digits: phone
+        (4, "tel +7 495 123 4567 ok"),       # 11 digits: phone
+    ]
+    df = spark.createDataFrame(rows, "i bigint, text string")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", scrub_pii("text").alias("s")).collect()
+    }
+    assert got[0] == rows[0][1]
+    assert got[1] == rows[1][1]
+    assert got[2] == "call [PHONE] now"
+    assert got[3] == "ou [PHONE] merci"
+    assert got[4] == "tel [PHONE] ok"

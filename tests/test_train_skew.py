@@ -144,3 +144,28 @@ def test_rebalance_fold_never_pushes_target_over_cap(spark, eng):
     # pre-fix: the donor folded wholesale into cluster 2 (495+35=530 > cap)
     assert out.max() <= cap, f"cluster over cap after rebalance: {out}"
     assert out[0] <= cap  # the giant actually split
+
+
+def test_degenerate_warning_hint_is_metric_conditional(spark, eng):
+    """VERDICT r11 #3: the UNNORMALIZED-embeddings hint explains an
+    IP-family failure mode; an L2 index must get the sample/nlist hint
+    instead."""
+    rng = np.random.default_rng(3)
+    # 95% exact-duplicate rows + a spread tail: one cluster must hold
+    # >= 95% of the sample under ANY metric -> degenerate warning
+    x = np.vstack([
+        np.ones((1900, 8), dtype=np.float32),
+        rng.standard_normal((100, 8)).astype(np.float32),
+    ])
+    eng.create("l2skew", 8, "IDMap,IVF32,Flat", metric_type="L2")
+    with pytest.warns(UserWarning, match="degenerate coarse assignment") as rec:
+        eng.add("l2skew", _vec_df(spark, x))
+    msgs = [str(w.message) for w in rec if "degenerate" in str(w.message)]
+    assert msgs and all("UNNORMALIZED" not in m for m in msgs)
+    assert any("training sample" in m for m in msgs)
+
+    y = rng.standard_normal((2000, 8)).astype(np.float32)
+    y *= rng.lognormal(0.0, 2.0, size=(2000, 1)).astype(np.float32)
+    eng.create("ipskew", 8, "IDMap,IVF32,Flat", metric_type="INNER_PRODUCT")
+    with pytest.warns(UserWarning, match="UNNORMALIZED"):
+        eng.add("ipskew", _vec_df(spark, y))
