@@ -157,10 +157,38 @@ def q12_range(spark, sf):
     )
 
 
-def q13_values(spark, sf):
-    # Q13 VALUES inline table (faiss7.test:19-22)
-    return spark.createDataFrame(
-        [(231, 1, "x"), (232, 2, "y")], "id int, doc int, txt string"
+def curation_signals(spark, sf):
+    """r11's flagship curation surface under the driver-level CORRECTNESS
+    gate (VERDICT r11 task 3): Gopher repetition signals (line stats +
+    top-2gram / dup-5gram character fractions, functions/curation.py Arrow
+    kernel) plus the TextPolicy-default disposition, rounded half-up at
+    1e4 like text_stats so the cross-engine hash is bit-stable.  Replaces
+    q13_values (a 2-row VALUES scan whose machinery q12/q15 already cover;
+    VALUES semantics stay pinned in tests/test_sources.py)."""
+    from duckdb_faiss_ext_spark.functions.curation import repetition_signals
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    sig = repetition_signals(d, top_ns=(2,), dup_ns=(5,), impl="arrow")
+    dlf, dlcf = F.col("dup_line_frac"), F.col("dup_line_char_frac")
+    t2, d5 = F.col("top_2gram_char_frac"), F.col("dup_5gram_char_frac")
+    # TextPolicy default caps, evaluated in field-declaration order on the
+    # UNROUNDED fractions (ratios of integers: bit-identical across engines)
+    disposition = (
+        F.when(dlf > 0.30, F.lit("filtered:max_dup_line_frac"))
+        .when(dlcf > 0.20, F.lit("filtered:max_dup_line_char_frac"))
+        .when(t2 > 0.20, F.lit("filtered:max_top_ngram_frac_2"))
+        .when(d5 > 0.15, F.lit("filtered:max_dup_ngram_frac_5"))
+        .otherwise(F.lit("kept"))
+    )
+    return sig.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        V.round_half_up(dlf, 4).alias("dup_line_frac"),
+        V.round_half_up(dlcf, 4).alias("dup_line_char_frac"),
+        V.round_half_up(t2, 4).alias("top_2gram_frac"),
+        V.round_half_up(d5, 4).alias("dup_5gram_frac"),
+        disposition.alias("disposition"),
     )
 
 
@@ -1054,7 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_cte": q10_cte,
         "q11_round_expr": q11_round_expr,
         "q12_range": q12_range,
-        "q13_values": q13_values,
+        "curation_signals": curation_signals,
         "q14_array_construct": q14_array_construct,
         "q15_unnest": q15_unnest,
         "q19_events_agg": q19_events_agg,
@@ -1160,8 +1188,51 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_linenumber = 1"
         ),
         "q12_range": ("SELECT i, i % 100 AS sel FROM range(0, 1000) t(i)"),
-        "q13_values": (
-            "SELECT * FROM (VALUES (231, 1, 'x'), (232, 2, 'y')) v(id, doc, txt)"
+        # exact DuckDB twin of the repetition Arrow kernel (same formulation
+        # as tests/test_curation.py's _rep_oracle_sql, over the documents
+        # view; series bound 128 > the fixture's max 99 tokens/doc)
+        "curation_signals": (
+            "WITH base AS (SELECT doc_id, "
+            "coalesce(length(text), 0) AS n_chars, "
+            "list_filter(string_split(coalesce(text, ''), chr(10)), "
+            "l -> length(trim(l)) > 0) AS lines, "
+            "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t "
+            "FROM documents), "
+            "linesig AS (SELECT doc_id, n_chars, len(lines) AS n_lines, "
+            "(len(lines) - len(list_distinct(lines))) "
+            "/ greatest(len(lines), 1)::DOUBLE AS dlf, "
+            "(coalesce(list_sum(list_transform(lines, l -> length(l))), 0) "
+            "- coalesce(list_sum(list_transform(list_distinct(lines), "
+            "l -> length(l))), 0)) "
+            "/ greatest(coalesce(list_sum(list_transform(lines, "
+            "l -> length(l))), 0), 1)::DOUBLE AS dlcf, t FROM base), "
+            "grams AS (SELECT b.doc_id, nv.n, "
+            "array_to_string(b.t[g.i : g.i + nv.n - 1], ' ') AS gram "
+            "FROM linesig b JOIN (VALUES (2), (5)) nv(n) ON len(b.t) >= nv.n "
+            "JOIN generate_series(1, 128) g(i) "
+            "ON g.i <= len(b.t) - nv.n + 1), "
+            "counted AS (SELECT doc_id, n, gram, count(*) AS cnt, "
+            "count(*) * length(gram) AS cov FROM grams "
+            "GROUP BY doc_id, n, gram), "
+            "sig AS (SELECT b.doc_id, b.n_chars, b.n_lines, b.dlf, b.dlcf, "
+            "coalesce(max(CASE WHEN c.n = 2 THEN "
+            "{'cnt': c.cnt, 'cov': c.cov} END).cov "
+            "/ greatest(b.n_chars, 1), 0.0) AS t2, "
+            "coalesce(sum(CASE WHEN c.n = 5 AND c.cnt > 1 THEN c.cov END) "
+            "/ greatest(b.n_chars, 1), 0.0) AS d5 "
+            "FROM linesig b LEFT JOIN counted c USING (doc_id) "
+            "GROUP BY b.doc_id, b.n_chars, b.n_lines, b.dlf, b.dlcf) "
+            "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST(n_lines AS BIGINT) AS n_lines, "
+            "FLOOR(dlf * 10000.0 + 0.5) / 10000.0 AS dup_line_frac, "
+            "FLOOR(dlcf * 10000.0 + 0.5) / 10000.0 AS dup_line_char_frac, "
+            "FLOOR(t2 * 10000.0 + 0.5) / 10000.0 AS top_2gram_frac, "
+            "FLOOR(d5 * 10000.0 + 0.5) / 10000.0 AS dup_5gram_frac, "
+            "CASE WHEN dlf > 0.30 THEN 'filtered:max_dup_line_frac' "
+            "WHEN dlcf > 0.20 THEN 'filtered:max_dup_line_char_frac' "
+            "WHEN t2 > 0.20 THEN 'filtered:max_top_ngram_frac_2' "
+            "WHEN d5 > 0.15 THEN 'filtered:max_dup_ngram_frac_5' "
+            "ELSE 'kept' END AS disposition FROM sig"
         ),
         "q14_array_construct": (
             "SELECT l_orderkey, l_linenumber, "

@@ -46,3 +46,28 @@ def test_load_tables_registers_views(spark, sf_dir):
     assert {"lineitem", "orders", "embeddings", "documents"} <= set(tables)
     assert spark.sql("SELECT COUNT(*) c FROM lineitem").first()["c"] > 0
     assert spark.table("embeddings").columns == ["vec_id", "embedding", "label"]
+
+
+def test_values_inline_table_matches_duckdb(spark):
+    """The retired q13_values contract row (faiss7.test:19-22), pinned here
+    after its CORRECTNESS slot rotated to curation_signals (VERDICT r11
+    task 3): an inline VALUES relation — Spark's createDataFrame / SQL
+    VALUES — must match DuckDB's VALUES rows and types exactly."""
+    import duckdb
+
+    want = duckdb.connect().execute(
+        "SELECT * FROM (VALUES (231, 1, 'x'), (232, 2, 'y')) v(id, doc, txt)"
+    ).fetchall()
+    got = [
+        tuple(r)
+        for r in spark.createDataFrame(
+            [(231, 1, "x"), (232, 2, "y")], "id int, doc int, txt string"
+        ).collect()
+    ]
+    got_sql = [
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM VALUES (231, 1, 'x'), (232, 2, 'y') AS v(id, doc, txt)"
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want) == sorted(got_sql)
