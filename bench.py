@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 import traceback
 
@@ -58,6 +59,87 @@ def timed(fn, warmup: bool = False):
     t0 = time.perf_counter()
     fn()
     return time.perf_counter() - t0
+
+
+def host_load() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
+class StderrScan:
+    """Tee fd 2 through a pipe and scan it for JVM codegen-fallback events
+    (VERDICT r11 task 2: the official r11 run executed at least one fused
+    stage INTERPRETED — a Janino 64 KB fallback whose stack trace sat in
+    the artifact tail with no counter anywhere).  Everything still reaches
+    the real stderr; matching lines are counted so the artifact can carry
+    `codegen_fallbacks` per section.  MUST start before the SparkSession:
+    the JVM inherits fd 2 at launch, a later dup2 would not reroute it."""
+
+    # one event logs several of these; they are counted separately and the
+    # EVENT count is the max (disabled-warning preferred when visible)
+    PATTERNS = (
+        b"Whole-stage codegen disabled",   # WholeStageCodegenExec logWarning
+        b"grows beyond 64 KB",             # Janino method-size hard limit
+        b"failed to compile",              # CodeGenerator logError
+        b"InternalCompilerException",
+        b"org.codehaus.janino.",           # trace lines (r11 artifact tail)
+    )
+
+    def __init__(self) -> None:
+        self.counts = {p.decode(): 0 for p in self.PATTERNS}
+        self.samples: list[str] = []
+        self.lock = threading.Lock()
+        self._saved = os.dup(2)
+        r, w = os.pipe()
+        os.dup2(w, 2)
+        os.close(w)
+        t = threading.Thread(target=self._pump, args=(r,), daemon=True)
+        t.start()
+
+    def _pump(self, r: int) -> None:
+        with os.fdopen(r, "rb", buffering=0) as f:
+            buf = b""
+            while True:
+                chunk = f.read(65536)
+                if not chunk:
+                    break
+                buf += chunk
+                *lines, buf = buf.split(b"\n")
+                for ln in lines:
+                    os.write(self._saved, ln + b"\n")
+                    hit = False
+                    for p in self.PATTERNS:
+                        if p in ln:
+                            with self.lock:
+                                self.counts[p.decode()] += 1
+                                hit = True
+                    if hit:
+                        with self.lock:
+                            if len(self.samples) < 40:
+                                self.samples.append(
+                                    ln[:400].decode("utf-8", "replace")
+                                )
+            if buf:
+                os.write(self._saved, buf)
+
+    def events(self) -> int:
+        """Fallback EVENTS: one event logs exactly one disabled-warning and
+        one failed-to-compile line but MANY exception/cause lines, so the
+        event count is the max of the one-per-event patterns (falling back
+        to 'at least one' if only trace lines got through)."""
+        with self.lock:
+            per_event = max(
+                self.counts["Whole-stage codegen disabled"],
+                self.counts["failed to compile"],
+            )
+            return per_event or (1 if any(self.counts.values()) else 0)
+
+    def snapshot(self) -> dict:
+        with self.lock:
+            return dict(self.counts)
 
 
 # quiet-host r4 measurements for keys that exist in NO recorded round yet
@@ -153,6 +235,10 @@ def load_r1_baselines() -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # fd-2 tee BEFORE the JVM launches (it inherits the fd): counts codegen
+    # fallback events so the artifact itself says whether any benched stage
+    # ran interpreted (VERDICT r11 task 2)
+    scan = StderrScan()
     from duckdb_faiss_ext_spark import FaissSparkEngine
     from duckdb_faiss_ext_spark.session import get_spark
 
@@ -165,6 +251,19 @@ def main() -> None:
         "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     spark.sparkContext.setLogLevel("ERROR")
+    try:
+        # the disabled-WARNING (names the codegen stage id) is suppressed at
+        # root=ERROR; raise just the two codegen loggers so a fallback logs
+        # the countable one-per-event line, not only the Janino stack trace
+        jvm = spark.sparkContext._jvm
+        warn = jvm.org.apache.logging.log4j.Level.WARN
+        conf = jvm.org.apache.logging.log4j.core.config.Configurator
+        conf.setLevel("org.apache.spark.sql.execution.WholeStageCodegenExec", warn)
+        conf.setLevel(
+            "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator", warn
+        )
+    except Exception:
+        pass  # ERROR-level CodeGenerator lines still match the scanner
 
     queries: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -174,18 +273,26 @@ def main() -> None:
     # vec1m is; most sf0.1 sections share qdf48/exact_hits from
     # engine_exact and would record an error instead of a bogus number.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    section_fallbacks: dict[str, int] = {}
 
     def section(name):
-        """Run one bench section; on failure record the error and move on."""
+        """Run one bench section; on failure record the error and move on.
+        Codegen-fallback events are snapshotted around each section so a
+        fallback is attributed to the section whose stage overflowed."""
 
         def deco(fn):
             if only and name != only:
                 return
+            ev0 = scan.events()
             try:
                 fn()
             except Exception as e:  # noqa: BLE001 — bench must not die
                 errors[name] = f"{type(e).__name__}: {e}"
                 traceback.print_exc(file=sys.stderr)
+            finally:
+                d = scan.events() - ev0
+                if d:
+                    section_fallbacks[name] = d
 
         return deco
 
@@ -202,6 +309,25 @@ def main() -> None:
     ctrl_time()  # warm
     ctrl0 = max(ctrl_time(), 1e-9)
     queries["control_q05_sec"] = round(ctrl0, 4)
+    queries["host_load_start"] = round(host_load(), 2)
+
+    # quiet-wait escalation budget (VERDICT r11 task 1): per-key 120 s, but
+    # a storm that parks EVERY key at the cap would add ~30 min to the
+    # suite — bound the total so the driver's wall-clock stays sane
+    quiet_budget = {"sec": 600.0}
+
+    def quiet_wait(max_sec: float = 120.0, target: float = 10.0):
+        """Sleep in 5 s steps until 1-min load drops under `target`, capped
+        at `max_sec` and by the suite-wide budget; returns (waited, load)."""
+        max_sec = min(max_sec, quiet_budget["sec"])
+        waited = 0.0
+        load = host_load()
+        while waited < max_sec and load >= target:
+            time.sleep(5.0)
+            waited += 5.0
+            load = host_load()
+        quiet_budget["sec"] = max(0.0, quiet_budget["sec"] - waited)
+        return waited, load
 
     def bench_entry(name, fn, warmup: bool = False) -> None:
         """Time an entry; if it breaches 2x its r1 value, attach a control
@@ -210,10 +336,22 @@ def main() -> None:
         suite-start time) — i.e. the host is provably contended, so both
         prior timings likely landed in the same noise window (r4: q07
         breached twice back-to-back at ctrl_ratio 4.2, then timed 0.56 s
-        standalone minutes later)."""
+        standalone minutes later).
+
+        r12 escalation (VERDICT r11 task 1: the official r11 artifact put 6
+        keys over 2x at host load 48.5 with no in-artifact way to prove the
+        breaches ambient): a key still breaching after its reruns records
+        its load trail (`_load_at_key`), waits out the storm (bounded
+        quiet-wait until 1-min load < 10, <= 120 s), re-runs once more, and
+        if the breach SURVIVES emits an in-line `<name>_ambient_breach`
+        verdict — true when the trail shows a contended host (load >= 10 at
+        the key or after the wait, or ctrl ratio > 1.5), false when the
+        host looked healthy (i.e. treat it as a real regression)."""
         t = timed(fn, warmup)
         r1v = r1.get(name)
         if r1v and t > 2.0 * r1v:
+            load0 = host_load()
+            queries[f"{name}_load_at_key"] = round(load0, 2)
             ratio = round(ctrl_time() / ctrl0, 2)
             queries[f"{name}_ctrl_ratio"] = ratio
             t = min(t, timed(fn))
@@ -221,6 +359,16 @@ def main() -> None:
             if t > 2.0 * r1v and ratio > 1.5:
                 t = min(t, timed(fn))
                 reruns = 2
+            if t > 2.0 * r1v:
+                waited, load1 = quiet_wait()
+                queries[f"{name}_quiet_wait_sec"] = round(waited, 1)
+                queries[f"{name}_load_after_wait"] = round(load1, 2)
+                t = min(t, timed(fn))
+                reruns += 1
+                if t > 2.0 * r1v:
+                    queries[f"{name}_ambient_breach"] = bool(
+                        load0 >= 10.0 or load1 >= 10.0 or ratio > 1.5
+                    )
             queries[f"{name}_reruns"] = reruns
         queries[name] = t
 
@@ -736,15 +884,22 @@ def main() -> None:
 
         def timed_build(name, fn):
             """Build keys can't be cheaply re-run like search keys — time
-            once, and on a >2x-of-baseline breach attach the ctrl ratio so
-            the artifact itself says whether the host was slow."""
+            once, and on a >2x-of-baseline breach attach the ctrl ratio AND
+            the load trail + an ambient verdict (r12: the breach must be
+            adjudicable from the artifact even without a rerun)."""
             t0 = time.perf_counter()
             fn()
             t = time.perf_counter() - t0
             queries[name] = round(t, 4)
             b = r1.get(name)
             if b and t > 2.0 * b:
-                queries[f"{name}_ctrl_ratio"] = round(ctrl_time() / ctrl0, 2)
+                load0 = host_load()
+                ratio = round(ctrl_time() / ctrl0, 2)
+                queries[f"{name}_load_at_key"] = round(load0, 2)
+                queries[f"{name}_ctrl_ratio"] = ratio
+                queries[f"{name}_ambient_breach"] = bool(
+                    load0 >= 10.0 or ratio > 1.5
+                )
 
         n1m, vdim, vnlist = 1_000_000, 64, 2048
         corp = synth_clusterable(spark, n1m, vdim, n_clusters=1024).persist()
@@ -875,6 +1030,9 @@ def main() -> None:
     # (isolated A/B reruns of one query swing 3.4s..36s); readers comparing
     # rounds need the load context next to the numbers.
     queries["host_load_1m"] = round(os.getloadavg()[0], 2)
+    # interpreted-stage receipt (VERDICT r11 task 2): 0 = every benched
+    # stage ran compiled; nonzero names the sections in the full file
+    queries["codegen_fallbacks"] = scan.events()
     total = round(
         sum(
             v
@@ -891,6 +1049,11 @@ def main() -> None:
             # totals (ivf_build_heap_used_mb alone was 162-491)
             and not k.endswith("_heap_used_mb")
             and not k.endswith("_load1m")
+            # r12 breach-adjudication trail: loads/waits are not timings
+            and not k.endswith("_load_at_key")
+            and not k.endswith("_load_after_wait")
+            and not k.endswith("_quiet_wait_sec")
+            and k not in ("host_load_start", "codegen_fallbacks")
             # stage splits decompose dedup_pipeline_full (already counted)
             and not k.startswith("dedup_stage_")
         ),
@@ -917,6 +1080,12 @@ def main() -> None:
     }
     if errors:
         full_out["errors"] = errors
+    # codegen-fallback attribution (r12): per-section event deltas and the
+    # first matched log lines, so a nonzero count names its stage
+    full_out["codegen_fallback_counts"] = scan.snapshot()
+    if section_fallbacks:
+        full_out["codegen_fallback_sections"] = section_fallbacks
+        full_out["codegen_fallback_samples"] = scan.samples[:10]
     try:
         with open(full_path, "w") as f:
             json.dump(full_out, f, indent=1)
@@ -924,8 +1093,12 @@ def main() -> None:
         full_path = None
 
     def is_side(k: str) -> bool:
+        # _ambient_breach verdicts + codegen_fallbacks stay IN-LINE: they
+        # are the adjudication evidence the official artifact must carry
+        # (VERDICT r11 tasks 1-2); only the raw trail moves to the file
         return (
-            k.endswith(("_ctrl_ratio", "_reruns", "_heap_used_mb", "_load1m"))
+            k.endswith(("_ctrl_ratio", "_reruns", "_heap_used_mb", "_load1m",
+                        "_load_at_key", "_load_after_wait", "_quiet_wait_sec"))
             or k.startswith("dedup_stage_")
             or k.endswith("_floor_ok")
             # pure decompositions of keys that stay in-line (batch_
@@ -935,6 +1108,13 @@ def main() -> None:
         )
 
     compact = {k: v for k, v in queries.items() if not is_side(k)}
+    # fallback attribution detail is side-file only; the line keeps the
+    # single queries["codegen_fallbacks"] count
+    out_base = {
+        k: v
+        for k, v in full_out.items()
+        if not k.startswith("codegen_fallback_")
+    }
     floor_keys = [k for k in queries if k.endswith("_floor_ok")]
     if floor_keys:
         # only when floors were actually evaluated — a floorless partial
@@ -944,7 +1124,7 @@ def main() -> None:
     for k in floor_keys:  # red floors stay in-line, never only in the file
         if not queries[k]:
             compact[k] = False
-    out = dict(full_out, queries=compact)
+    out = dict(out_base, queries=compact)
     if full_path:
         out["full"] = os.path.relpath(full_path, here)
     if errors:  # headline keeps error NAMES; tracebacks/messages in the file
