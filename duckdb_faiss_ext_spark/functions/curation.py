@@ -57,6 +57,7 @@ same way operators/dedup.py extends it for deduplication.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Mapping, Optional, Sequence
 
@@ -872,12 +873,46 @@ def mix_rates(
     return rates
 
 
+def _source_lookup(
+    df: DataFrame,
+    values: Mapping[str, float],
+    source_col: str,
+    default: float = 0.0,
+):
+    """Per-row lookup of a small source -> value mapping: a literal CASE
+    (pure codegen, rides the scan) up to 256 sources, a broadcast hash
+    join above (a thousands-deep CASE expression is its own codegen
+    hazard).  Returns (df, value_column); the join path appends a
+    ``__mix_val`` column the caller must not leak into its output.
+    Either way the CORPUS never shuffles."""
+    if len(values) <= 256:
+        val = F.lit(float(default))
+        for src, v in values.items():
+            val = F.when(F.col(source_col) == src, F.lit(float(v))).otherwise(val)
+        return df, val
+    spark = df.sparkSession
+    src_type = [
+        f.dataType.simpleString() for f in df.schema.fields
+        if f.name == source_col
+    ][0]
+    vals_df = spark.createDataFrame(
+        [(src, float(v)) for src, v in values.items()],
+        f"{source_col} {src_type}, __mix_val double",
+    )
+    joined = df.join(F.broadcast(vals_df), on=source_col, how="left").fillna(
+        {"__mix_val": float(default)}
+    )
+    return joined, F.col("__mix_val")
+
+
 def sample_corpus_mix(
     df: DataFrame,
     rates: Mapping[str, float],
     source_col: str = "source",
     id_col: str = "doc_id",
     seed: int = 0,
+    exact: bool = False,
+    prefilter: str | None = "auto",
 ) -> DataFrame:
     """Training-mix construction: keep each row iff its deterministic
     ``mix_hash`` draw falls under its source's rate.  The rate lookup is
@@ -897,32 +932,102 @@ def sample_corpus_mix(
     filter rides the scan); a web-scale mix with thousands of sources
     would make that CASE a thousands-deep expression, so above 256
     sources the rates ship as a broadcast hash join instead — same
-    rows, still no corpus shuffle (both paths covered by one test)."""
-    for src, r in rates.items():
-        if not 0.0 <= r <= 1.0:
-            raise ValueError(f"sample_corpus_mix: rate for {src!r} is {r}")
+    rows, still no corpus shuffle (both paths covered by one test).
+
+    ``exact=True`` (VERDICT r11 task 4): the Bernoulli draw hits each
+    budget only in expectation (documented ~2% error at ~8k docs/source);
+    many training-mix specs are exact-count.  In exact mode the mapping
+    values are per-source integer TARGET COUNTS, and the sample is the
+    first ``k_s`` rows of each source ordered by ``(mix_hash, id)`` —
+    still deterministic, engine-portable (same md5 draw; DuckDB twin =
+    ``row_number() OVER (PARTITION BY source ORDER BY mix_hash, id)``),
+    and still a superset under budget growth (a larger k takes a longer
+    prefix of the SAME fixed order).  A source with fewer rows than its
+    target contributes all of them.  Cost: one window shuffle partitioned
+    by source instead of zero.  At 100 TB a giant source would make that
+    window a single-task sort of the whole source, so ``prefilter='auto'``
+    (default) first computes per-source corpus counts (one map-side-
+    combine agg, O(sources) rows — the same pass ``mix_rates`` already
+    pays), pre-filters on ``mix_hash < (k + 6*sqrt(k) + 16) / n`` (zero
+    shuffle, keeps ~k rows per source), and windows only the survivors —
+    the sort sees the SAMPLE, not the corpus.  The margin makes an
+    undershoot astronomically unlikely, and it is VERIFIED, not assumed:
+    the function counts the selection per source and raises loudly on any
+    mismatch vs min(k, n) (the no-silent-caps rule), which makes exact
+    mode eager — it runs two small aggregation jobs at call time.
+    ``prefilter=None`` skips both the prefilter and the verification
+    (exact by construction, fully lazy, but the window sorts whole
+    sources)."""
     draw = mix_hash(F.col(id_col), seed)
-    if len(rates) <= 256:
-        rate = F.lit(0.0)
+    if not exact:
         for src, r in rates.items():
-            rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(
-                rate
+            if not 0.0 <= r <= 1.0:
+                raise ValueError(f"sample_corpus_mix: rate for {src!r} is {r}")
+        looked, rate = _source_lookup(df, rates, source_col)
+        return looked.filter(draw < rate).select(*df.columns)
+
+    from pyspark.sql import Window
+
+    counts: dict = {}
+    for src, k in rates.items():
+        if isinstance(k, bool) or float(k) != int(k) or int(k) < 0:
+            raise ValueError(
+                f"sample_corpus_mix(exact=True): target for {src!r} must be "
+                f"a non-negative integer count, got {k!r}"
             )
-        return df.filter(draw < rate)
-    spark = df.sparkSession
-    src_type = [
-        f.dataType.simpleString() for f in df.schema.fields
-        if f.name == source_col
-    ][0]
-    rates_df = spark.createDataFrame(
-        [(src, float(r)) for src, r in rates.items()],
-        f"{source_col} {src_type}, __mix_rate double",
+        counts[src] = int(k)
+    base = df.filter(draw.isNotNull())  # NULL ids have no stable draw
+    if prefilter not in (None, "auto"):
+        raise ValueError(
+            f"sample_corpus_mix: prefilter must be 'auto' or None, got "
+            f"{prefilter!r}"
+        )
+    cur: dict = {}
+    if prefilter == "auto":
+        cur = {
+            r["src"]: r["n"]
+            for r in base.groupBy(F.col(source_col).alias("src"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # zero-target sources get threshold 0.0 (the default): dropped at
+        # the prefilter, BEFORE the window shuffle ever sees them
+        thr = {
+            s: min(1.0, (k + 6.0 * math.sqrt(k) + 16.0) / n)
+            for s, n in cur.items()
+            if (k := counts.get(s, 0)) > 0 and n > 0
+        }
+        looked, t = _source_lookup(base, thr, source_col)
+        base = looked.filter(draw < t).select(*df.columns)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(draw.asc(), F.col(id_col).asc())
     )
-    return (
-        df.join(F.broadcast(rates_df), on=source_col, how="inner")
-        .filter(draw < F.col("__mix_rate"))
+    looked, kcol = _source_lookup(base, counts, source_col)
+    out = (
+        looked.filter(kcol > 0)  # pre-shuffle prune of zero-target sources
+        .withColumn("__mix_rn", F.row_number().over(w))
+        .filter(F.col("__mix_rn") <= kcol)
         .select(*df.columns)
     )
+    if prefilter == "auto":
+        got = {
+            r["src"]: r["n"]
+            for r in out.groupBy(F.col(source_col).alias("src"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for s, k in counts.items():
+            expect = min(k, cur.get(s, 0))
+            if got.get(s, 0) != expect:
+                raise RuntimeError(
+                    f"sample_corpus_mix(exact=True): source {s!r} selected "
+                    f"{got.get(s, 0)} rows, expected {expect} — the draw "
+                    f"prefilter undershot its margin (corpus ids may be "
+                    f"adversarial to the md5 draw); rerun with "
+                    f"prefilter=None"
+                )
+    return out
 
 
 # ----------------------------------------------------------- sequence packing

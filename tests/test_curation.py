@@ -909,3 +909,83 @@ def test_curate_text_validates_impl_even_without_repetition(spark):
         curate_text(df, pol, impl="sq1")
     # and the valid impls still work with the stripped policy
     assert curate_text(df, pol, impl="arrow").count() == 1
+
+
+def test_sample_corpus_mix_exact_matches_duckdb_and_is_superset(spark, sf_dir):
+    """exact=True (VERDICT r11 task 4): per-source counts are EXACT (not
+    Bernoulli-approximate), the row set equals the DuckDB row_number twin
+    on the same md5 draw, budget growth keeps every previously selected
+    row, and both prefilter paths select identical rows."""
+    from duckdb_faiss_ext_spark.functions.curation import sample_corpus_mix
+
+    parquet = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(parquet)
+    n_src = {
+        r["source"]: r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    targets = {"src0": 10, "src1": 7, "src2": n_src["src2"] + 50, "src3": 0}
+    sel = sample_corpus_mix(docs, targets, seed=7, exact=True)
+    by_src = {
+        r["source"]: r["count"] for r in sel.groupBy("source").count().collect()
+    }
+    # exact counts: k when k <= n, all n when the target exceeds the source
+    assert by_src.get("src0", 0) == 10
+    assert by_src.get("src1", 0) == 7
+    assert by_src.get("src2", 0) == n_src["src2"]
+    assert "src3" not in by_src
+    got = sorted(r["doc_id"] for r in sel.collect())
+    con = duckdb.connect()
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {k}" for s, k in targets.items()
+    ) + " ELSE 0 END"
+    want = sorted(
+        t[0]
+        for t in con.execute(
+            f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                                     1, 8))::BIGINT / 4294967296.0 AS draw
+              FROM read_parquet('{parquet}')
+            ),
+            r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY draw, doc_id) AS rn
+              FROM d
+            )
+            SELECT doc_id FROM r WHERE rn <= {case}
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # superset under budget growth: same fixed order, longer prefix
+    grown = sorted(
+        r["doc_id"]
+        for r in sample_corpus_mix(
+            docs, {**targets, "src0": 20, "src1": 15}, seed=7, exact=True
+        ).collect()
+    )
+    assert set(got) <= set(grown)
+    # prefilter=None (pure window, no verification pass): identical rows
+    lazy = sorted(
+        r["doc_id"]
+        for r in sample_corpus_mix(
+            docs, targets, seed=7, exact=True, prefilter=None
+        ).collect()
+    )
+    assert lazy == got
+    assert sel.columns == docs.columns
+
+
+def test_sample_corpus_mix_exact_validates_counts(spark, sf_dir):
+    from duckdb_faiss_ext_spark.functions.curation import sample_corpus_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="non-negative integer"):
+        sample_corpus_mix(docs, {"src0": 0.5}, exact=True)
+    with pytest.raises(ValueError, match="non-negative integer"):
+        sample_corpus_mix(docs, {"src0": -3}, exact=True)
+    with pytest.raises(ValueError, match="prefilter"):
+        sample_corpus_mix(docs, {"src0": 3}, exact=True, prefilter="yes")
