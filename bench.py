@@ -772,6 +772,13 @@ def main() -> None:
             }
         for st, sec in timings.items():
             queries[f"dedup_stage_{st}"] = round(sec, 4)
+        # loud-cap receipt (VERDICT r11 task 5): what the band-bucket caps
+        # dropped this round — diagnostics, excluded from the total
+        for pfx in ("lsh", "semantic"):
+            cap = holder["stats"].get(f"{pfx}_bucket_cap") or {}
+            for kk in ("bucket_cap_hits", "largest_bucket"):
+                if kk in cap:
+                    queries[f"dedup_{pfx}_{kk}"] = cap[kk]
 
     @section("text_quality_lang")
     def _tq():
@@ -1049,6 +1056,8 @@ def main() -> None:
             # totals (ivf_build_heap_used_mb alone was 162-491)
             and not k.endswith("_heap_used_mb")
             and not k.endswith("_load1m")
+            and not k.endswith("_bucket_cap_hits")
+            and not k.endswith("_largest_bucket")
             # r12 breach-adjudication trail: loads/waits are not timings
             and not k.endswith("_load_at_key")
             and not k.endswith("_load_after_wait")
@@ -1098,7 +1107,8 @@ def main() -> None:
         # (VERDICT r11 tasks 1-2); only the raw trail moves to the file
         return (
             k.endswith(("_ctrl_ratio", "_reruns", "_heap_used_mb", "_load1m",
-                        "_load_at_key", "_load_after_wait", "_quiet_wait_sec"))
+                        "_load_at_key", "_load_after_wait", "_quiet_wait_sec",
+                        "_bucket_cap_hits", "_largest_bucket"))
             or k.startswith("dedup_stage_")
             or k.endswith("_floor_ok")
             # pure decompositions of keys that stay in-line (batch_

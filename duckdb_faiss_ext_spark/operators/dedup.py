@@ -73,21 +73,42 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _cap_buckets(
-    exploded: DataFrame, keys: list, max_bucket: int | None
+    exploded: DataFrame,
+    keys: list,
+    max_bucket: int | None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Drop bucket groups larger than ``max_bucket`` before a bucket
     self-join — the O(m²)-blowup guard shared by every banded-LSH candidate
     generator (a bucket with m members emits m² candidate pairs; real
     corpora have pathological buckets: boilerplate, empty docs, zero
-    vectors).  None = keep everything."""
+    vectors).  None = keep everything.
+
+    ``stats`` (VERDICT r11 task 5 — the no-silent-caps rule): pass a dict
+    to make the truncation LOUD — it receives ``bucket_cap_hits`` (buckets
+    dropped), ``bucket_cap_dropped_rows`` (member rows those buckets
+    held), and ``largest_bucket`` (max population across ALL buckets, cap
+    or no cap).  The audit aggregates the bucket histogram eagerly (the
+    histogram is persisted so the semi-join filter reuses it instead of
+    recomputing); None keeps the operator fully lazy with zero extra
+    jobs."""
+    if max_bucket is None and stats is None:
+        return exploded
+    agg = exploded.groupBy(*keys).count()
+    if stats is not None:
+        agg = agg.persist()
+        row = agg.agg(
+            F.max("count").alias("mx"),
+            F.sum(F.when(F.col("count") > (max_bucket or 2**62), F.col("count"))).alias("dropped"),
+            F.count(F.when(F.col("count") > (max_bucket or 2**62), F.lit(1))).alias("hits"),
+        ).first()
+        stats["largest_bucket"] = int(row["mx"] or 0)
+        stats["bucket_cap_hits"] = int(row["hits"] or 0)
+        stats["bucket_cap_dropped_rows"] = int(row["dropped"] or 0)
+        stats["max_bucket"] = max_bucket
     if max_bucket is None:
         return exploded
-    ok = (
-        exploded.groupBy(*keys)
-        .count()
-        .filter(F.col("count") <= max_bucket)
-        .select(*keys)
-    )
+    ok = agg.filter(F.col("count") <= max_bucket).select(*keys)
     return exploded.join(ok, keys, "left_semi")
 
 
@@ -146,6 +167,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     shingle_n: int = 1,
     max_bucket: int | None = None,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, band) sharing an LSH band.
 
@@ -177,7 +199,7 @@ def minhash_lsh_pairs(
     exploded = sig.select(
         F.col(id_col).alias("_id"), F.explode(band_structs).alias("b")
     ).select("_id", "b.band", "b.bkey")
-    exploded = _cap_buckets(exploded, ["band", "bkey"], max_bucket)
+    exploded = _cap_buckets(exploded, ["band", "bkey"], max_bucket, cap_stats)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -560,6 +582,7 @@ def cosine_lsh_pairs(
     n_bands: int = 4,
     seed: int = 42,
     max_bucket: int | None = None,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH.  Each vector gets n_planes sign
     bits (one broadcast matmul in a pandas_udf); bits are split into bands
@@ -609,7 +632,7 @@ def cosine_lsh_pairs(
     e = sig.select("_id", F.explode(bands).alias("b")).select(
         "_id", "b.band", "b.bkey"
     )
-    e = _cap_buckets(e, ["band", "bkey"], max_bucket)
+    e = _cap_buckets(e, ["band", "bkey"], max_bucket, cap_stats)
     a, b = e.alias("a"), e.alias("b")
     cand_ids = (
         a.join(

@@ -76,8 +76,13 @@ def run_pipeline(
     t0 = time.perf_counter()
 
     # 2+3. MinHash LSH candidates, Jaccard-verified --------------------------
+    # cap_stats makes the bucket-cap truncation LOUD (VERDICT r11 task 5):
+    # the pipeline output counts exactly what the cap dropped instead of
+    # silently shrinking the candidate set
+    lsh_cap: dict = {}
     cand = minhash_lsh_pairs(
-        docs, "doc_id", "text", 4, 2, shingle_n=3, max_bucket=max_bucket
+        docs, "doc_id", "text", 4, 2, shingle_n=3, max_bucket=max_bucket,
+        cap_stats=lsh_cap,
     )
     cand_ids = cand.select("id_a", "id_b").distinct().cache()
     n_cand = cand_ids.count()
@@ -110,6 +115,7 @@ def run_pipeline(
     # band width is the direct scale knob (16 planes / 4-bit bands spent
     # ~60% of the whole pipeline exact-verifying bucket collisions).
     dim = len(emb.select("embedding").first()[0])
+    sem_cap: dict = {}
     sem = (
         cosine_lsh_pairs(
             emb.withColumnRenamed("vec_id", "doc_id"),
@@ -120,6 +126,7 @@ def run_pipeline(
             n_planes=24,
             n_bands=4,
             max_bucket=max_bucket,
+            cap_stats=sem_cap,
         )
         .select(F.col("id_a"), F.col("id_b"))
         .cache()
@@ -143,6 +150,10 @@ def run_pipeline(
         "semantic_neardups": n_sem,
         "clean_docs": n2,
         "timings": timings,
+        # loud-cap receipts (VERDICT r11 task 5): what the bucket caps
+        # actually dropped, per banded stage
+        "lsh_bucket_cap": lsh_cap,
+        "semantic_bucket_cap": sem_cap,
     }
     docs.unpersist()
     cand_ids.unpersist()

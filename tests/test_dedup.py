@@ -220,3 +220,37 @@ def test_components_max_degree_exact_on_cliques_and_chains(spark):
     assert all(comp[i] == 100 for i in clique)
     assert all(comp[i] == 200 for i in range(200, 205))
     assert stats["rounds"] <= 10
+
+
+def test_bucket_cap_audit_is_loud_and_exact(spark):
+    """VERDICT r11 task 5 (no-silent-caps): cap_stats must count exactly
+    what the bucket cap dropped.  10 identical docs collapse into one
+    band-bucket of 10 per band (2 bands at 4 hashes / band_size 2); with
+    max_bucket=5 both buckets drop — 2 cap hits, 20 member rows — while
+    the unique docs' singleton buckets survive."""
+    from duckdb_faiss_ext_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "the exact same boilerplate text repeated verbatim here")
+            for i in range(10)]
+    rows += [(100, "completely unrelated words alpha beta"),
+             (101, "another distinct document gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    stats: dict = {}
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", 4, 2, max_bucket=5, cap_stats=stats
+    )
+    assert pairs.count() == 0  # the clique was capped away; singletons pair with nobody
+    assert stats["largest_bucket"] == 10
+    assert stats["bucket_cap_hits"] == 2
+    assert stats["bucket_cap_dropped_rows"] == 20
+    assert stats["max_bucket"] == 5
+    # audit-only mode (max_bucket=None): same histogram facts, zero drops
+    stats2: dict = {}
+    pairs2 = minhash_lsh_pairs(
+        df, "doc_id", "text", 4, 2, max_bucket=None, cap_stats=stats2
+    )
+    # full clique pairs back (one row per band it collides in)
+    assert pairs2.select("id_a", "id_b").distinct().count() == 10 * 9 // 2
+    assert stats2["largest_bucket"] == 10
+    assert stats2["bucket_cap_hits"] == 0
+    assert stats2["bucket_cap_dropped_rows"] == 0
