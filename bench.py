@@ -630,12 +630,23 @@ def main() -> None:
         from duckdb_faiss_ext_spark.operators.simjoin import similarity_join
 
         wdim, wn, wq = 1536, 20_000, 2_000
+        # r12 root-cause of the round-over-round Janino 64 KB fallback
+        # (VERDICT r11 task 2): the old synth built the vector as
+        # F.array(*[F.rand(seed=101+j) for j in range(1536)]) — a
+        # 1536-child expression whose generated processNext() overflowed
+        # Janino's method limit, so THE SYNTH STAGE ran interpreted (the
+        # timed keys were fine: they run Arrow kernels over the persisted
+        # frame).  A transform-over-sequence hash keeps the expression
+        # tree constant-size at any dim (same sin-hash as tools/_synth),
+        # is deterministic, and compiles: codegen_fallbacks 1 -> 0.
         wide = (
             spark.range(wn)
             .select(
                 F.col("id").alias("vec_id"),
-                F.array(
-                    *[F.rand(seed=101 + j).cast("float") for j in range(wdim)]
+                F.expr(
+                    f"transform(sequence(0, {wdim - 1}), j -> "
+                    "cast(sin(id * 131 + j * 7919) * 43758.5453 - "
+                    "floor(sin(id * 131 + j * 7919) * 43758.5453) as float))"
                 ).alias("embedding"),
             )
             .persist()
