@@ -84,6 +84,25 @@ def main() -> None:
     )
     out["mix_docs_per_sec"] = round(n / max(out["sample_sec"], 1e-9))
 
+    # exact-count mode (VERDICT r11 task 4): per-source integer targets,
+    # row_number-prefix selection on the same md5 draw.  The call is eager
+    # (prefilter='auto' verifies selected == min(k, n) per source and
+    # raises on mismatch); the receipt re-counts independently anyway.
+    k_per_src = 8_000
+    ktargets = {f"s{i}": k_per_src for i in range(16)}
+    t0 = time.perf_counter()
+    ex = sample_corpus_mix(docs, ktargets, exact=True).persist()
+    exact_got = {
+        r["source"]: r["n"]
+        for r in ex.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    out["exact_sample_sec"] = round(time.perf_counter() - t0, 1)
+    out["exact_budget_err_max"] = max(
+        abs(v - k_per_src) for v in exact_got.values()
+    )
+    out["exact_docs_per_sec"] = round(n / max(out["exact_sample_sec"], 1e-9))
+    ex.unpersist()
+
     t0 = time.perf_counter()
     chunks = chunk_text(
         sampled.select("doc_id", "text"), chunk_chars=256, overlap=32
