@@ -259,6 +259,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word n-gram Jaccard for a GIVEN candidate-pair set: (id_a,
+    id_b, jac) for every input pair with jac >= threshold.
+
+    This is the verification plan a bounded candidate set wants —
+    ``ngram_jaccard_pairs`` scores every pair SHARING a gram (cost ~ sum
+    of per-gram doc-frequency², unbounded on boilerplate-heavy corpora:
+    the r12 10M probe measured its gram self-join at 61 s for 17k
+    candidate pairs at 200k docs because template grams shared across
+    every group made the join quadratic BEFORE the candidate semi-join
+    could prune it).  Here cost is O(|pairs|): two hash joins ship each
+    side's distinct-gram array onto the pair row, then one
+    intersect/union expression — no gram explode, no self-join, same
+    jaccard value (both use the distinct-gram set), so swapping the two
+    verifications is a pure plan change (equivalence pytest-pinned)."""
+    words = _words(text_col)
+    grams = (
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        )
+        if n > 1
+        else F.array_distinct(words)
+    )
+    g = df.select(F.col(id_col).alias("__jid"), grams.alias("__grams"))
+    ga = g.select(F.col("__jid").alias("id_a"), F.col("__grams").alias("__ga"))
+    gb = g.select(F.col("__jid").alias("id_b"), F.col("__grams").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size("__ga") + F.size("__gb") - inter
+    return (
+        pairs.select("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jac", inter / F.greatest(union, F.lit(1)).cast("double"))
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over the word multiset (xxhash64 word hashes): bit j of
     the fingerprint is the sign of sum over words of (+-1 per hash bit j).

@@ -5,8 +5,8 @@ The canonical LLM-corpus cleaning flow, each stage a bounded-cost Spark job:
   1. exact dedup        — md5(text) groupBy, min-id survivor (1 shuffle)
   2. near-dup candidates — shingle -> MinHash -> banded LSH bucket self-join
                            (pairs only form inside identical band buckets)
-  3. verification       — exact word-3-gram Jaccard on the LSH candidates
-                           only (never all-pairs)
+  3. verification       — exact word-3-gram Jaccard computed PER candidate
+                           pair (two hash joins; never a gram self-join)
   4. semantic near-dup  — embedding cosine via hyperplane-LSH buckets
   5. survivor selection — connected components over the verified pair
                            graph (min-label propagation, O(diameter)
@@ -60,9 +60,9 @@ def run_pipeline(
     from duckdb_faiss_ext_spark.operators.dedup import (
         cosine_lsh_pairs,
         exact_dedup,
+        jaccard_verify_pairs,
         minhash_lsh_pairs,
         neardup_survivors,
-        ngram_jaccard_pairs,
     )
 
     timings: dict = {}
@@ -88,22 +88,19 @@ def run_pipeline(
     n_cand = cand_ids.count()
     timings["lsh_candidates"] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    # verify ONLY the candidate pairs: semi-join the gram pipeline onto the
-    # candidate id set so the exact-Jaccard join never sees non-candidates
-    cand_docs = docs.join(
-        cand_ids.select(F.col("id_a").alias("doc_id"))
-        .union(cand_ids.select("id_b"))
-        .distinct(),
-        "doc_id",
-        "left_semi",
-    )
+    # verify the candidate pairs DIRECTLY — O(|pairs|), two hash joins
+    # shipping each side's gram set onto the pair row.  The previous plan
+    # (ngram_jaccard_pairs over candidate docs, then a semi-join onto the
+    # pairs) went quadratic on boilerplate grams BEFORE the semi-join
+    # could prune: the r12 10M probe measured 61 s for 17k pairs at 200k
+    # docs; per-pair verification is linear in the (bucket-capped)
+    # candidate count.  Equivalence of the two verifications is
+    # pytest-pinned (tests/test_dedup.py).
     # cache: the verified pairs feed BOTH the survivor graph and the stats
-    # count — uncached, the whole shingle->Jaccard pipeline re-ran per use
-    verified = (
-        ngram_jaccard_pairs(cand_docs, "doc_id", "text", n=3, threshold=0.8)
-        .join(cand_ids, ["id_a", "id_b"], "left_semi")
-        .cache()
-    )
+    # count — uncached, the whole gram pipeline re-ran per use
+    verified = jaccard_verify_pairs(
+        docs, cand_ids, "doc_id", "text", n=3, threshold=0.8
+    ).cache()
     n_ver = verified.count()
     timings["jaccard_verify"] = time.perf_counter() - t0
     t0 = time.perf_counter()

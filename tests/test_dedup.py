@@ -254,3 +254,41 @@ def test_bucket_cap_audit_is_loud_and_exact(spark):
     assert stats2["largest_bucket"] == 10
     assert stats2["bucket_cap_hits"] == 0
     assert stats2["bucket_cap_dropped_rows"] == 0
+
+
+def test_jaccard_verify_pairs_equals_gram_join_path(spark, sf_dir):
+    """The pipeline's per-pair verification (two hash joins, O(|pairs|))
+    must produce EXACTLY the pairs+values of the gram-self-join path
+    (ngram_jaccard_pairs semi-joined onto the candidates) — swapping them
+    in r12 was a pure plan change (the self-join went quadratic on
+    boilerplate grams at the 10M probe)."""
+    from duckdb_faiss_ext_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cand = (
+        minhash_lsh_pairs(docs, "doc_id", "text", 4, 2, shingle_n=3)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    new = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in jaccard_verify_pairs(
+            docs, cand, "doc_id", "text", n=3, threshold=0.3
+        ).collect()
+    }
+    old = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+        .join(cand, ["id_a", "id_b"], "left_semi")
+        .collect()
+    }
+    assert len(new) > 0
+    assert set(new) == set(old)
+    for k in new:
+        assert new[k] == pytest.approx(old[k], abs=1e-12)
