@@ -34,6 +34,9 @@ __all__ = [
     "sq8_encode_np",
     "sq8_decode_np",
     "sq8_reconstruction_error",
+    "sq8_affine",
+    "sq8_rownorm",
+    "sq8_l2_pairwise",
 ]
 
 
@@ -191,3 +194,59 @@ def sq8_decode(
 def sq8_reconstruction_error(vmin: np.ndarray, vdiff: np.ndarray) -> float:
     """Worst-case per-dimension absolute error: half a quantization step."""
     return float((vdiff / 255.0 / 2.0).max())
+
+
+def sq8_affine(vmin: np.ndarray, vdiff: np.ndarray) -> tuple:
+    """(a, b) float64 such that the decoded value x̂ = a + b * code for
+    STORED codes (int8, offset -128): b = vdiff/255, a = vmin + 128.5*b —
+    exactly ``sq8_decode_np``'s f64 expression regrouped."""
+    b = vdiff.astype(np.float64) / 255.0
+    a = vmin.astype(np.float64) + 128.5 * b
+    return a, b
+
+
+def sq8_rownorm(codes: np.ndarray, vmin: np.ndarray, vdiff: np.ndarray) -> np.ndarray:
+    """||x̂||² per code row in exact float64 (no decode materialization):
+    (b²)·c² + 2(ab)·c + a·a.  One squaring pass + two matvecs — the
+    query-independent half of the decode-free L2 expansion; precompute it
+    once per batch/block and reuse across every query."""
+    a, b = sq8_affine(vmin, vdiff)
+    cf = np.ascontiguousarray(codes, dtype=np.float64)
+    return (cf * cf) @ (b * b) + cf @ (2.0 * a * b) + float(np.dot(a, a))
+
+
+def sq8_l2_pairwise(
+    q: np.ndarray,
+    codes: np.ndarray,
+    vmin: np.ndarray,
+    vdiff: np.ndarray,
+    rownorm: "np.ndarray | None" = None,
+    dtype: type = np.float32,
+) -> np.ndarray:
+    """Decode-free squared L2 between float queries (nq, d) and SQ8 codes
+    (n, d stored int8 values): with x̂ = a + b∘c,
+
+        L2²(q, x̂) = ||q||² − 2 q·a + ||x̂||² − 2 (q∘b)·c
+
+    — one f64 gemm over the cast codes plus broadcast adds; no (n, d)
+    float decode materialization, no per-batch norm pass when ``rownorm``
+    (``sq8_rownorm``) is supplied.  Measured 10.3x the decode path in the
+    sparse-probing regime and 4.6x dense at 1M x 1536 (SCALE.md r12,
+    tools/sq8_decodefree_probe.py).
+
+    Numeric contract: distances are the exact-f64 expansion of the EXACT
+    decoded values, NOT of their float32 rounding — they differ from the
+    decode path in low-order bits (more accurate; the probe measured
+    512/512 k=10 rank agreement on a near-tie mog corpus).  ALL SQ8 L2
+    scan paths must route through this one function so driver and bulk
+    plans stay result-identical."""
+    a, b = sq8_affine(vmin, vdiff)
+    qd = np.ascontiguousarray(q, dtype=np.float64)
+    cf = np.ascontiguousarray(codes, dtype=np.float64)
+    if rownorm is None:
+        rownorm = sq8_rownorm(cf, vmin, vdiff)
+    qq = np.einsum("ij,ij->i", qd, qd)
+    qa = qd @ a
+    cross = (qd * b) @ cf.T
+    d = (qq - 2.0 * qa)[:, None] + rownorm[None, :] - 2.0 * cross
+    return np.maximum(d, 0.0).astype(dtype, copy=False)

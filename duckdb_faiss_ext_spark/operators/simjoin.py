@@ -31,7 +31,16 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from duckdb_faiss_ext_spark.metrics import is_descending, pairwise, topk_indices
+from duckdb_faiss_ext_spark.functions.quantize import (
+    sq8_l2_pairwise,
+    sq8_rownorm,
+)
+from duckdb_faiss_ext_spark.metrics import (
+    is_descending,
+    pairwise,
+    resolve_metric,
+    topk_indices,
+)
 
 __all__ = ["similarity_join", "similarity_join_grouped", "similarity_join_lsh"]
 
@@ -100,6 +109,9 @@ def _pack_blocks(
         np.float64: (pa.float64(), np.float64, "array<double>"),
         np.float32: (pa.float32(), np.float32, "array<float>"),
         np.int16: (pa.int16(), np.int16, "array<smallint>"),
+        # SQ8 codes packed RAW for the decode-free L2 scan (r12): blocks
+        # hold int8 codes, 4x smaller than decoded floats
+        np.int8: (pa.int8(), np.int8, "array<tinyint>"),
     }[dtype]
     grouped = group_col is not None
 
@@ -249,9 +261,11 @@ def similarity_join(
     lb = _pack_blocks(
         left, left_id, left_vec, block_rows, dtype, block_bytes=block_bytes
     ).repartition(8)
+    decode_free = right_sq8 is not None and resolve_metric(metric) == "L2"
     rb_df = _pack_blocks(
-        right, right_id, right_vec, block_rows, dtype, block_bytes=block_bytes,
-        sq8=right_sq8,
+        right, right_id, right_vec, block_rows,
+        np.int8 if decode_free else dtype, block_bytes=block_bytes,
+        sq8=None if decode_free else right_sq8,
     ).repartition(8)
     pairs = lb.crossJoin(
         rb_df.select(
@@ -266,7 +280,10 @@ def similarity_join(
 
     np_t = np.float64 if f64 else np.float32
     pa_t = pa.float64() if f64 else pa.float32()
-    score = _stream_topk_kernel(k, metric, marg, desc, np_t, pa_t, has_grp=False)
+    score = _stream_topk_kernel(
+        k, metric, marg, desc, np_t, pa_t, has_grp=False,
+        sq8=right_sq8 if decode_free else None,
+    )
 
     dist_t = "double" if f64 else "float"
     out = pairs.repartition(n_out, "blk").mapInArrow(
@@ -282,10 +299,19 @@ def similarity_join(
     )
 
 
-def _stream_topk_kernel(k, metric, marg, desc, np_t, pa_t, has_grp: bool):
+def _stream_topk_kernel(
+    k, metric, marg, desc, np_t, pa_t, has_grp: bool, sq8=None
+):
     """mapInArrow generator over block-pair rows: streams right blocks into
     a running per-left-row top-k keyed by (blk[, grp]) — O(ln * k) state per
     left block, right blocks never accumulate.
+
+    ``sq8``: (vmin, vdiff) — the RIGHT blocks then hold raw int8 codes and
+    L2 scores come from the decode-free expansion (functions/quantize.
+    sq8_l2_pairwise — the same single kernel the driver path uses, so both
+    plans stay result-identical; 4.6-10.3x the decode path, SCALE.md r12).
+    The per-block rownorm is recomputed per (left, right) block pair — a
+    (rn x d) pass next to the (ln x rn x d) gemm, <1% once ln >= ~100.
 
     Expected column layout: blk, [grp,] n, ids, vecs, rn, rids, rvecs."""
     import pyarrow as pa
@@ -343,18 +369,27 @@ def _stream_topk_kernel(k, metric, marg, desc, np_t, pa_t, has_grp: bool):
                     .values.to_numpy(zero_copy_only=False)
                     .astype(np.int64)
                 )
-                rx = np.ascontiguousarray(
-                    rb.column(6 + o)[r]
-                    .values.to_numpy(zero_copy_only=False)
-                    .reshape(rn, dim),
-                    dtype=np_t,
-                )
+                rx = rb.column(6 + o)[r].values.to_numpy(
+                    zero_copy_only=False
+                ).reshape(rn, dim)
+                if sq8 is None:
+                    rx = np.ascontiguousarray(rx, dtype=np_t)
+                    rnorm = None
+                else:
+                    rx = np.ascontiguousarray(rx)  # int8 codes
+                    rnorm = sq8_rownorm(rx, sq8[0], sq8[1])
                 kk = min(k, rn)
                 blk_ids = np.empty((ln, kk), dtype=np.int64)
                 blk_sc = np.empty((ln, kk), dtype=np.float64)
                 for lo in range(0, ln, SCORE_CHUNK):
                     hi = min(lo + SCORE_CHUNK, ln)
-                    s = pairwise(lx[lo:hi], rx, metric, marg, dtype=np_t)
+                    if sq8 is not None:
+                        s = sq8_l2_pairwise(
+                            lx[lo:hi], rx, sq8[0], sq8[1],
+                            rownorm=rnorm, dtype=np_t,
+                        )
+                    else:
+                        s = pairwise(lx[lo:hi], rx, metric, marg, dtype=np_t)
                     idx, sc = topk_indices(s, kk, desc)
                     blk_ids[lo:hi] = rids[idx]
                     blk_sc[lo:hi] = sc
@@ -409,9 +444,11 @@ def similarity_join_grouped(
     lb = _pack_blocks(
         left, left_id, left_vec, block_rows, dtype, group_col, block_bytes=block_bytes
     )
+    decode_free = right_sq8 is not None and resolve_metric(metric) == "L2"
     rb_df = _pack_blocks(
-        right, right_id, right_vec, block_rows, dtype, group_col,
-        block_bytes=block_bytes, sq8=right_sq8,
+        right, right_id, right_vec, block_rows,
+        np.int8 if decode_free else dtype, group_col,
+        block_bytes=block_bytes, sq8=None if decode_free else right_sq8,
     )
     pairs = lb.join(
         rb_df.select(
@@ -427,7 +464,10 @@ def similarity_join_grouped(
     )
     np_t = np.float64 if f64 else np.float32
     pa_t = pa.float64() if f64 else pa.float32()
-    score = _stream_topk_kernel(k, metric, metric_arg, desc, np_t, pa_t, has_grp=True)
+    score = _stream_topk_kernel(
+        k, metric, metric_arg, desc, np_t, pa_t, has_grp=True,
+        sq8=right_sq8 if decode_free else None,
+    )
     dist_t = "double" if f64 else "float"
     partial = pairs.repartition(n_out, "blk", "grp").mapInArrow(
         score,

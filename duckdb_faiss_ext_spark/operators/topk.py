@@ -316,7 +316,21 @@ def partial_topk(
                 raw = np.asarray(
                     [np.asarray(v, dtype=dtype) for v in vec_arr.to_pylist()]
                 )
-            if sq8 is not None:
+            decode_free = sq8 is not None and metric == "L2"
+            if decode_free:
+                # decode-free L2 (r12, SCALE.md): keep CODES; distances come
+                # from the expansion kernel — no (n, d) float decode, no
+                # per-batch norm pass beyond the one rownorm precompute.
+                # 10.3x the decode path in the sparse-probing regime, 4.6x
+                # dense at 1M x 1536 (tools/sq8_decodefree_probe.py).
+                from duckdb_faiss_ext_spark.functions.quantize import (
+                    sq8_l2_pairwise,
+                    sq8_rownorm,
+                )
+
+                x = np.ascontiguousarray(raw)  # stored int8 codes
+                rnorm = sq8_rownorm(x, sq8[0], sq8[1])
+            elif sq8 is not None:
                 from duckdb_faiss_ext_spark.functions.quantize import (
                     sq8_decode_np,
                 )
@@ -324,6 +338,24 @@ def partial_topk(
                 x = sq8_decode_np(raw, sq8[0], sq8[1], dtype)
             else:
                 x = np.ascontiguousarray(raw, dtype=dtype)
+
+            def score_rows(qsub, rows=None):
+                if decode_free:
+                    return sq8_l2_pairwise(
+                        qsub,
+                        x if rows is None else x[rows],
+                        sq8[0],
+                        sq8[1],
+                        rownorm=rnorm if rows is None else rnorm[rows],
+                        dtype=dtype,
+                    )
+                return pairwise(
+                    qsub,
+                    x if rows is None else x[rows],
+                    metric,
+                    metric_arg,
+                    dtype=dtype,
+                )
             labels = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             if mask_ is not None and cluster_col is not None:
                 clusters = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -333,7 +365,7 @@ def partial_topk(
                 if density > dense_thr:
                     # probing is dense (small nlist / high nprobe): one BLAS
                     # call + where-mask beats per-cluster slicing overhead
-                    scores = pairwise(q_, x, metric, metric_arg, dtype=dtype)
+                    scores = score_rows(q_)
                     scores = np.where(allowed, scores, fill)
                 else:
                     # sparse probing: score ONLY (probing query, cluster-row)
@@ -358,11 +390,9 @@ def partial_topk(
                         if not len(qsel):
                             continue
                         rows = order[s:e]
-                        scores[np.ix_(qsel, rows)] = pairwise(
-                            q_[qsel], x[rows], metric, metric_arg, dtype=dtype
-                        )
+                        scores[np.ix_(qsel, rows)] = score_rows(q_[qsel], rows)
             else:
-                scores = pairwise(q_, x, metric, metric_arg, dtype=dtype)
+                scores = score_rows(q_)
             idx, sc = topk_indices(scores, k, desc)
             nq, kk = idx.shape
             out_q = np.repeat(qids_, kk)

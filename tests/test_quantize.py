@@ -132,3 +132,50 @@ def test_sq8_knn_recall_on_testdata(spark, sf_dir):
     approx = top10(dec)
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_sq8_l2_pairwise_matches_decode_path_and_orders_identically():
+    """Decode-free L2 (r12): the expansion over exact-f64 decoded values
+    must track the f32-decode reference within the f32 rounding error and
+    produce the SAME top-k ordering on a near-tie mixture corpus (the
+    promotion-blocking check from tools/sq8_decodefree_probe.py, pinned
+    here at test scale)."""
+    import numpy as np
+
+    from duckdb_faiss_ext_spark.functions.quantize import (
+        sq8_decode_np,
+        sq8_encode_np,
+        sq8_l2_pairwise,
+        sq8_rownorm,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((8, 48)).astype(np.float32)
+    x = (
+        centers[rng.integers(0, 8, 4000)]
+        + 0.05 * rng.standard_normal((4000, 48)).astype(np.float32)
+    )
+    vmin, vmax = x.min(0), x.max(0)
+    vdiff = vmax - vmin
+    codes = sq8_encode_np(x, vmin, vdiff)
+    q = (
+        centers[rng.integers(0, 8, 32)]
+        + 0.05 * rng.standard_normal((32, 48)).astype(np.float32)
+    )
+    xd = sq8_decode_np(codes, vmin, vdiff, np.float32).astype(np.float64)
+    qd = q.astype(np.float64)
+    ref = ((qd[:, None, :] - xd[None, :, :]) ** 2).sum(axis=2)
+    got = sq8_l2_pairwise(q, codes, vmin, vdiff, dtype=np.float64)
+    # error bounded by the f32 rounding of x̂ the decode path applies
+    assert np.abs(got - ref).max() / max(ref.max(), 1e-12) < 1e-6
+    # identical ranking at k=10 (argsort is stable; distances here are
+    # distinct enough that the low-bit difference cannot flip ranks)
+    ia = np.argsort(ref, axis=1, kind="stable")[:, :10]
+    ib = np.argsort(got, axis=1, kind="stable")[:, :10]
+    assert (ia == ib).all()
+    # rownorm precompute path is the same numbers
+    rn = sq8_rownorm(codes, vmin, vdiff)
+    got2 = sq8_l2_pairwise(q, codes, vmin, vdiff, rownorm=rn, dtype=np.float64)
+    assert np.array_equal(got, got2)
+    # self-distance of an exactly-encodable point stays tiny
+    assert got.min() >= 0.0
