@@ -310,6 +310,14 @@ def main() -> None:
     ctrl0 = max(ctrl_time(), 1e-9)
     queries["control_q05_sec"] = round(ctrl0, 4)
     queries["host_load_start"] = round(host_load(), 2)
+    # ABSOLUTE control anchor (r12 final-gate lesson): a run that STARTS
+    # inside a storm records a slow ctrl0, and every later ctrl_ratio is
+    # then relative to an already-contended baseline — the first r12
+    # recording started with ctrl0 = 0.83 (quiet pin ~0.40-0.46) and ten
+    # ambient breaches mis-adjudicated as 'not ambient' at ratio ~0.9.
+    # CTRL_QUIET = the min recorded quiet-round control; any ctrl sample
+    # above 1.5x of IT proves contention regardless of ctrl0.
+    CTRL_QUIET = 0.40
 
     # quiet-wait escalation budget (VERDICT r11 task 1): per-key 120 s, but
     # a storm that parks EVERY key at the cap would add ~30 min to the
@@ -366,8 +374,17 @@ def main() -> None:
                 t = min(t, timed(fn))
                 reruns += 1
                 if t > 2.0 * r1v:
+                    # absolute ctrl check AFTER the final rerun: 1-min
+                    # loadavg lags bursty neighbor storms, and ctrl_ratio
+                    # is blind when ctrl0 itself was recorded inside one
+                    abs_ratio = round(ctrl_time() / CTRL_QUIET, 2)
+                    queries[f"{name}_ctrl_abs"] = abs_ratio
                     queries[f"{name}_ambient_breach"] = bool(
-                        load0 >= 10.0 or load1 >= 10.0 or ratio > 1.5
+                        load0 >= 10.0
+                        or load1 >= 10.0
+                        or ratio > 1.5
+                        or abs_ratio > 1.5
+                        or ctrl0 / CTRL_QUIET > 1.5
                     )
             queries[f"{name}_reruns"] = reruns
         queries[name] = t
@@ -912,11 +929,15 @@ def main() -> None:
             b = r1.get(name)
             if b and t > 2.0 * b:
                 load0 = host_load()
-                ratio = round(ctrl_time() / ctrl0, 2)
+                ctrl_now = ctrl_time()
+                ratio = round(ctrl_now / ctrl0, 2)
+                abs_ratio = round(ctrl_now / CTRL_QUIET, 2)
                 queries[f"{name}_load_at_key"] = round(load0, 2)
                 queries[f"{name}_ctrl_ratio"] = ratio
+                queries[f"{name}_ctrl_abs"] = abs_ratio
                 queries[f"{name}_ambient_breach"] = bool(
-                    load0 >= 10.0 or ratio > 1.5
+                    load0 >= 10.0 or ratio > 1.5 or abs_ratio > 1.5
+                    or ctrl0 / CTRL_QUIET > 1.5
                 )
 
         n1m, vdim, vnlist = 1_000_000, 64, 2048
@@ -1059,6 +1080,7 @@ def main() -> None:
             and not isinstance(v, bool)  # _floor_ok flags: True summed as
             # 1.0 s each and inflated r1-r9 headline totals by +2.0 (r10 fix)
             and not k.endswith("_ctrl_ratio")
+            and not k.endswith("_ctrl_abs")
             and not k.endswith("_reruns")
             and not k.endswith("_recall") and "_recall_" not in k
             and not k.endswith("_max_share")
@@ -1117,7 +1139,8 @@ def main() -> None:
         # are the adjudication evidence the official artifact must carry
         # (VERDICT r11 tasks 1-2); only the raw trail moves to the file
         return (
-            k.endswith(("_ctrl_ratio", "_reruns", "_heap_used_mb", "_load1m",
+            k.endswith(("_ctrl_ratio", "_ctrl_abs", "_reruns",
+                        "_heap_used_mb", "_load1m",
                         "_load_at_key", "_load_after_wait", "_quiet_wait_sec",
                         "_bucket_cap_hits", "_largest_bucket"))
             or k.startswith("dedup_stage_")
