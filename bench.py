@@ -1151,7 +1151,15 @@ def main() -> None:
                      "ivf_build_fit_sec", "ivf_build_assign_sec")
         )
 
-    compact = {k: v for k, v in queries.items() if not is_side(k)}
+    # compact-line floats at 3 decimals (1 ms resolution): the r12 run-2
+    # line measured EXACTLY 1900 chars — one byte from the driver's
+    # ~1900-char tail capture truncating the JSON head (the r10 failure
+    # mode).  Full-precision values stay in the side file.
+    compact = {
+        k: (round(v, 3) if isinstance(v, float) else v)
+        for k, v in queries.items()
+        if not is_side(k)
+    }
     # fallback attribution detail is side-file only; the line keeps the
     # single queries["codegen_fallbacks"] count
     out_base = {
@@ -1174,7 +1182,7 @@ def main() -> None:
     if errors:  # headline keeps error NAMES; tracebacks/messages in the file
         out["errors"] = {k: v[:60] for k, v in errors.items()}
     line = json.dumps(out)
-    if len(line) > 1900:
+    if len(line) > 1600:
         # last-resort trim, loudly: recall VALUES are floor-guarded above
         # and fully recorded in the side file — but red *_floor_ok keys
         # (re-added deliberately just above) stay in-line
