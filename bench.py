@@ -326,7 +326,12 @@ def main() -> None:
 
     def quiet_wait(max_sec: float = 120.0, target: float = 10.0):
         """Sleep in 5 s steps until 1-min load drops under `target`, capped
-        at `max_sec` and by the suite-wide budget; returns (waited, load)."""
+        at `max_sec` and by the suite-wide budget; returns (waited, load).
+        SPARK_GRAFT_NO_QUIET_WAIT=1 disables the sleep (pytest's bench
+        smoke runs the suite for CORRECTNESS — waiting out storms there
+        just slows the test; the verdictless rerun-min still applies)."""
+        if os.environ.get("SPARK_GRAFT_NO_QUIET_WAIT"):
+            return 0.0, host_load()
         max_sec = min(max_sec, quiet_budget["sec"])
         waited = 0.0
         load = host_load()

@@ -12,6 +12,9 @@ import pytest
 def test_bench_all_entries_run_clean(spark, monkeypatch, capsys):
     sf001 = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf001)
+    # no storm-waiting inside pytest: the smoke run checks CORRECTNESS of
+    # every section, not timing quality (bench.quiet_wait doc)
+    monkeypatch.setenv("SPARK_GRAFT_NO_QUIET_WAIT", "1")
     import bench
 
     bench.main()
