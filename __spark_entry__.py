@@ -221,13 +221,22 @@ def q14_array_construct(spark, sf):
     )
 
 
-def q15_unnest(spark, sf):
-    # Q15 unnest/explode (faiss3.test:23 UNNEST)
-    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 50)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.explode(F.array("l_quantity", "l_tax")).alias("v"),
+def corpus_mix_exact(spark, sf):
+    """r12's exact-budget corpus-mix sampler under the driver-level
+    CORRECTNESS gate (VERDICT r12 task 5): sample_corpus_mix(exact=True)
+    over the documents table's real source column — the first k_s rows of
+    each source in deterministic (mix_hash, doc_id) order, DuckDB twin =
+    row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) <= k.
+    Targets exercise all three regimes: k < n (prefix), k > n (whole
+    source), k = 0 (dropped).  Replaces q15_unnest (its explode machinery
+    is fully covered by q14 + q23 + the knn UNNEST paths; explode-vs-UNNEST
+    parity stays pinned in tests/test_sources.py)."""
+    from duckdb_faiss_ext_spark.functions.curation import sample_corpus_mix
+
+    d = _t(spark, sf, "documents")
+    targets = {"src0": 9, "src1": 17, "src2": 40, "src3": 0, "src5": 5}
+    return sample_corpus_mix(d, targets, seed=11, exact=True).select(
+        "doc_id", "source"
     )
 
 
@@ -1066,7 +1075,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - q25_distinct_count folded into q05 (COUNT(DISTINCT) as a fourth agg)
       to make room for ann_hnsw_knn;
     - text_fingerprint folded into text_stats (r8) to make room for
-      media_jpeg_decode while keeping ann_hnsw_knn inside the cap.
+      media_jpeg_decode while keeping ann_hnsw_knn inside the cap;
+    - q13_values rotated to curation_signals (r12), q15_unnest rotated to
+      corpus_mix_exact (r13) — both retirees keep direct DuckDB-parity
+      pytest pins in tests/test_sources.py.
     Order: oracled queries first, rows-only (no-oracle) entries last, so a
     time-budgeted harness still hash-checks everything checkable."""
     return {
@@ -1084,7 +1096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_range": q12_range,
         "curation_signals": curation_signals,
         "q14_array_construct": q14_array_construct,
-        "q15_unnest": q15_unnest,
+        # q15_unnest rotated out (r13): explode machinery stays oracled via
+        # q14/q23/knn flattening; direct explode-vs-UNNEST parity pinned in
+        # tests/test_sources.py.  Its slot now gates the exact-mix sampler.
+        "corpus_mix_exact": corpus_mix_exact,
         "q19_events_agg": q19_events_agg,
         "q21_time_window": q21_time_window,
         "q22_lag_window": q22_lag_window,
@@ -1190,7 +1205,10 @@ def oracle_sql() -> dict[str, str]:
         "q12_range": ("SELECT i, i % 100 AS sel FROM range(0, 1000) t(i)"),
         # exact DuckDB twin of the repetition Arrow kernel (same formulation
         # as tests/test_curation.py's _rep_oracle_sql, over the documents
-        # view; series bound 128 > the fixture's max 99 tokens/doc)
+        # view; gram positions come from unnest(generate_series(1, len(t)))
+        # so the bound is derived per-row, never a fixture-dependent constant
+        # (ADVICE r12: a hardcoded 128 would silently under-count grams the
+        # day a fixture doc crosses it and fail as a confusing hash mismatch)
         "curation_signals": (
             "WITH base AS (SELECT doc_id, "
             "coalesce(length(text), 0) AS n_chars, "
@@ -1206,11 +1224,12 @@ def oracle_sql() -> dict[str, str]:
             "l -> length(l))), 0)) "
             "/ greatest(coalesce(list_sum(list_transform(lines, "
             "l -> length(l))), 0), 1)::DOUBLE AS dlcf, t FROM base), "
-            "grams AS (SELECT b.doc_id, nv.n, "
-            "array_to_string(b.t[g.i : g.i + nv.n - 1], ' ') AS gram "
-            "FROM linesig b JOIN (VALUES (2), (5)) nv(n) ON len(b.t) >= nv.n "
-            "JOIN generate_series(1, 128) g(i) "
-            "ON g.i <= len(b.t) - nv.n + 1), "
+            "grams AS (SELECT doc_id, n, "
+            "array_to_string(t[i : i + n - 1], ' ') AS gram FROM ("
+            "SELECT b.doc_id, nv.n, b.t, "
+            "unnest(generate_series(1, len(b.t) - nv.n + 1)) AS i "
+            "FROM linesig b JOIN (VALUES (2), (5)) nv(n) "
+            "ON len(b.t) >= nv.n)), "
             "counted AS (SELECT doc_id, n, gram, count(*) AS cnt, "
             "count(*) * length(gram) AS cov FROM grams "
             "GROUP BY doc_id, n, gram), "
@@ -1240,9 +1259,20 @@ def oracle_sql() -> dict[str, str]:
             "x -> CAST(CAST(FLOOR(x * 10000.0 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS arr "
             "FROM lineitem WHERE l_orderkey < 100"
         ),
-        "q15_unnest": (
-            "SELECT l_orderkey, l_linenumber, UNNEST([l_quantity, l_tax]) AS v "
-            "FROM lineitem WHERE l_orderkey < 50"
+        # exact DuckDB twin of sample_corpus_mix(exact=True): same md5 draw
+        # formula as mix_hash (first 8 hex chars / 2^32), same (draw, id)
+        # order, row_number prefix per source.  rn <= CASE yields min(k, n)
+        # for over-budget sources and drops zero/absent targets — identical
+        # to the Spark sampler's contract.
+        "corpus_mix_exact": (
+            "WITH d AS (SELECT doc_id, source, "
+            "('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::BIGINT / 4294967296.0 AS draw FROM documents), "
+            "r AS (SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY draw, doc_id) AS rn FROM d) "
+            "SELECT doc_id, source FROM r WHERE rn <= CASE source "
+            "WHEN 'src0' THEN 9 WHEN 'src1' THEN 17 WHEN 'src2' THEN 40 "
+            "WHEN 'src5' THEN 5 ELSE 0 END"
         ),
         "q19_events_agg": (
             "SELECT user_id, event_type, COUNT(*) AS cnt, "

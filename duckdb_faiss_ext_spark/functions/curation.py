@@ -954,7 +954,11 @@ def sample_corpus_mix(
     undershoot astronomically unlikely, and it is VERIFIED, not assumed:
     the function counts the selection per source and raises loudly on any
     mismatch vs min(k, n) (the no-silent-caps rule), which makes exact
-    mode eager — it runs two small aggregation jobs at call time.
+    mode eager — it runs two small aggregation jobs at call time, and the
+    returned DataFrame comes back CACHED (the ~sum(k)-row sample, persisted
+    before the verification count so the caller's first action reuses the
+    verified selection instead of re-running the window — ADVICE r12; call
+    ``.unpersist()`` on it when done in a long-lived session).
     ``prefilter=None`` skips both the prefilter and the verification
     (exact by construction, fully lazy, but the window sorts whole
     sources)."""
@@ -1011,6 +1015,14 @@ def sample_corpus_mix(
         .select(*df.columns)
     )
     if prefilter == "auto":
+        # Cache the selection before the verification count: without it the
+        # verification executes the windowed selection once, then the first
+        # caller action recomputes it — three corpus scans per call instead
+        # of the two aggregation jobs documented above (ADVICE r12).  The
+        # cached set is the SAMPLE (~sum(k) rows, bounded by the requested
+        # budget), not the corpus; the caller may .unpersist() the returned
+        # DataFrame once it has materialized downstream.
+        out = out.persist()
         got = {
             r["src"]: r["n"]
             for r in out.groupBy(F.col(source_col).alias("src"))
@@ -1020,6 +1032,7 @@ def sample_corpus_mix(
         for s, k in counts.items():
             expect = min(k, cur.get(s, 0))
             if got.get(s, 0) != expect:
+                out.unpersist(blocking=False)  # don't leak cache on the error path
                 raise RuntimeError(
                     f"sample_corpus_mix(exact=True): source {s!r} selected "
                     f"{got.get(s, 0)} rows, expected {expect} — the draw "

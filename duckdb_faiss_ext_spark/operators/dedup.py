@@ -88,24 +88,42 @@ def _cap_buckets(
     to make the truncation LOUD — it receives ``bucket_cap_hits`` (buckets
     dropped), ``bucket_cap_dropped_rows`` (member rows those buckets
     held), and ``largest_bucket`` (max population across ALL buckets, cap
-    or no cap).  The audit aggregates the bucket histogram eagerly (the
-    histogram is persisted so the semi-join filter reuses it instead of
-    recomputing); None keeps the operator fully lazy with zero extra
-    jobs."""
+    or no cap).  The audit aggregates the bucket histogram eagerly; the
+    histogram is persisted only for the duration of that one job and
+    unpersisted before returning (ADVICE r12: a long-lived session calling
+    capped pipelines repeatedly must not accumulate one-row-per-bucket
+    cached blocks).  When the audit shows ZERO buckets over the cap the
+    semi-join is skipped entirely — the common no-pathology case costs no
+    second aggregation; when buckets DID breach, the filter recomputes the
+    (map-side-combined) count, a trivial price next to the m²-pair join it
+    guards.  None keeps the operator fully lazy with zero extra jobs."""
+    if max_bucket is not None and max_bucket < 1:
+        # a cap of 0 would drop every bucket; with the old `or`-based audit
+        # it ALSO reported zero hits — a silent cap inside the no-silent-caps
+        # machinery (ADVICE r12).  Reject loudly instead.
+        raise ValueError(
+            f"_cap_buckets: max_bucket must be >= 1 or None, got {max_bucket}"
+        )
     if max_bucket is None and stats is None:
         return exploded
     agg = exploded.groupBy(*keys).count()
     if stats is not None:
+        cap = 2**62 if max_bucket is None else max_bucket
         agg = agg.persist()
-        row = agg.agg(
-            F.max("count").alias("mx"),
-            F.sum(F.when(F.col("count") > (max_bucket or 2**62), F.col("count"))).alias("dropped"),
-            F.count(F.when(F.col("count") > (max_bucket or 2**62), F.lit(1))).alias("hits"),
-        ).first()
+        try:
+            row = agg.agg(
+                F.max("count").alias("mx"),
+                F.sum(F.when(F.col("count") > cap, F.col("count"))).alias("dropped"),
+                F.count(F.when(F.col("count") > cap, F.lit(1))).alias("hits"),
+            ).first()
+        finally:
+            agg.unpersist(blocking=False)
         stats["largest_bucket"] = int(row["mx"] or 0)
         stats["bucket_cap_hits"] = int(row["hits"] or 0)
         stats["bucket_cap_dropped_rows"] = int(row["dropped"] or 0)
         stats["max_bucket"] = max_bucket
+        if max_bucket is None or stats["bucket_cap_hits"] == 0:
+            return exploded  # no bucket over cap: the filter is a no-op
     if max_bucket is None:
         return exploded
     ok = agg.filter(F.col("count") <= max_bucket).select(*keys)

@@ -35,7 +35,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from duckdb_faiss_ext_spark.metrics import is_descending, pairwise, topk_indices
+from duckdb_faiss_ext_spark.metrics import (
+    is_descending,
+    pairwise,
+    resolve_metric,
+    topk_indices,
+)
 
 PARTIAL_SCHEMA = StructType(
     [
@@ -316,7 +321,10 @@ def partial_topk(
                 raw = np.asarray(
                     [np.asarray(v, dtype=dtype) for v in vec_arr.to_pylist()]
                 )
-            decode_free = sq8 is not None and metric == "L2"
+            # resolve_metric, not raw string compare: a None/aliased metric
+            # that resolves to L2 must take the same 4.6-10.3x decode-free
+            # kernel simjoin.py:264 gates on (ADVICE r12 consistency fix)
+            decode_free = sq8 is not None and resolve_metric(metric) == "L2"
             if decode_free:
                 # decode-free L2 (r12, SCALE.md): keep CODES; distances come
                 # from the expansion kernel — no (n, d) float decode, no

@@ -989,3 +989,24 @@ def test_sample_corpus_mix_exact_validates_counts(spark, sf_dir):
         sample_corpus_mix(docs, {"src0": -3}, exact=True)
     with pytest.raises(ValueError, match="prefilter"):
         sample_corpus_mix(docs, {"src0": 3}, exact=True, prefilter="yes")
+
+
+def test_sample_corpus_mix_exact_returns_cached_selection(spark, sf_dir):
+    """ADVICE r12: exact+prefilter='auto' persists the verified sample so
+    the caller's first action reuses it (two aggregation jobs total, not a
+    third full recompute of the windowed selection)."""
+    from pyspark import StorageLevel
+    from duckdb_faiss_ext_spark.functions.curation import sample_corpus_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sel = sample_corpus_mix(docs, {"src0": 5, "src1": 3}, seed=1, exact=True)
+    try:
+        assert sel.storageLevel != StorageLevel.NONE  # cached, per docstring
+        assert sel.count() == 8
+    finally:
+        sel.unpersist(blocking=False)
+    # prefilter=None stays fully lazy — no cache imposed on the caller
+    lazy = sample_corpus_mix(
+        docs, {"src0": 5, "src1": 3}, seed=1, exact=True, prefilter=None
+    )
+    assert lazy.storageLevel == StorageLevel.NONE

@@ -292,3 +292,68 @@ def test_jaccard_verify_pairs_equals_gram_join_path(spark, sf_dir):
     assert set(new) == set(old)
     for k in new:
         assert new[k] == pytest.approx(old[k], abs=1e-12)
+
+
+def test_bucket_cap_zero_rejected_loudly(spark):
+    """ADVICE r12: max_bucket=0 used to drop EVERY bucket while the audit
+    (written with `max_bucket or 2**62`) reported zero cap hits — a silent
+    cap inside the no-silent-caps machinery.  It is now rejected."""
+    from duckdb_faiss_ext_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="max_bucket must be >= 1"):
+        minhash_lsh_pairs(df, "doc_id", "text", 4, 2, max_bucket=0).count()
+
+
+def test_bucket_cap_audit_leaves_no_cached_rdds(spark):
+    """ADVICE r12: the cap audit persists the bucket histogram for its one
+    aggregation job and must unpersist before returning — a long-lived
+    session running capped pipelines repeatedly must not accumulate
+    one-row-per-bucket cached blocks."""
+    from duckdb_faiss_ext_spark.operators.dedup import minhash_lsh_pairs
+
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    rows = [(i, "same boilerplate text here") for i in range(8)]
+    rows += [(100, "unique words one"), (101, "unique words two")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    stats: dict = {}
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", 4, 2, max_bucket=5, cap_stats=stats
+    )
+    pairs.count()  # materialize the capped path end-to-end
+    assert stats["bucket_cap_hits"] > 0  # the cap DID engage
+    assert sc._jsc.getPersistentRDDs().size() == before
+    # and the no-breach fast path (cap present, nothing over it) too
+    stats2: dict = {}
+    minhash_lsh_pairs(
+        df, "doc_id", "text", 4, 2, max_bucket=10**6, cap_stats=stats2
+    ).count()
+    assert stats2["bucket_cap_hits"] == 0
+    assert sc._jsc.getPersistentRDDs().size() == before
+
+
+def test_bucket_cap_no_breach_skips_semi_join_same_rows(spark):
+    """When the audit proves no bucket exceeds the cap, the semi-join is
+    skipped (plan fast path) — the pair set must equal the uncapped run."""
+    from duckdb_faiss_ext_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, f"document number {i} words {i % 3}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    stats: dict = {}
+    capped = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", 4, 2, max_bucket=10**6, cap_stats=stats
+        ).select("id_a", "id_b").distinct().collect()
+    )
+    uncapped = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "doc_id", "text", 4, 2)
+        .select("id_a", "id_b").distinct().collect()
+    )
+    assert stats["bucket_cap_hits"] == 0
+    assert capped == uncapped

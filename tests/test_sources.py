@@ -71,3 +71,32 @@ def test_values_inline_table_matches_duckdb(spark):
         ).collect()
     ]
     assert sorted(got) == sorted(want) == sorted(got_sql)
+
+
+def test_unnest_explode_matches_duckdb(spark, sf_dir):
+    """The retired q15_unnest contract row (faiss3.test:23 UNNEST), pinned
+    here after its CORRECTNESS slot rotated to corpus_mix_exact (VERDICT
+    r12 task 5): Spark explode over an inline array must produce exactly
+    DuckDB's UNNEST rows on the same parquet."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    want = sorted(
+        duckdb.connect().execute(
+            f"SELECT l_orderkey, l_linenumber, UNNEST([l_quantity, l_tax]) "
+            f"AS v FROM read_parquet('{sf_dir}/lineitem.parquet') "
+            f"WHERE l_orderkey < 50"
+        ).fetchall()
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_orderkey") < 50)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.explode(F.array("l_quantity", "l_tax")).alias("v"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
