@@ -179,11 +179,24 @@ LOCAL_BASELINES = {
     "vec1m_knn_np16": 3.57,     # 3.3..5.2 (1.6x)
     "vec1m_filtered_p1": 3.63,  # 3.5..5.0 (1.5x)
     "vec1m_filtered_p50": 4.8,  # 4.0..6.1 (1.5x)
-    "vec1m_bulk_np16": 17.0,    # post-fix: 15.9..19.5 — the warm-bulk
-    # fix REMOVED the first-use premium that made the pre-fix spread
-    # 10.6..47.6 (4.5x); the leg now measures steady state
+    # r13 re-pins for the two post-promotion keys (VERDICT r12 task 1).
+    # Protocol note, recorded honestly: all three r13 standalone runs
+    # STARTED quiet (load 0.45/0.08/2.26) but were storm-hit by the time
+    # these late-in-section keys executed (every raw sample is in the
+    # tools/out_r13/vec1m_pin{1,2,3}_full.json sample_trails; SCALE.md r13
+    # has the study).  A median-of-medians over those runs would freeze
+    # storm weather into the guard (19.8 for sq8_knn) and mask a 2-4x
+    # regression of the quiet kernel — exactly the stale-pin failure mode
+    # the re-pin exists to fix — so the pins below are the median of the
+    # BEST same-code readings across r12/r13 (the quiet-window floor),
+    # with the ambient-breach machinery adjudicating weather above them.
+    "vec1m_bulk_np16": 14.2,    # quiet readings 7.5/12.2/14.2/15.1
+    # (r13 run3 + postwait samples + r12 gate run); today's storm spread
+    # 7.5..113 rides in the trails
     "vec1m_sq8_build_sec": 4.11,  # 2.2..7.8 (3.5x)
-    "vec1m_sq8_knn": 10.3,      # 4.7..15.2 (3.2x)
+    "vec1m_sq8_knn": 7.8,       # decode-free kernel (r12): quiet readings
+    # 3.80 (r12 official) / 7.78 / 11.66; old pin 10.3 measured the DECODE
+    # path the kernel replaced and could no longer catch a 2x regression
     # curation100k leg (r11): median of THREE standalone runs, each
     # started at load < 3, AFTER the section's 2k-doc JIT warmup landed
     # (tools/out_r11b/cur_pin{4,5,6}.json; the pre-warmup pins 1-3 ran
@@ -206,7 +219,18 @@ LOCAL_BASELINES = {
 # keep parallel MLlib) removes that fixed cost: cold build now ~5.5 s.
 # The override pins the guard at the measured post-fix cold value rather
 # than r1's 3.96 (which predates the r7/r8 train additions).
-DECLARED_OVERRIDES = {"ivf_build_sec": 5.5}
+DECLARED_OVERRIDES = {
+    "ivf_build_sec": 5.5,
+    # r13 (VERDICT r12 task 6): the ivfhnsw section now passes
+    # min_graph_rows=0 so per-cluster graphs ACTUALLY build — the old pins
+    # measured a plan-identical-to-IVF degenerate (the engine warned so
+    # every round).  Medians of three quiet standalone runs
+    # (tools/out_r13/ivfhnsw_pin{1,2,3}_full.json): build 3.709/3.953/3.990,
+    # knn_np8 0.803/0.938/1.016; recall_np8 0.833 in all three
+    # (deterministic layout, floor-guarded in the section).
+    "ivfhnsw_build_sec": 3.95,
+    "ivfhnsw_knn_np8": 0.94,
+}
 
 
 def load_r1_baselines() -> dict:
@@ -267,11 +291,15 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # raw per-sample timing trails for median-of-N keys (r13) — full file only
+    sample_trails: dict[str, list] = {}
     # standalone-section switch for quiet-host re-pinning (VERDICT r10
     # task 1): SPARK_GRAFT_BENCH_ONLY=vec1m runs just that section (the
-    # ctrl warmup always runs).  Only self-contained sections qualify —
-    # vec1m is; most sf0.1 sections share qdf48/exact_hits from
-    # engine_exact and would record an error instead of a bogus number.
+    # ctrl warmup always runs).  vec1m/curation100k/wide_vec are fully
+    # self-contained; filtered_knn/ivf/hnsw/ivf_hnsw/lsh self-build their
+    # shared qdf48/exact_hits state via ensure_exact() (r13) so they
+    # qualify too.  Sections measuring suite-order effects (engine_exact's
+    # ingest keys) still pin from full runs.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     section_fallbacks: dict[str, int] = {}
 
@@ -342,7 +370,10 @@ def main() -> None:
         quiet_budget["sec"] = max(0.0, quiet_budget["sec"] - waited)
         return waited, load
 
-    def bench_entry(name, fn, warmup: bool = False) -> None:
+    def _median(ts: list) -> float:
+        return sorted(ts)[len(ts) // 2]
+
+    def bench_entry(name, fn, warmup: bool = False, samples: int = 1) -> None:
         """Time an entry; if it breaches 2x its r1 value, attach a control
         ratio and re-run (up to twice), keeping the minimum.  The second
         rerun only fires when the control query ALSO ran slow (>1.5x its
@@ -350,6 +381,19 @@ def main() -> None:
         prior timings likely landed in the same noise window (r4: q07
         breached twice back-to-back at ctrl_ratio 4.2, then timed 0.56 s
         standalone minutes later).
+
+        r13 median-of-N (VERDICT r12 task 1): heavy legs pass samples=3 —
+        the key records the MEDIAN of three consecutive timings (raw trail
+        in the full file's `sample_trails`), so one stormy draw can neither
+        inflate the key unchallenged (the single-shot path re-ran only on a
+        2x breach: an inflated reading UNDER 2x recorded with no rerun at
+        all) nor hide a real regression behind a lucky minimum.  On a >2x
+        MEDIAN breach the escalation skips straight to the quiet wait
+        (three samples already rule out a one-draw fluke), times a fresh
+        3-sample median, and keeps min(pre, post) of the MEDIANS — never a
+        single lucky draw.  Build keys stay single-shot by explicit
+        cost-bounded exception (a build can't be cheaply repeated; they
+        carry the load-trail + ambient verdict via timed_build instead).
 
         r12 escalation (VERDICT r11 task 1: the official r11 artifact put 6
         keys over 2x at host load 48.5 with no in-artifact way to prove the
@@ -360,24 +404,39 @@ def main() -> None:
         verdict — true when the trail shows a contended host (load >= 10 at
         the key or after the wait, or ctrl ratio > 1.5), false when the
         host looked healthy (i.e. treat it as a real regression)."""
-        t = timed(fn, warmup)
+        if samples <= 1:
+            t = timed(fn, warmup)
+        else:
+            if warmup:
+                fn()
+            trail = [round(timed(fn), 4) for _ in range(samples)]
+            sample_trails[name] = trail
+            t = _median(trail)
         r1v = r1.get(name)
         if r1v and t > 2.0 * r1v:
             load0 = host_load()
             queries[f"{name}_load_at_key"] = round(load0, 2)
             ratio = round(ctrl_time() / ctrl0, 2)
             queries[f"{name}_ctrl_ratio"] = ratio
-            t = min(t, timed(fn))
-            reruns = 1
-            if t > 2.0 * r1v and ratio > 1.5:
+            reruns = 0
+            if samples <= 1:
                 t = min(t, timed(fn))
-                reruns = 2
+                reruns = 1
+                if t > 2.0 * r1v and ratio > 1.5:
+                    t = min(t, timed(fn))
+                    reruns = 2
             if t > 2.0 * r1v:
                 waited, load1 = quiet_wait()
                 queries[f"{name}_quiet_wait_sec"] = round(waited, 1)
                 queries[f"{name}_load_after_wait"] = round(load1, 2)
-                t = min(t, timed(fn))
-                reruns += 1
+                if samples <= 1:
+                    t = min(t, timed(fn))
+                    reruns += 1
+                else:
+                    post = [round(timed(fn), 4) for _ in range(samples)]
+                    sample_trails[f"{name}_postwait"] = post
+                    t = min(t, _median(post))
+                    reruns += samples
                 if t > 2.0 * r1v:
                     # absolute ctrl check AFTER the final rerun: 1-min
                     # loadavg lags bursty neighbor storms, and ctrl_ratio
@@ -393,6 +452,237 @@ def main() -> None:
                     )
             queries[f"{name}_reruns"] = reruns
         queries[name] = t
+
+    eng = FaissSparkEngine(spark)
+    state: dict[str, object] = {}
+
+    # --- scaled vector-throughput leg (VERDICT r9 task 2) ------------------
+    # Every other vector key runs over the 2,000-row sf0.1 embeddings
+    # fixture — pure fixed job overhead, blind to kernel regressions
+    # smaller than ~2x of that overhead (SCALE.md r9; r8 and r9 each burned
+    # a task adjudicating noise on 0.3 s keys).  This leg is the real
+    # thing: a 1M x 64 CLUSTERABLE corpus (tools/_synth.synth_clusterable —
+    # the hash corpus provably caps IVF recall, recall_structure_study),
+    # IVF2048 built once, searches timed at steady state after warm(),
+    # recall vs the Flat exact scan on the same corpus, the corpus skew cap
+    # receipt (vec1m_corpus_max_share <= 4.0 = the r10 corpus-rebalance
+    # contract), the bulk grouped-join path guarded (VERDICT r9 task 5),
+    # and the SQ8 decode overhead A/B'd against the same Flat scan.
+    # vec1m_build_sec deliberately carries the session's first MLlib KMeans
+    # (~6.5 s JIT, SCALE.md r9) — the one-build session cost; the search
+    # keys are the steady-state story.
+    #
+    # Runs FIRST (r13, VERDICT r12 task 3): three consecutive rounds put
+    # the official vec1m legs inside the neighbor storm this host reliably
+    # develops ~10 minutes in (host_load_1m 28-48 at the heavy legs while
+    # host_load_start sat at 0.3-2.8) — the suite's most noise-sensitive
+    # keys now execute in the quiet window the suite starts with.  A
+    # 32k-row JIT warmup replica below keeps the keys steady-state
+    # (standalone SPARK_GRAFT_BENCH_ONLY=vec1m pin runs take the same
+    # warmup, so pins and official runs share the protocol).  The section
+    # destroys its indexes and unpersists its corpus on exit; the sf0.1
+    # keys that follow see only a warmer JIT, and every one of them keeps
+    # its own ctrl-ratio guard.
+    V1M_FLOORS = {
+        "vec1m_recall_np4": 0.93,
+        "vec1m_recall_np16": 0.97,
+        # measured 0.9293 (bench_q1, deterministic corpus+codes): half-bin
+        # decode error flips ranks among the mog clusters' dense near-ties
+        "vec1m_sq8_recall": 0.92,
+    }
+
+    @section("vec1m")
+    def _vec1m():
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from _synth import synth_clusterable
+
+        # host-state receipt for the whole section (VERDICT r10 task 1: the
+        # r10 vec1m pins were min-of-contended-runs and 4 keys breached
+        # their own guards on round one; every vec1m number now carries the
+        # ctrl ratio needed to adjudicate ambient vs real)
+        queries["vec1m_ctrl_ratio"] = round(ctrl_time() / ctrl0, 2)
+
+        def timed_build(name, fn):
+            """Build keys can't be cheaply re-run like search keys — time
+            once, and on a >2x-of-baseline breach attach the ctrl ratio AND
+            the load trail + an ambient verdict (r12: the breach must be
+            adjudicable from the artifact even without a rerun)."""
+            t0 = time.perf_counter()
+            fn()
+            t = time.perf_counter() - t0
+            queries[name] = round(t, 4)
+            b = r1.get(name)
+            if b and t > 2.0 * b:
+                load0 = host_load()
+                ctrl_now = ctrl_time()
+                ratio = round(ctrl_now / ctrl0, 2)
+                abs_ratio = round(ctrl_now / CTRL_QUIET, 2)
+                queries[f"{name}_load_at_key"] = round(load0, 2)
+                queries[f"{name}_ctrl_ratio"] = ratio
+                queries[f"{name}_ctrl_abs"] = abs_ratio
+                queries[f"{name}_ambient_breach"] = bool(
+                    load0 >= 10.0 or ratio > 1.5 or abs_ratio > 1.5
+                    or ctrl0 / CTRL_QUIET > 1.5
+                )
+
+        n1m, vdim, vnlist = 1_000_000, 64, 2048
+        # minimal JIT warmup (VERDICT r12 task 3): a 32k-row replica of
+        # every kernel the timed legs exercise — running the section first
+        # must not fold first-use C2 compilation into the keys (cur100k
+        # learned the same lesson in r11: pre-warmup pins measured cold
+        # compilation, 18.9 s vs 6.3 s steady).  ~10 s, untimed.
+        wn = 32_768
+        wcorp = synth_clusterable(spark, wn, vdim, n_clusters=64).persist()
+        wcorp.count()
+        wq = synth_clusterable(
+            spark, 64, vdim, n_clusters=64, lo=wn, id_col="qid"
+        ).cache()
+        wq.count()
+        eng.create("bench_v1m_wf", vdim, "IDMap,Flat", metric_type="L2")
+        eng.add("bench_v1m_wf", wcorp)
+        eng.create("bench_v1m_w", vdim, "IDMap,IVF64", metric_type="L2")
+        eng.add("bench_v1m_w", wcorp)
+        eng.create("bench_v1m_wsq", vdim, "IDMap,Flat,SQ8", metric_type="L2")
+        eng.add("bench_v1m_wsq", wcorp)
+        for nm in ("bench_v1m_w", "bench_v1m_wf", "bench_v1m_wsq"):
+            eng.warm(nm)
+        eng.search_flat("bench_v1m_wf", 10, wq).count()
+        eng.search_flat("bench_v1m_w", 10, wq, params={"nprobe": 4}).count()
+        eng.search_flat(
+            "bench_v1m_w", 10, wq,
+            params={"nprobe": 16},
+            allowed_df=wcorp.filter(F.col("label") % 100 < 1).select("label"),
+        ).count()
+        eng.search_flat(
+            "bench_v1m_w", 10, wq, params={"nprobe": 16, "bulk_queries": 1}
+        ).count()
+        eng.search_flat("bench_v1m_wsq", 10, wq).count()
+        for nm in ("bench_v1m_w", "bench_v1m_wf", "bench_v1m_wsq"):
+            eng.destroy(nm)
+        wcorp.unpersist()
+        wq.unpersist()
+
+        corp = synth_clusterable(spark, n1m, vdim, n_clusters=1024).persist()
+        corp.count()
+        q256 = (
+            synth_clusterable(
+                spark, 256, vdim, n_clusters=1024, lo=n1m, id_col="qid"
+            ).cache()
+        )
+        q256.count()
+
+        def _build_flat():
+            eng.create("bench_v1m_flat", vdim, "IDMap,Flat", metric_type="L2")
+            eng.add("bench_v1m_flat", corp)
+
+        timed_build("vec1m_flat_build_sec", _build_flat)
+
+        def _build_ivf():
+            eng.create("bench_v1m", vdim, f"IDMap,IVF{vnlist}", metric_type="L2")
+            eng.add("bench_v1m", corp)
+
+        timed_build("vec1m_build_sec", _build_ivf)
+        # corpus-histogram skew receipt: a measurement-only rebalance pass
+        # (the build already enforced the cap; this records the ratio)
+        queries["vec1m_corpus_max_share"] = eng.rebalance("bench_v1m")[
+            "max_share"
+        ]
+        timed_build(
+            "vec1m_warm_sec",
+            lambda: (eng.warm("bench_v1m"), eng.warm("bench_v1m_flat")),
+        )
+        # search keys: median-of-3 in-artifact (VERDICT r12 task 1) — these
+        # are the legs whose honest same-code spread crossed their own 2x
+        # guards (bulk 15.1-88.8, sq8_knn 3.8-28.2 across four r12
+        # recordings); a single draw cannot grade them
+        bench_entry(
+            "vec1m_knn_exact",
+            lambda: eng.search_flat("bench_v1m_flat", 10, q256).count(),
+            samples=3,
+        )
+        v_exact = {
+            (r["qid"], r["label"])
+            for r in eng.search_flat("bench_v1m_flat", 10, q256).collect()
+        }
+        bench_entry(
+            "vec1m_knn_np4",
+            lambda: eng.search_flat(
+                "bench_v1m", 10, q256, params={"nprobe": 4}
+            ).count(),
+            samples=3,
+        )
+        bench_entry(
+            "vec1m_knn_np16",
+            lambda: eng.search_flat(
+                "bench_v1m", 10, q256, params={"nprobe": 16}
+            ).count(),
+            samples=3,
+        )
+        for np_, key in ((4, "vec1m_recall_np4"), (16, "vec1m_recall_np16")):
+            hits = {
+                (r["qid"], r["label"])
+                for r in eng.search_flat(
+                    "bench_v1m", 10, q256, params={"nprobe": np_}
+                ).collect()
+            }
+            queries[key] = round(len(hits & v_exact) / len(v_exact), 4)
+        # filtered search at corpus scale (VERDICT r10 task 6): the
+        # reference's headline bench axis is filtered search across
+        # selectivities (go/main_test.go:34-49, go/benches_c.go:167) but
+        # the sf0.1 filtered keys run over 2,000 rows — pure fixed
+        # overhead.  Semi-join pre-filter against the 1M corpus at the
+        # reference's sweep endpoints: p=1% prunes the scan to ~10k rows
+        # (the semi-join dominates), p=50% scans half the corpus.
+        for p in (1, 50):
+            allowed = corp.filter(F.col("label") % 100 < p).select("label")
+            bench_entry(
+                f"vec1m_filtered_p{p}",
+                lambda a=allowed: eng.search_flat(
+                    "bench_v1m", 10, q256, params={"nprobe": 16}, allowed_df=a
+                ).count(),
+                samples=3,
+            )
+        # bulk grouped equi-join path (the plan corpus-scale query sides
+        # auto-route onto; the path r9 made 2.6x faster had NO bench guard)
+        qbulk = synth_clusterable(
+            spark, 20_000, vdim, n_clusters=1024, lo=n1m + 256, id_col="qid"
+        )
+        bench_entry(
+            "vec1m_bulk_np16",
+            lambda: eng.search_flat(
+                "bench_v1m", 10, qbulk, params={"nprobe": 16, "bulk_queries": 1}
+            ).count(),
+            samples=3,
+        )
+        # SQ8 storage tier: same corpus, same exact-scan plan through the
+        # decode-free L2 expansion kernel (r12) — the sq8-vs-raw delta is
+        # the A/B vs vec1m_knn_exact
+        def _build_sq():
+            eng.create("bench_v1m_sq", vdim, "IDMap,Flat,SQ8", metric_type="L2")
+            eng.add("bench_v1m_sq", corp)
+
+        timed_build("vec1m_sq8_build_sec", _build_sq)
+        eng.warm("bench_v1m_sq")
+        bench_entry(
+            "vec1m_sq8_knn",
+            lambda: eng.search_flat("bench_v1m_sq", 10, q256).count(),
+            samples=3,
+        )
+        sq_hits = {
+            (r["qid"], r["label"])
+            for r in eng.search_flat("bench_v1m_sq", 10, q256).collect()
+        }
+        queries["vec1m_sq8_recall"] = round(
+            len(sq_hits & v_exact) / len(v_exact), 4
+        )
+        for key, floor in V1M_FLOORS.items():
+            queries[f"{key}_floor_ok"] = bool(queries.get(key, 0.0) >= floor)
+        for nm in ("bench_v1m", "bench_v1m_flat", "bench_v1m_sq"):
+            eng.destroy(nm)
+        corp.unpersist()
+        q256.unpersist()
 
     # --- relational headliners (count() forces full execution) -------------
     @section("relational")
@@ -416,9 +706,6 @@ def main() -> None:
         bench_entry(
             "exact_knn_ip", lambda: entry.knn_ip(spark, sf_dir).count(), warmup=True
         )
-
-    eng = FaissSparkEngine(spark)
-    state: dict[str, object] = {}
 
     @section("engine_exact")
     def _engine_exact():
@@ -474,12 +761,31 @@ def main() -> None:
             for r in eng.search_flat("bench_ip", 10, qdf48).collect()
         }
 
-    qdf48 = state.get("qdf48")
-    exact_hits = state.get("exact_hits")
+    def ensure_exact():
+        """qdf48 + the bench_ip flat index + the exact top-k ground truth.
+        A full run builds them in engine_exact; a standalone
+        SPARK_GRAFT_BENCH_ONLY run of filtered_knn/ivf/hnsw/ivf_hnsw/lsh
+        builds them here (~2 s at sf0.1), so those sections now qualify
+        for quiet-host re-pinning too (r13: the ivfhnsw re-pin needed a
+        standalone section; before this they errored on missing state)."""
+        if "exact_hits" not in state:
+            eng.create("bench_ip", dim, "IDMap,Flat", metric_type="INNER_PRODUCT")
+            eng.add("bench_ip", emb.select("vec_id", "embedding"))
+            q = emb.limit(48).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+            ).cache()
+            q.count()
+            state["qdf48"] = q
+            state["exact_hits"] = {
+                (r["qid"], r["label"])
+                for r in eng.search_flat("bench_ip", 10, q).collect()
+            }
+        return state["qdf48"], state["exact_hits"]
 
     # --- filtered kNN selectivity sweep (sel = vec_id % 100 < p) -----------
     @section("filtered_knn")
     def _filtered():
+        qdf48, _ = ensure_exact()
         emb.createOrReplaceTempView("bench_embeddings")
         for p in (1, 10, 50, 90):
             bench_entry(
@@ -492,6 +798,7 @@ def main() -> None:
             )
 
     def recall(hits) -> float:
+        exact_hits = state["exact_hits"]
         return round(len(hits & exact_hits) / len(exact_hits), 4)
 
     # --- IVF (ANN scale path): cluster-pruned search + recall --------------
@@ -507,6 +814,7 @@ def main() -> None:
 
     @section("ivf")
     def _ivf():
+        qdf48, _ = ensure_exact()
         # in-suite build attribution (VERDICT r8 task 2): phase timers +
         # host load + JVM heap, so BENCH itself explains any gap vs the
         # standalone quiet builder (8.2 in-suite vs 4.6 standalone in r8)
@@ -578,6 +886,7 @@ def main() -> None:
     # --- HNSW graph ANN (the reference's headline index shape) -------------
     @section("hnsw")
     def _hnsw():
+        qdf48, _ = ensure_exact()
         t0 = time.perf_counter()
         eng.create("bench_hnsw", dim, "IDMap,HNSW32", metric_type="INNER_PRODUCT")
         eng.add("bench_hnsw", emb.select("vec_id", "embedding"))
@@ -618,8 +927,18 @@ def main() -> None:
     # routes to clusters, per-cluster NSW graphs beam inside each
     @section("ivf_hnsw")
     def _ivfhnsw():
+        qdf48, _ = ensure_exact()
+        # min_graph_rows=0 (r13, VERDICT r12 task 6): the default threshold
+        # (1 Mi rows/cluster) built ZERO graphs at sf0.1 — every cluster sat
+        # below it, the search was plan-identical to plain IVF, and the
+        # ivfhnsw keys overstated what they exercised (the engine warned so
+        # each round; the bench now measures the plan the key NAMES).  Keys
+        # re-pinned for the graph-building configuration.
         t0 = time.perf_counter()
-        eng.create("bench_ivfhnsw", dim, "IDMap,IVF16_HNSW32", metric_type="INNER_PRODUCT")
+        eng.create(
+            "bench_ivfhnsw", dim, "IDMap,IVF16_HNSW32",
+            metric_type="INNER_PRODUCT", params={"min_graph_rows": 0},
+        )
         eng.add("bench_ivfhnsw", emb.select("vec_id", "embedding"))
         queries["ivfhnsw_build_sec"] = round(time.perf_counter() - t0, 4)
         ivfhnsw_run = lambda: eng.search_flat(  # noqa: E731
@@ -628,6 +947,12 @@ def main() -> None:
         bench_entry("ivfhnsw_knn_np8", lambda: ivfhnsw_run().count(), warmup=True)
         queries["ivfhnsw_recall_np8"] = recall(
             {(r["qid"], r["label"]) for r in ivfhnsw_run().collect()}
+        )
+        # graph-path recall floor (r13): 0.833 in all three pin runs
+        # (deterministic layout) — guards the beam search actually losing
+        # candidates, with headroom for deliberate layout shifts
+        queries["ivfhnsw_recall_np8_floor_ok"] = bool(
+            queries["ivfhnsw_recall_np8"] >= 0.80
         )
         # np16 recall completes the router-bound story: the composite's
         # recall tracks PLAIN IVF at matched nprobe (SCALE.md A/B), so at
@@ -706,6 +1031,7 @@ def main() -> None:
     # signatures-as-index design intends (corpus_sig param, operators/lsh.py)
     @section("lsh")
     def _lsh():
+        qdf48, _ = ensure_exact()
         from duckdb_faiss_ext_spark.operators.lsh import (
             corpus_mean,
             lsh_ann_cosine,
@@ -885,176 +1211,6 @@ def main() -> None:
         )
         docs.unpersist()
 
-    # --- scaled vector-throughput leg (VERDICT r9 task 2) ------------------
-    # Every other vector key runs over the 2,000-row sf0.1 embeddings
-    # fixture — pure fixed job overhead, blind to kernel regressions
-    # smaller than ~2x of that overhead (SCALE.md r9; r8 and r9 each burned
-    # a task adjudicating noise on 0.3 s keys).  This leg is the real
-    # thing: a 1M x 64 CLUSTERABLE corpus (tools/_synth.synth_clusterable —
-    # the hash corpus provably caps IVF recall, recall_structure_study),
-    # IVF2048 built once, searches timed at steady state after warm(),
-    # recall vs the Flat exact scan on the same corpus, the corpus skew cap
-    # receipt (vec1m_corpus_max_share <= 4.0 = the r10 corpus-rebalance
-    # contract), the bulk grouped-join path guarded (VERDICT r9 task 5),
-    # and the SQ8 decode overhead A/B'd against the same Flat scan.
-    # vec1m_build_sec deliberately carries the session's first MLlib KMeans
-    # (~6.5 s JIT, SCALE.md r9) — the one-build session cost; the search
-    # keys are the steady-state story.  Runs LAST so its memory/cache
-    # footprint can't contaminate the cross-round sf0.1 keys above.
-    V1M_FLOORS = {
-        "vec1m_recall_np4": 0.93,
-        "vec1m_recall_np16": 0.97,
-        # measured 0.9293 (bench_q1, deterministic corpus+codes): half-bin
-        # decode error flips ranks among the mog clusters' dense near-ties
-        "vec1m_sq8_recall": 0.92,
-    }
-
-    @section("vec1m")
-    def _vec1m():
-        sys.path.insert(
-            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-        )
-        from _synth import synth_clusterable
-
-        # host-state receipt for the whole section (VERDICT r10 task 1: the
-        # r10 vec1m pins were min-of-contended-runs and 4 keys breached
-        # their own guards on round one; every vec1m number now carries the
-        # ctrl ratio needed to adjudicate ambient vs real)
-        queries["vec1m_ctrl_ratio"] = round(ctrl_time() / ctrl0, 2)
-
-        def timed_build(name, fn):
-            """Build keys can't be cheaply re-run like search keys — time
-            once, and on a >2x-of-baseline breach attach the ctrl ratio AND
-            the load trail + an ambient verdict (r12: the breach must be
-            adjudicable from the artifact even without a rerun)."""
-            t0 = time.perf_counter()
-            fn()
-            t = time.perf_counter() - t0
-            queries[name] = round(t, 4)
-            b = r1.get(name)
-            if b and t > 2.0 * b:
-                load0 = host_load()
-                ctrl_now = ctrl_time()
-                ratio = round(ctrl_now / ctrl0, 2)
-                abs_ratio = round(ctrl_now / CTRL_QUIET, 2)
-                queries[f"{name}_load_at_key"] = round(load0, 2)
-                queries[f"{name}_ctrl_ratio"] = ratio
-                queries[f"{name}_ctrl_abs"] = abs_ratio
-                queries[f"{name}_ambient_breach"] = bool(
-                    load0 >= 10.0 or ratio > 1.5 or abs_ratio > 1.5
-                    or ctrl0 / CTRL_QUIET > 1.5
-                )
-
-        n1m, vdim, vnlist = 1_000_000, 64, 2048
-        corp = synth_clusterable(spark, n1m, vdim, n_clusters=1024).persist()
-        corp.count()
-        q256 = (
-            synth_clusterable(
-                spark, 256, vdim, n_clusters=1024, lo=n1m, id_col="qid"
-            ).cache()
-        )
-        q256.count()
-
-        def _build_flat():
-            eng.create("bench_v1m_flat", vdim, "IDMap,Flat", metric_type="L2")
-            eng.add("bench_v1m_flat", corp)
-
-        timed_build("vec1m_flat_build_sec", _build_flat)
-
-        def _build_ivf():
-            eng.create("bench_v1m", vdim, f"IDMap,IVF{vnlist}", metric_type="L2")
-            eng.add("bench_v1m", corp)
-
-        timed_build("vec1m_build_sec", _build_ivf)
-        # corpus-histogram skew receipt: a measurement-only rebalance pass
-        # (the build already enforced the cap; this records the ratio)
-        queries["vec1m_corpus_max_share"] = eng.rebalance("bench_v1m")[
-            "max_share"
-        ]
-        timed_build(
-            "vec1m_warm_sec",
-            lambda: (eng.warm("bench_v1m"), eng.warm("bench_v1m_flat")),
-        )
-        bench_entry(
-            "vec1m_knn_exact",
-            lambda: eng.search_flat("bench_v1m_flat", 10, q256).count(),
-        )
-        v_exact = {
-            (r["qid"], r["label"])
-            for r in eng.search_flat("bench_v1m_flat", 10, q256).collect()
-        }
-        bench_entry(
-            "vec1m_knn_np4",
-            lambda: eng.search_flat(
-                "bench_v1m", 10, q256, params={"nprobe": 4}
-            ).count(),
-        )
-        bench_entry(
-            "vec1m_knn_np16",
-            lambda: eng.search_flat(
-                "bench_v1m", 10, q256, params={"nprobe": 16}
-            ).count(),
-        )
-        for np_, key in ((4, "vec1m_recall_np4"), (16, "vec1m_recall_np16")):
-            hits = {
-                (r["qid"], r["label"])
-                for r in eng.search_flat(
-                    "bench_v1m", 10, q256, params={"nprobe": np_}
-                ).collect()
-            }
-            queries[key] = round(len(hits & v_exact) / len(v_exact), 4)
-        # filtered search at corpus scale (VERDICT r10 task 6): the
-        # reference's headline bench axis is filtered search across
-        # selectivities (go/main_test.go:34-49, go/benches_c.go:167) but
-        # the sf0.1 filtered keys run over 2,000 rows — pure fixed
-        # overhead.  Semi-join pre-filter against the 1M corpus at the
-        # reference's sweep endpoints: p=1% prunes the scan to ~10k rows
-        # (the semi-join dominates), p=50% scans half the corpus.
-        for p in (1, 50):
-            allowed = corp.filter(F.col("label") % 100 < p).select("label")
-            bench_entry(
-                f"vec1m_filtered_p{p}",
-                lambda a=allowed: eng.search_flat(
-                    "bench_v1m", 10, q256, params={"nprobe": 16}, allowed_df=a
-                ).count(),
-            )
-        # bulk grouped equi-join path (the plan corpus-scale query sides
-        # auto-route onto; the path r9 made 2.6x faster had NO bench guard)
-        qbulk = synth_clusterable(
-            spark, 20_000, vdim, n_clusters=1024, lo=n1m + 256, id_col="qid"
-        )
-        bench_entry(
-            "vec1m_bulk_np16",
-            lambda: eng.search_flat(
-                "bench_v1m", 10, qbulk, params={"nprobe": 16, "bulk_queries": 1}
-            ).count(),
-        )
-        # SQ8 storage tier: same corpus, same exact-scan plan through the
-        # lazy bin-center decode — the decode overhead is the A/B delta vs
-        # vec1m_knn_exact
-        def _build_sq():
-            eng.create("bench_v1m_sq", vdim, "IDMap,Flat,SQ8", metric_type="L2")
-            eng.add("bench_v1m_sq", corp)
-
-        timed_build("vec1m_sq8_build_sec", _build_sq)
-        eng.warm("bench_v1m_sq")
-        bench_entry(
-            "vec1m_sq8_knn",
-            lambda: eng.search_flat("bench_v1m_sq", 10, q256).count(),
-        )
-        sq_hits = {
-            (r["qid"], r["label"])
-            for r in eng.search_flat("bench_v1m_sq", 10, q256).collect()
-        }
-        queries["vec1m_sq8_recall"] = round(
-            len(sq_hits & v_exact) / len(v_exact), 4
-        )
-        for key, floor in V1M_FLOORS.items():
-            queries[f"{key}_floor_ok"] = bool(queries.get(key, 0.0) >= floor)
-        for nm in ("bench_v1m", "bench_v1m_flat", "bench_v1m_sq"):
-            eng.destroy(nm)
-        corp.unpersist()
-        q256.unpersist()
 
     non_time_keys = {
         "ingest_rows_per_sec",
@@ -1127,6 +1283,10 @@ def main() -> None:
     }
     if errors:
         full_out["errors"] = errors
+    # raw median-of-N trails (r13): every sample behind each heavy-leg
+    # median, pre- and post-quiet-wait — the artifact carries its own spread
+    if sample_trails:
+        full_out["sample_trails"] = sample_trails
     # codegen-fallback attribution (r12): per-section event deltas and the
     # first matched log lines, so a nonzero count names its stage
     full_out["codegen_fallback_counts"] = scan.snapshot()
