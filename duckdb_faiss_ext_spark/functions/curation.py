@@ -230,12 +230,21 @@ def _repetition_arrow(
     passthrough: list,
     top_ns: tuple,
     dup_ns: tuple,
+    coverage: str = "multiset",
 ) -> DataFrame:
     """Arrow-batched kernel for repetition_signals: per-document Counter
     over token-ID tuples (ints, never gram strings) with prefix-sum char
     lengths — ~100x the interpreted higher-order-function fold (SCALE.md
     r11).  Semantics are pinned equal to the SQL impl and the DuckDB
-    oracle by tests/test_curation.py."""
+    oracle by tests/test_curation.py.
+
+    ``coverage='union'`` (r13, VERDICT r12 task 7): count each covered
+    character ONCE — the Rae et al. 2021 convention its thresholds were
+    published against ("taking care to count characters only once when
+    n-grams overlap").  Each occurrence covers its char interval in the
+    space-joined token stream (tokens + its n-1 internal separators);
+    intervals are merged before summing, so the two modes agree exactly
+    whenever no occurrences overlap and union <= multiset always."""
     import re as _re
 
     import pandas as pd
@@ -278,19 +287,71 @@ def _repetition_arrow(
             id_len[i] = len(t)
         safe_chars = max(len(text), 1)
         stats = {}
-        for n in all_ns:
-            if len(ids) < n:
-                stats[n] = (0, 0)
-                continue
-            cnt = Counter(zip(*[ids[i:] for i in range(n)]))
-            top_key, dup_cov = (0, 0), 0
-            for gram, c in cnt.items():
-                cov = c * (sum(id_len[g] for g in gram) + n - 1)
-                if (c, cov) > top_key:
-                    top_key = (c, cov)
-                if c > 1:
-                    dup_cov += cov
-            stats[n] = (top_key[1], dup_cov)
+        if coverage == "union":
+            pre = [0]
+            for i in ids:
+                pre.append(pre[-1] + id_len[i])
+
+            def union_cov(starts, n):
+                """Merged-interval coverage in CHAR coordinates of the
+                space-joined token stream: occurrence [s, s+n) covers the
+                half-open char interval [pre[s]+s, pre[s+n]+s+n-1) — its
+                tokens plus its n-1 INTERNAL separators.  Union over
+                sorted starts; the separator between two occurrences that
+                merely touch belongs to NEITHER and is not counted, so
+                union <= multiset always (overlap is the only thing the
+                union removes — the paper's 'count characters only once
+                when n-grams overlap')."""
+                cov, cur_s, cur_e = 0, -1, -1
+                for s in starts:
+                    cs = pre[s] + s
+                    ce = pre[s + n] + s + n - 1
+                    if cur_e < 0 or cs > cur_e:
+                        if cur_e >= 0:
+                            cov += cur_e - cur_s
+                        cur_s, cur_e = cs, ce
+                    elif ce > cur_e:
+                        cur_e = ce
+                if cur_e >= 0:
+                    cov += cur_e - cur_s
+                return cov
+
+            for n in all_ns:
+                if len(ids) < n:
+                    stats[n] = (0, 0)
+                    continue
+                occ: dict = {}
+                for i, gram in enumerate(zip(*[ids[j:] for j in range(n)])):
+                    occ.setdefault(gram, []).append(i)
+                # top gram: max count, then union coverage, then EARLIEST
+                # first occurrence — fully deterministic and expressible
+                # in the DuckDB twin (tests/test_curation.py)
+                top_key = (0, 0, 0)
+                for starts in occ.values():
+                    key = (len(starts), union_cov(starts, n), -starts[0])
+                    if key > top_key:
+                        top_key = key
+                dup_starts = sorted(
+                    s
+                    for starts in occ.values()
+                    if len(starts) > 1
+                    for s in starts
+                )
+                stats[n] = (top_key[1], union_cov(dup_starts, n))
+        else:
+            for n in all_ns:
+                if len(ids) < n:
+                    stats[n] = (0, 0)
+                    continue
+                cnt = Counter(zip(*[ids[i:] for i in range(n)]))
+                top_key, dup_cov = (0, 0), 0
+                for gram, c in cnt.items():
+                    cov = c * (sum(id_len[g] for g in gram) + n - 1)
+                    if (c, cov) > top_key:
+                        top_key = (c, cov)
+                    if c > 1:
+                        dup_cov += cov
+                stats[n] = (top_key[1], dup_cov)
         out += [stats[n][0] / safe_chars for n in top_ns]
         out += [stats[n][1] / safe_chars for n in dup_ns]
         return out
@@ -317,6 +378,7 @@ def repetition_signals(
     top_ns: Sequence[int] = DEFAULT_TOP_NS,
     dup_ns: Sequence[int] = DEFAULT_DUP_NS,
     impl: str = "arrow",
+    coverage: str = "multiset",
 ) -> DataFrame:
     """Per-document repetition statistics (Gopher Table A1): one row per
     input document with
@@ -330,11 +392,26 @@ def repetition_signals(
       all occurrences of n-grams that appear more than once / document
       characters.
 
-    Coverage counts every occurrence's characters independently, so
-    overlapping occurrences can push a fraction above 1.0 on degenerate
-    text ("a b a b a b ...") — exactly the documents the thresholds
-    exist to reject; the published filters compare against caps well
-    below 1, so the fractions are deliberately NOT clamped.
+    ``coverage`` picks the occurrence-overlap convention (r13, VERDICT
+    r12 task 7):
+    - ``'multiset'`` (default): every occurrence's characters count
+      independently, so overlapping occurrences can push a fraction above
+      1.0 on degenerate text ("a b a b a b ...") — exactly the documents
+      the thresholds exist to reject; the published filters compare
+      against caps well below 1, so the fractions are deliberately NOT
+      clamped.  This is the convention with an exact one-expression
+      SQL/DuckDB twin, and TextPolicy's defaults filter slightly MORE
+      aggressively than the paper under it (documented there).
+    - ``'union'``: each covered character counts ONCE (occurrence char
+      intervals in the space-joined token stream — tokens plus the n-1
+      internal separators — merged before summing) — the convention Rae
+      et al. 2021's published thresholds are defined against ("count
+      characters only once when n-grams overlap").  union <= multiset
+      always; they agree exactly when no occurrences overlap.  Top-gram
+      tie-break: count, then union coverage, then earliest first
+      occurrence.  Arrow impl only (the per-gram interval merge has no
+      bounded one-expression SQL form); DuckDB-twinned in
+      tests/test_curation.py.
 
     Tokenization matches vocab_stats: lowercase alnum runs, so the op has
     an exact DuckDB oracle (tests/test_curation.py).  Grams are joined
@@ -362,6 +439,17 @@ def repetition_signals(
         raise ValueError(f"repetition_signals: n must be >= 1, got {top_ns + dup_ns}")
     if impl not in ("arrow", "sql"):
         raise ValueError(f"repetition_signals: impl must be arrow|sql, got {impl!r}")
+    if coverage not in ("multiset", "union"):
+        raise ValueError(
+            f"repetition_signals: coverage must be multiset|union, got "
+            f"{coverage!r}"
+        )
+    if coverage == "union" and impl != "arrow":
+        raise ValueError(
+            "repetition_signals: coverage='union' is Arrow-only (the "
+            "per-gram interval merge has no bounded one-expression SQL "
+            "form); use impl='arrow'"
+        )
     # id_col is not consumed (every non-text column passes through), but a
     # typo'd name must fail loudly rather than silently mean nothing
     for c in (text_col, id_col):
@@ -378,7 +466,9 @@ def repetition_signals(
         c for c in df.columns if c != text_col and c not in signal_names
     ]
     if impl == "arrow":
-        return _repetition_arrow(df, text_col, passthrough, top_ns, dup_ns)
+        return _repetition_arrow(
+            df, text_col, passthrough, top_ns, dup_ns, coverage
+        )
 
     text = F.col(text_col)
     toks = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), F.lit(0))

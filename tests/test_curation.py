@@ -1010,3 +1010,198 @@ def test_sample_corpus_mix_exact_returns_cached_selection(spark, sf_dir):
         docs, {"src0": 5, "src1": 3}, seed=1, exact=True, prefilter=None
     )
     assert lazy.storageLevel == StorageLevel.NONE
+
+
+def test_repetition_union_coverage_handcrafted(spark):
+    """coverage='union' (VERDICT r12 task 7): overlapping occurrences count
+    each covered token position once; adjacency keeps in-run separators;
+    non-overlapping text agrees exactly with the multiset default."""
+    from duckdb_faiss_ext_spark.functions.curation import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "x y z x y w"), (2, "a b a b")],
+        "doc_id bigint, text string",
+    )
+    un = {
+        r["doc_id"]: r
+        for r in repetition_signals(
+            docs, top_ns=(2,), dup_ns=(2,), coverage="union"
+        ).collect()
+    }
+    # "a a a a": 'a a' occurs at 0,1,2 (overlapping) -> union covers all 4
+    # tokens + 3 separators = 7 of 7 chars
+    assert un[0]["top_2gram_char_frac"] == pytest.approx(1.0)
+    assert un[0]["dup_2gram_char_frac"] == pytest.approx(1.0)
+    # "x y z x y w": 'x y' at 0 and 3 — disjoint runs, no cross-run
+    # separator: (1+1+1) + (1+1+1) = 6 of 11
+    assert un[1]["top_2gram_char_frac"] == pytest.approx(6 / 11)
+    assert un[1]["dup_2gram_char_frac"] == pytest.approx(6 / 11)
+    # "a b a b": 'a b' at 0 and 2 — char intervals [0,3) and [4,7) touch
+    # only across a separator NO occurrence contains: 6 of 7, never 7
+    # (union counts covered CHARS once; it cannot exceed multiset)
+    assert un[2]["top_2gram_char_frac"] == pytest.approx(6 / 7)
+    assert un[2]["dup_2gram_char_frac"] == pytest.approx(6 / 7)
+    ms = {
+        r["doc_id"]: r
+        for r in repetition_signals(
+            docs, top_ns=(2,), dup_ns=(2,), coverage="multiset"
+        ).collect()
+    }
+    assert ms[0]["top_2gram_char_frac"] == pytest.approx(9 / 7)  # 3 x 'a a'
+    assert ms[2]["top_2gram_char_frac"] == pytest.approx(6 / 7)  # no overlap
+    # no overlap anywhere in doc 1 -> the two conventions coincide
+    assert ms[1]["top_2gram_char_frac"] == pytest.approx(
+        un[1]["top_2gram_char_frac"]
+    )
+    # union can never exceed multiset
+    for d in (0, 1, 2):
+        assert un[d]["dup_2gram_char_frac"] <= ms[d]["dup_2gram_char_frac"] + 1e-12
+
+
+def test_repetition_union_coverage_validation(spark):
+    from duckdb_faiss_ext_spark.functions.curation import repetition_signals
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="coverage must be"):
+        repetition_signals(docs, coverage="overlap")
+    with pytest.raises(ValueError, match="Arrow-only"):
+        repetition_signals(docs, impl="sql", coverage="union")
+
+
+def _rep_union_oracle_sql(parquet: str, top_ns, dup_ns):
+    """DuckDB twin of coverage='union': each occurrence covers its char
+    interval [cs, cs+len(gram)) in the space-joined token stream; islands
+    (classic running-max gaps-and-islands) merge overlapping intervals,
+    coverage = sum over islands of (max(ce) - min(cs)).  Top gram per
+    (doc, n) by (count DESC, union coverage DESC, first occurrence ASC) —
+    the same deterministic tie-break as the Arrow kernel."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    n_values = ", ".join(f"({n})" for n in all_ns)
+    top_cols = ", ".join(
+        f"coalesce(max(CASE WHEN tg.n = {n} THEN tg.ucov END)"
+        f" / greatest(b.n_chars, 1), 0.0) AS top_{n}gram_char_frac"
+        for n in top_ns
+    )
+    dup_cols = ", ".join(
+        f"coalesce(max(CASE WHEN dc.n = {n} THEN dc.ucov END)"
+        f" / greatest(b.n_chars, 1), 0.0) AS dup_{n}gram_char_frac"
+        for n in dup_ns
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, coalesce(length(text), 0) AS n_chars,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+      FROM read_parquet('{parquet}')
+    ),
+    occ AS (
+      SELECT doc_id, n, i, t, gram FROM (
+        SELECT b.doc_id, nv.n, b.t,
+               unnest(generate_series(1, len(b.t) - nv.n + 1)) AS i
+        FROM base b JOIN (VALUES {n_values}) nv(n) ON len(b.t) >= nv.n
+      ) p, LATERAL (SELECT array_to_string(p.t[p.i : p.i + p.n - 1], ' ')
+                    AS gram) g
+    ),
+    iv AS (  -- char interval of each occurrence in the joined stream
+      SELECT doc_id, n, gram, i, cs, cs + length(gram) AS ce FROM (
+        SELECT doc_id, n, gram, i,
+               coalesce(length(array_to_string(t[1 : i - 1], ' ')), 0)
+                 + CASE WHEN i > 1 THEN 1 ELSE 0 END AS cs
+        FROM occ
+      )
+    ),
+    gisl AS (  -- per-gram islands of overlapping intervals
+      SELECT doc_id, n, gram, cs, ce,
+             sum(new_isl) OVER (PARTITION BY doc_id, n, gram
+                                ORDER BY cs, ce
+                                ROWS UNBOUNDED PRECEDING) AS isl
+      FROM (
+        SELECT *, CASE WHEN cs > coalesce(max(ce) OVER (
+                     PARTITION BY doc_id, n, gram ORDER BY cs, ce
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     -1) THEN 1 ELSE 0 END AS new_isl
+        FROM iv
+      )
+    ),
+    gcov AS (
+      SELECT doc_id, n, gram, sum(mx - mn) AS ucov FROM (
+        SELECT doc_id, n, gram, isl, max(ce) AS mx, min(cs) AS mn
+        FROM gisl GROUP BY doc_id, n, gram, isl
+      ) GROUP BY doc_id, n, gram
+    ),
+    gstats AS (
+      SELECT o.doc_id, o.n, o.gram, count(*) AS cnt, min(o.i) AS first_i,
+             any_value(c.ucov) AS ucov
+      FROM occ o JOIN gcov c USING (doc_id, n, gram)
+      GROUP BY o.doc_id, o.n, o.gram
+    ),
+    topg AS (
+      SELECT doc_id, n, ucov FROM (
+        SELECT doc_id, n, ucov,
+               row_number() OVER (PARTITION BY doc_id, n
+                                  ORDER BY cnt DESC, ucov DESC,
+                                           first_i ASC) AS rk
+        FROM gstats
+      ) WHERE rk = 1
+    ),
+    disl AS (  -- islands over ALL duplicated grams' intervals per (doc, n)
+      SELECT doc_id, n, cs, ce,
+             sum(new_isl) OVER (PARTITION BY doc_id, n ORDER BY cs, ce
+                                ROWS UNBOUNDED PRECEDING) AS isl
+      FROM (
+        SELECT v.doc_id, v.n, v.cs, v.ce,
+               CASE WHEN v.cs > coalesce(max(v.ce) OVER (
+                    PARTITION BY v.doc_id, v.n ORDER BY v.cs, v.ce
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) THEN 1 ELSE 0 END AS new_isl
+        FROM iv v JOIN gstats s USING (doc_id, n, gram)
+        WHERE s.cnt > 1
+      )
+    ),
+    dcov AS (
+      SELECT doc_id, n, sum(mx - mn) AS ucov FROM (
+        SELECT doc_id, n, isl, max(ce) AS mx, min(cs) AS mn
+        FROM disl GROUP BY doc_id, n, isl
+      ) GROUP BY doc_id, n
+    )
+    SELECT b.doc_id, {top_cols}, {dup_cols}
+    FROM base b
+    LEFT JOIN topg tg USING (doc_id)
+    LEFT JOIN dcov dc USING (doc_id)
+    GROUP BY b.doc_id, b.n_chars
+    """
+
+
+def test_repetition_union_matches_duckdb_oracle(spark, sf_dir):
+    """coverage='union' against an independent DuckDB interval-merge
+    formulation over the real documents table — every gram column, every
+    row, exact to 1e-12 (VERDICT r12 task 7 done-criterion: both coverage
+    modes oracled; the multiset mode keeps its original oracle above)."""
+    top_ns, dup_ns = (2, 3), (2, 5)
+    parquet = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(parquet).select("doc_id", "text")
+    from duckdb_faiss_ext_spark.functions.curation import repetition_signals
+
+    cols = (
+        ["doc_id"]
+        + [f"top_{n}gram_char_frac" for n in top_ns]
+        + [f"dup_{n}gram_char_frac" for n in dup_ns]
+    )
+    got = {
+        r["doc_id"]: [r[c] for c in cols[1:]]
+        for r in repetition_signals(
+            docs, top_ns=top_ns, dup_ns=dup_ns, coverage="union"
+        )
+        .select(*cols)
+        .collect()
+    }
+    con = duckdb.connect()
+    want = {
+        row[0]: list(row[1:])
+        for row in con.execute(
+            _rep_union_oracle_sql(parquet, top_ns, dup_ns)
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        for g, w in zip(got[did], want[did]):
+            assert g == pytest.approx(w, abs=1e-12), (did, got[did], want[did])
