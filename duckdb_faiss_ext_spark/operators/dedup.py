@@ -186,6 +186,8 @@ def minhash_lsh_pairs(
     shingle_n: int = 1,
     max_bucket: int | None = None,
     cap_stats: dict | None = None,
+    cap_mode: str = "drop",
+    refine_depth: int = 2,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, band) sharing an LSH band.
 
@@ -194,12 +196,40 @@ def minhash_lsh_pairs(
 
     ``max_bucket`` caps the self-join blowup at corpus scale: a band bucket
     with m members emits O(m²) pairs, and real corpora have pathological
-    buckets (boilerplate/empty docs sharing a signature band).  Buckets
-    larger than the cap are dropped BEFORE the join — the members still
-    pair through their other, more selective bands, and a group of near-dups
-    bigger than max_bucket is better handled by exact_dedup upstream.  None
-    (default) keeps every bucket — the oracle-parity setting."""
+    buckets (boilerplate/empty docs sharing a signature band).  ``cap_mode``
+    picks what happens to oversized buckets (r13, VERDICT r12 task 4 — the
+    cap-recall receipt in SCALE.md MEASURED the old "members still pair
+    through their other bands" assumption and found it fails on
+    boilerplate-clique corpora: verified-pair recall 0.81 capped-vs-
+    uncapped at 20k docs, because template-common min-grams dominate BOTH
+    of a doc's bands at once):
+
+    - ``'drop'`` (default): oversized buckets are dropped BEFORE the join;
+      groups of near-dups bigger than max_bucket are better handled by
+      exact_dedup upstream.  Cheapest, and correct when the oversized mass
+      is exact boilerplate — but lossy on near-dup cliques (receipt above).
+    - ``'refine'``: members of oversized buckets are RE-BANDED with wider
+      shingles (``shingle_n + 2`` per level — more selective grams split
+      template-common buckets by their distinguishing tokens while
+      near-identical docs keep sharing most wide grams), the same cap
+      re-applied, recursively up to ``refine_depth`` levels (default 2);
+      buckets still oversized at the bottom are dropped loudly.  Pairs =
+      healthy-bucket pairs ∪ refined pairs; one extra signature pass per
+      level over ONLY that level's oversized members, zero extra jobs when
+      no bucket breaches.  ``cap_stats`` additionally receives
+      ``refined_docs`` / ``refined_bucket_cap_hits`` /
+      ``refined_dropped_rows`` (the deepest level's residual drop).
+      Measured on the boilerplate-clique profile at 20k docs (SCALE.md
+      r13): verified-pair recall 0.81 (drop) -> 0.98 (refine, depth 2)
+      vs the uncapped run, at +16 s on a 6 s leg — and the wider grams
+      additionally surface true near-dup pairs the base banding missed.
+
+    None (default) keeps every bucket — the oracle-parity setting."""
     assert num_hashes % band_size == 0
+    if cap_mode not in ("drop", "refine"):
+        raise ValueError(
+            f"minhash_lsh_pairs: cap_mode must be drop|refine, got {cap_mode!r}"
+        )
     df = _ensure_parallelism(df, id_col)
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
     nbands = num_hashes // band_size
@@ -214,26 +244,71 @@ def minhash_lsh_pairs(
             for b in range(nbands)
         ]
     )
-    exploded = sig.select(
+    exploded_raw = sig.select(
         F.col(id_col).alias("_id"), F.explode(band_structs).alias("b")
     ).select("_id", "b.band", "b.bkey")
-    exploded = _cap_buckets(exploded, ["band", "bkey"], max_bucket, cap_stats)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.band").alias("band"),
-        )
-        .distinct()
+    # refine mode needs the audit eagerly (to know WHICH buckets breached),
+    # so it forces a stats pass even when the caller didn't ask for one
+    stats = cap_stats if cap_stats is not None else (
+        {} if cap_mode == "refine" and max_bucket is not None else None
     )
+    exploded = _cap_buckets(exploded_raw, ["band", "bkey"], max_bucket, stats)
+
+    def bucket_pairs(ex: DataFrame) -> DataFrame:
+        a, b = ex.alias("a"), ex.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.col("a.band").alias("band"),
+            )
+            .distinct()
+        )
+
+    pairs = bucket_pairs(exploded)
+    if (
+        cap_mode == "refine"
+        and max_bucket is not None
+        and stats["bucket_cap_hits"] > 0
+    ):
+        over = (
+            exploded_raw.groupBy("band", "bkey")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band", "bkey")
+        )
+        over_ids = (
+            exploded_raw.join(over, ["band", "bkey"], "left_semi")
+            .select(F.col("_id").alias(id_col))
+            .distinct()
+        )
+        over_docs = df.join(over_ids, id_col, "left_semi")
+        sub_stats: dict = {}
+        refined = minhash_lsh_pairs(
+            over_docs, id_col, text_col, num_hashes, band_size,
+            shingle_n + 2, max_bucket, cap_stats=sub_stats,
+            cap_mode="refine" if refine_depth > 1 else "drop",
+            refine_depth=refine_depth - 1,
+        )
+        if cap_stats is not None:
+            cap_stats["refined_docs"] = over_docs.count()
+            # residual = what the DEEPEST level finally dropped (a deeper
+            # refine reports its own refined_*; a leaf reports its cap)
+            cap_stats["refined_bucket_cap_hits"] = sub_stats.get(
+                "refined_bucket_cap_hits", sub_stats.get("bucket_cap_hits")
+            )
+            cap_stats["refined_dropped_rows"] = sub_stats.get(
+                "refined_dropped_rows",
+                sub_stats.get("bucket_cap_dropped_rows"),
+            )
+        pairs = pairs.unionByName(refined).distinct()
+    return pairs
 
 
 def ngram_jaccard_pairs(

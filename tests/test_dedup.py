@@ -357,3 +357,59 @@ def test_bucket_cap_no_breach_skips_semi_join_same_rows(spark):
     )
     assert stats["bucket_cap_hits"] == 0
     assert capped == uncapped
+
+
+def test_bucket_cap_refine_recovers_verified_pairs(spark):
+    """cap_mode='refine' (VERDICT r12 task 4): on a boilerplate-clique
+    corpus where template-common min-grams dominate every band (so capped
+    buckets lose true pairs in BOTH bands at once), wider-shingle
+    re-banding of the oversized members recovers the verified pairs the
+    drop mode loses.  Mirrors the 200k receipt in SCALE.md at test size."""
+    from duckdb_faiss_ext_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        minhash_lsh_pairs,
+    )
+
+    rows = []
+    for g in range(50):
+        for v in range(4):
+            rows.append(
+                (
+                    g * 4 + v,
+                    f"document template number {g} shared content body "
+                    f"sentence alpha beta gamma {v}",
+                )
+            )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def verified(max_bucket, cap_mode="drop", stats=None):
+        cand = minhash_lsh_pairs(
+            df, "doc_id", "text", 4, 2, shingle_n=3, max_bucket=max_bucket,
+            cap_stats=stats, cap_mode=cap_mode,
+        ).select("id_a", "id_b").distinct()
+        return {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_verify_pairs(
+                df, cand, "doc_id", "text", n=3, threshold=0.8
+            ).collect()
+        }
+
+    truth = verified(None)
+    assert len(truth) > 0
+    drop_stats: dict = {}
+    dropped = verified(20, "drop", drop_stats)
+    assert drop_stats["bucket_cap_hits"] > 0  # the cap DID engage
+    ref_stats: dict = {}
+    refined = verified(20, "refine", ref_stats)
+    assert ref_stats["refined_docs"] > 0
+    drop_recall = len(dropped & truth) / len(truth)
+    refine_recall = len(refined & truth) / len(truth)
+    assert refine_recall >= 0.95, (drop_recall, refine_recall)
+    assert refine_recall >= drop_recall
+    # no-breach case: refine is plan-equal to drop (zero extra candidates)
+    big_stats: dict = {}
+    same = verified(10**6, "refine", big_stats)
+    assert "refined_docs" not in big_stats
+    assert same == truth
+    with pytest.raises(ValueError, match="cap_mode must be"):
+        minhash_lsh_pairs(df, "doc_id", "text", 4, 2, cap_mode="split")

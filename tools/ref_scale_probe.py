@@ -1,0 +1,280 @@
+"""Reference-scale corpus receipt: 8,841,823 x 1536 — the reference's own
+bench shape (VERDICT r12 task 2).
+
+The reference benches 8,841,823 x 1536 real embeddings
+(go/benches_c.go:31,:87; BASELINE.md row 1) with `IVF2048_HNSW128,Flat` at
+nprobe=15, k=10, plus a k=1000 / nprobe=32 conformance run
+(go/cmd/create_trec/main.go:32).  Every receipt in SCALE.md so far tops out
+at 1M x 1536 (wide) or 16M x 64 (narrow); this probe measures the exact
+published configuration end-to-end, per storage tier:
+
+  raw IVF2048      — build, skew receipt (max_share), warm, knn np4/15/16,
+                     filtered p in {1, 50} at np16, exact (fullprobe)
+                     ground truth, recall@10, k=1000/np32 conformance timing
+  IVF2048,SQ8      — build, at-rest bytes (save), warm, knn np4/15/16,
+                     filtered p in {1, 50}, recall@10 vs the raw exact
+  IVF2048_HNSW128  — min_graph_rows=0 so per-cluster graphs ACTUALLY build
+                     (~4.3k rows/cluster at 8.8M/2048; the default
+                     threshold would silently degrade to plain IVF), knn
+                     np15 (the reference's operating point), recall@10,
+                     k=1000/np32 conformance timing
+
+Feasibility bookkeeping (128 GiB host, ~80 GB free disk):
+- The synth corpus is NOT persisted: 54 GB f32 would evict everything
+  else; the mog generator is pure codegen (hash-sin per element) and a
+  full recompute pass costs ~1-2 min — each tier's add() re-derives it.
+- Tiers run SEQUENTIALLY with destroy() between: peak resident index is
+  one tier (raw 54 GB spills politely under SPARK_DRIVER_MEMORY=96g).
+- raw save() is SKIPPED (54 GB parquet against 80 GB free disk; the
+  3.84x at-rest ratio is already pinned at 1M x 1536, SCALE.md r11);
+  the SQ8 save (13.6 GB) runs and records at-rest bytes.
+- Fit caps follow the wide1m precedent (train_points_per_centroid=32,
+  train_max_iter=10 — documented deviation; recall is judged against the
+  exact scan on the SAME corpus so a shallow fit shows up IN the numbers).
+- Arrow maxRecordsPerBatch=8192 (the dim-64 default 65536 would be
+  ~400 MB per in-flight batch at dim 1536).
+
+Usage: SPARK_DRIVER_MEMORY=96g python tools/ref_scale_probe.py \
+           [n] [dim] [nlist] [out_json] [tiers]
+tiers = comma list from {raw,sq8,graph} (default all three).
+Appends a receipt table to SCALE.md when all requested tiers complete.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+N_REF = 8_841_823  # go/benches_c.go:31
+
+
+def du_bytes(path: str) -> int:
+    return int(
+        subprocess.run(
+            ["du", "-sb", path], capture_output=True, text=True, check=True
+        ).stdout.split()[0]
+    )
+
+
+def loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else N_REF
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 1536
+    nlist = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
+    out_path = (
+        sys.argv[4] if len(sys.argv) > 4 else "tools/out_r13/ref_scale.json"
+    )
+    tiers = (
+        sys.argv[5].split(",") if len(sys.argv) > 5 else ["raw", "sq8", "graph"]
+    )
+
+    from duckdb_faiss_ext_spark import FaissSparkEngine
+    from duckdb_faiss_ext_spark.session import get_spark
+    from tools._synth import synth_clusterable
+
+    spark = get_spark(
+        "ref-scale-probe",
+        extra_conf={
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = FaissSparkEngine(spark)
+    fit_params = {"train_points_per_centroid": "32", "train_max_iter": "10"}
+
+    out: dict = {
+        "n": n, "dim": dim, "nlist": nlist, "params": fit_params,
+        "tiers": {}, "load_start": loadavg(),
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+
+    def flush():
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
+
+    def corpus():  # unpersisted by design (module docstring)
+        return synth_clusterable(spark, n, dim, n_clusters=1024)
+
+    queries = synth_clusterable(
+        spark, 256, dim, n_clusters=1024, lo=n, id_col="qid"
+    ).cache()
+    queries.count()
+    q_conf = synth_clusterable(
+        spark, 48, dim, n_clusters=1024, lo=n + 256, id_col="qid"
+    ).cache()
+    q_conf.count()
+
+    exact: set = set()
+
+    def searches(name: str, r: dict, conformance: bool) -> dict:
+        hits = {}
+        for np_ in (4, 15, 16):
+            run = lambda: eng.search_flat(  # noqa: E731
+                name, 10, queries, params={"nprobe": np_}
+            )
+            t0 = time.perf_counter()
+            run().count()
+            r[f"knn_np{np_}_sec"] = round(time.perf_counter() - t0, 2)
+            hits[np_] = {
+                (int(x["qid"]), int(x["label"])) for x in run().collect()
+            }
+        for p in (1, 50):
+            allowed = corpus().filter(F.col("label") % 100 < p).select("label")
+            t0 = time.perf_counter()
+            eng.search_flat(
+                name, 10, queries, params={"nprobe": 16}, allowed_df=allowed
+            ).count()
+            r[f"filtered_p{p}_np16_sec"] = round(time.perf_counter() - t0, 2)
+        if conformance:
+            # the reference's conformance shape: k=1000, nprobe=32
+            # (go/cmd/create_trec/main.go:32); 48 queries keep the result
+            # set (48k rows) comparable to its batch size
+            t0 = time.perf_counter()
+            eng.search_flat(
+                name, 1000, q_conf, params={"nprobe": 32}
+            ).count()
+            r["conformance_k1000_np32_sec"] = round(
+                time.perf_counter() - t0, 2
+            )
+        return hits
+
+    # ------------------------------------------------------------------ raw
+    if "raw" in tiers:
+        r: dict = {}
+        t0 = time.perf_counter()
+        eng.create(
+            "ref_raw", dim, f"IDMap,IVF{nlist}", metric_type="L2",
+            params=fit_params,
+        )
+        eng.add("ref_raw", corpus())
+        r["build_sec"] = round(time.perf_counter() - t0, 1)
+        r["build_load_1m"] = loadavg()
+        r["nlist_live"] = len(eng.registry.get("ref_raw").centroids)
+        # corpus-skew receipt (the r10 rebalance contract: max_share <= 4)
+        r["corpus_max_share"] = eng.rebalance("ref_raw")["max_share"]
+        r["warm_sec"] = round(eng.warm("ref_raw"), 1)
+        hits = searches("ref_raw", r, conformance=True)
+        t0 = time.perf_counter()
+        exact = {
+            (int(x["qid"]), int(x["label"]))
+            for x in eng.search_flat(
+                "ref_raw", 10, queries, params={"nprobe": r["nlist_live"]}
+            ).collect()
+        }
+        r["exact_fullprobe_sec"] = round(time.perf_counter() - t0, 2)
+        out["exact_hits"] = sorted(exact)  # ground truth for later tiers
+        for np_ in (4, 15, 16):
+            r[f"recall_np{np_}"] = round(len(hits[np_] & exact) / len(exact), 4)
+        r["load_end"] = loadavg()
+        out["tiers"]["raw"] = r
+        flush()
+        print(json.dumps({"raw": r}), flush=True)
+        eng.destroy("ref_raw")
+    elif os.path.exists(out_path):  # resuming: reload the ground truth
+        with open(out_path) as f:
+            prev = json.load(f)
+        out["tiers"] = prev.get("tiers", {})
+        out["exact_hits"] = prev.get("exact_hits", [])
+        exact = {tuple(x) for x in out["exact_hits"]}
+
+    # ------------------------------------------------------------------ sq8
+    if "sq8" in tiers:
+        r = {}
+        t0 = time.perf_counter()
+        eng.create(
+            "ref_sq8", dim, f"IDMap,IVF{nlist},SQ8", metric_type="L2",
+            params=fit_params,
+        )
+        eng.add("ref_sq8", corpus())
+        r["build_sec"] = round(time.perf_counter() - t0, 1)
+        r["build_load_1m"] = loadavg()
+        with tempfile.TemporaryDirectory(prefix="ref_sq8_") as td:
+            p = os.path.join(td, "idx")
+            t0 = time.perf_counter()
+            eng.save("ref_sq8", p)
+            r["save_sec"] = round(time.perf_counter() - t0, 1)
+            r["at_rest_bytes"] = du_bytes(p)
+        r["warm_sec"] = round(eng.warm("ref_sq8"), 1)
+        hits = searches("ref_sq8", r, conformance=False)
+        if exact:
+            for np_ in (4, 15, 16):
+                r[f"recall_np{np_}"] = round(
+                    len(hits[np_] & exact) / len(exact), 4
+                )
+        r["load_end"] = loadavg()
+        out["tiers"]["sq8"] = r
+        flush()
+        print(json.dumps({"sq8": r}), flush=True)
+        eng.destroy("ref_sq8")
+
+    # ---------------------------------------------------------------- graph
+    if "graph" in tiers:
+        r = {}
+        t0 = time.perf_counter()
+        eng.create(
+            "ref_graph", dim, f"IDMap,IVF{nlist}_HNSW128", metric_type="L2",
+            params={**fit_params, "min_graph_rows": "0"},
+        )
+        eng.add("ref_graph", corpus())
+        r["build_sec"] = round(time.perf_counter() - t0, 1)
+        r["build_load_1m"] = loadavg()
+        r["warm_sec"] = round(eng.warm("ref_graph"), 1)
+        # the reference's operating point: nprobe=15, k=10
+        run = lambda: eng.search_flat(  # noqa: E731
+            "ref_graph", 10, queries, params={"nprobe": 15}
+        )
+        t0 = time.perf_counter()
+        run().count()
+        r["knn_np15_sec"] = round(time.perf_counter() - t0, 2)
+        if exact:
+            g_hits = {
+                (int(x["qid"]), int(x["label"])) for x in run().collect()
+            }
+            r["recall_np15"] = round(len(g_hits & exact) / len(exact), 4)
+        t0 = time.perf_counter()
+        eng.search_flat(
+            "ref_graph", 1000, q_conf, params={"nprobe": 32}
+        ).count()
+        r["conformance_k1000_np32_sec"] = round(time.perf_counter() - t0, 2)
+        r["load_end"] = loadavg()
+        out["tiers"]["graph"] = r
+        flush()
+        print(json.dumps({"graph": r}), flush=True)
+        eng.destroy("ref_graph")
+
+    out["load_end"] = loadavg()
+    out.pop("exact_hits", None)  # 2560 tuples — keep the JSON readable
+    flush()
+
+    lines = [
+        f"\n## r13 reference-shape receipt: {n:,} x {dim}, IVF{nlist} "
+        "(go/benches_c.go:31 corpus; raw / SQ8 / per-cluster-graph tiers)\n",
+        "| metric | " + " | ".join(out["tiers"]) + " |",
+        "|---|" + "---|" * len(out["tiers"]),
+    ]
+    keys = sorted({k for t in out["tiers"].values() for k in t})
+    for k in keys:
+        row = [str(out["tiers"][t].get(k, "—")) for t in out["tiers"]]
+        lines.append(f"| {k} | " + " | ".join(row) + " |")
+    receipt = "\n".join(lines) + "\n"
+    print(receipt)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "SCALE.md"), "a") as f:
+        f.write(receipt)
+
+
+if __name__ == "__main__":
+    main()
