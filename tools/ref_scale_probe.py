@@ -13,11 +13,20 @@ published configuration end-to-end, per storage tier:
                      ground truth, recall@10, k=1000/np32 conformance timing
   IVF2048,SQ8      — build, at-rest bytes (save), warm, knn np4/15/16,
                      filtered p in {1, 50}, recall@10 vs the raw exact
-  IVF2048_HNSW128  — min_graph_rows=0 so per-cluster graphs ACTUALLY build
+  IVF2048_HNSW32   — min_graph_rows=0 so per-cluster graphs ACTUALLY build
                      (~4.3k rows/cluster at 8.8M/2048; the default
                      threshold would silently degrade to plain IVF), knn
                      np15 (the reference's operating point), recall@10,
-                     k=1000/np32 conformance timing
+                     k=1000/np32 conformance timing.
+                     Documented deviation from the reference's HNSW128
+                     string: in FAISS that 128 is the COARSE QUANTIZER's
+                     HNSW degree (a graph over the 2048 centroids); this
+                     engine's IVFn_HNSWm builds per-cluster NSW graphs of
+                     degree m over the CORPUS.  Degree-128 corpus graphs
+                     cost 92.5 s/cluster single-core at 4318 x 1536
+                     (measured; ~98 min for the stage) for no recall need
+                     at 4.3k rows/cluster; degree 32 (7.2 s/cluster) is
+                     the engine's operating point at this shape.
 
 Feasibility bookkeeping (128 GiB host, ~80 GB free disk):
 - The synth corpus is NOT persisted: 54 GB f32 would evict everything
@@ -225,7 +234,7 @@ def main() -> None:
         r = {}
         t0 = time.perf_counter()
         eng.create(
-            "ref_graph", dim, f"IDMap,IVF{nlist}_HNSW128", metric_type="L2",
+            "ref_graph", dim, f"IDMap,IVF{nlist}_HNSW32", metric_type="L2",
             params={**fit_params, "min_graph_rows": "0"},
         )
         eng.add("ref_graph", corpus())
