@@ -1358,6 +1358,28 @@ def main() -> None:
         }
         out["trimmed"] = "recall keys -> full file"
         line = json.dumps(out)
+    # GUARANTEED stage (r13: the gate line hit 2176 chars after the recall
+    # trim — vec1m-first + median keys + breach verdicts grew the line past
+    # the driver's ~1900-char capture cliff): shed the lowest-information
+    # keys (sub-second fixed-overhead legs, decompositions, guarded twins)
+    # until the line fits.  Everything stays in the full side file.
+    LOW_PRIORITY = [
+        "filtered_knn_p10", "filtered_knn_p90", "ivf_build_steady_sec",
+        "q05_agg_multi", "q07_window_topk", "q03_equi_join",
+        "hnsw_filtered_p1", "ivf_knn_nprobe16", "control_q05_sec",
+        "ingest_unlabeled_rows_per_sec", "exact_knn_ip", "hnsw_knn_ef128",
+        "lsh_knn_4x8", "text_quality_lang", "knn_majority_vote",
+        "similarity_join_f64", "bulk_knn", "ivf_knn_nprobe4",
+        "wide1536_knn", "hnsw_build_sec", "batch_amortization",
+        "filtered_knn_p1", "filtered_knn_p50", "ingest_rows_per_sec",
+        "cur100k_contam_sec", "exact_knn_engine",
+    ]
+    for k in LOW_PRIORITY:
+        if len(line) <= 1500:
+            break
+        if out["queries"].pop(k, None) is not None:
+            out["trimmed"] = "recall + low-info keys -> full file"
+            line = json.dumps(out)
     print(line)
     if errors and not queries:
         sys.exit(1)
