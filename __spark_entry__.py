@@ -235,9 +235,16 @@ def corpus_mix_exact(spark, sf):
 
     d = _t(spark, sf, "documents")
     targets = {"src0": 9, "src1": 17, "src2": 40, "src3": 0, "src5": 5}
-    return sample_corpus_mix(d, targets, seed=11, exact=True).select(
-        "doc_id", "source"
-    )
+    sampled = sample_corpus_mix(d, targets, seed=11, exact=True)
+    out = sampled.select("doc_id", "source")
+    # ADVICE r13: exact=True returns a persisted sample; a harness that
+    # never unpersists accumulates cached blocks across calls in a
+    # long-lived session.  The sample is budget-bounded (sum(k) = 71 rows
+    # here), so collect it off the hot cache, release the cache, and hand
+    # the driver a local DataFrame with the identical schema.
+    rows = out.collect()
+    sampled.unpersist(blocking=False)
+    return spark.createDataFrame(rows, schema=out.schema)
 
 
 def q19_events_agg(spark, sf):

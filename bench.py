@@ -5,12 +5,19 @@ stdout tail capture — VERDICT r10: the r10 line outgrew it and the round
 recorded `parsed: null`):
   {"metric": "...", "value": <total-sec>, "unit": "sec",
    "queries": {...timing/throughput/recall keys...}, "sf": <sf>,
-   "full": "tools/bench_full_latest.json"}
+   "full": "tools/bench_runs/full_<utcstamp>_<pid>.json"}
 The `full` side file holds EVERYTHING, including diagnostics (ctrl
 ratios, rerun markers, heap/load attribution, dedup stage splits,
 per-floor booleans; stdout summarizes those to one `floors_ok`).
+r14 durability (VERDICT r13 What's-wrong #2): the full file is written
+to a UNIQUE per-run path under tools/bench_runs/ (plus a compat copy at
+tools/bench_full_latest.json); SPARK_GRAFT_BENCH_FULL_PATH overrides the
+destination (the pytest smoke points it at a tempdir so it can never
+clobber an official run's artifact).
 SPARK_GRAFT_BENCH_ONLY=<section> runs one self-contained section
-standalone (quiet-host re-pinning; `vec1m` is the intended value).
+standalone (quiet-host re-pinning; `vec1m` runs the split
+vec1m_build+vec1m_search pair — the r13 pin protocol; `vec1m_np16` is
+the focused 5-sample np16 receipt mode, VERDICT r13 task 4).
 
 Proxies mirrored from BASELINE.md (engine targets table):
 - exact_knn_ip / exact_knn_engine: Q16-style brute-force IP top-k
@@ -224,11 +231,21 @@ DECLARED_OVERRIDES = {
     # r13 (VERDICT r12 task 6): the ivfhnsw section now passes
     # min_graph_rows=0 so per-cluster graphs ACTUALLY build — the old pins
     # measured a plan-identical-to-IVF degenerate (the engine warned so
-    # every round).  Medians of three quiet standalone runs
-    # (tools/out_r13/ivfhnsw_pin{1,2,3}_full.json): build 3.709/3.953/3.990,
-    # knn_np8 0.803/0.938/1.016; recall_np8 0.833 in all three
-    # (deterministic layout, floor-guarded in the section).
-    "ivfhnsw_build_sec": 3.95,
+    # every round).
+    # r14 protocol split (VERDICT r13 What's-wrong #4 — the sq8 stale-pin
+    # lesson): the COLD-standalone protocol measures 3.709/3.953/3.990
+    # (tools/out_r13/ivfhnsw_pin{1,2,3}_full.json — first ivfhnsw build in
+    # the JVM, C2-cold NSW kernels); the IN-SUITE protocol runs after ~20
+    # warm sections and measures 1.43 (r13 official, judge-preserved) /
+    # 1.63 (r13 gate run).  This key is recorded in-suite, so its guard
+    # pins the in-suite value — a regression of what the suite actually
+    # measures now trips at 2 x 1.6, not 2 x 3.95 (5.5x headroom).  The
+    # cold-standalone 3.95 stays documented here as the pin-run protocol's
+    # expected reading.
+    "ivfhnsw_build_sec": 1.6,
+    # knn_np8: same value both protocols (search kernels JIT-warm by the
+    # time either protocol samples them; pin runs quiet medians
+    # 0.803/0.938/1.016)
     "ivfhnsw_knn_np8": 0.94,
 }
 
@@ -303,13 +320,16 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     section_fallbacks: dict[str, int] = {}
 
-    def section(name):
+    def section(name, also=()):
         """Run one bench section; on failure record the error and move on.
         Codegen-fallback events are snapshotted around each section so a
-        fallback is attributed to the section whose stage overflowed."""
+        fallback is attributed to the section whose stage overflowed.
+        ``also`` lists extra SPARK_GRAFT_BENCH_ONLY values that select this
+        section (r14: `vec1m` selects both halves of the split vec1m
+        build|search pair, preserving the r13 standalone pin protocol)."""
 
         def deco(fn):
-            if only and name != only:
+            if only and name != only and only not in also:
                 return
             ev0 = scan.events()
             try:
@@ -491,49 +511,38 @@ def main() -> None:
         "vec1m_sq8_recall": 0.92,
     }
 
-    @section("vec1m")
-    def _vec1m():
-        sys.path.insert(
-            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-        )
-        from _synth import synth_clusterable
+    def timed_build(name, fn):
+        """Build keys can't be cheaply re-run like search keys — time
+        once, and on a >2x-of-baseline breach attach the ctrl ratio AND
+        the load trail + an ambient verdict (r12: the breach must be
+        adjudicable from the artifact even without a rerun)."""
+        t0 = time.perf_counter()
+        fn()
+        t = time.perf_counter() - t0
+        queries[name] = round(t, 4)
+        b = r1.get(name)
+        if b and t > 2.0 * b:
+            load0 = host_load()
+            ctrl_now = ctrl_time()
+            ratio = round(ctrl_now / ctrl0, 2)
+            abs_ratio = round(ctrl_now / CTRL_QUIET, 2)
+            queries[f"{name}_load_at_key"] = round(load0, 2)
+            queries[f"{name}_ctrl_ratio"] = ratio
+            queries[f"{name}_ctrl_abs"] = abs_ratio
+            queries[f"{name}_ambient_breach"] = bool(
+                load0 >= 10.0 or ratio > 1.5 or abs_ratio > 1.5
+                or ctrl0 / CTRL_QUIET > 1.5
+            )
 
-        # host-state receipt for the whole section (VERDICT r10 task 1: the
-        # r10 vec1m pins were min-of-contended-runs and 4 keys breached
-        # their own guards on round one; every vec1m number now carries the
-        # ctrl ratio needed to adjudicate ambient vs real)
-        queries["vec1m_ctrl_ratio"] = round(ctrl_time() / ctrl0, 2)
+    V1M_N, V1M_DIM, V1M_NLIST = 1_000_000, 64, 2048
 
-        def timed_build(name, fn):
-            """Build keys can't be cheaply re-run like search keys — time
-            once, and on a >2x-of-baseline breach attach the ctrl ratio AND
-            the load trail + an ambient verdict (r12: the breach must be
-            adjudicable from the artifact even without a rerun)."""
-            t0 = time.perf_counter()
-            fn()
-            t = time.perf_counter() - t0
-            queries[name] = round(t, 4)
-            b = r1.get(name)
-            if b and t > 2.0 * b:
-                load0 = host_load()
-                ctrl_now = ctrl_time()
-                ratio = round(ctrl_now / ctrl0, 2)
-                abs_ratio = round(ctrl_now / CTRL_QUIET, 2)
-                queries[f"{name}_load_at_key"] = round(load0, 2)
-                queries[f"{name}_ctrl_ratio"] = ratio
-                queries[f"{name}_ctrl_abs"] = abs_ratio
-                queries[f"{name}_ambient_breach"] = bool(
-                    load0 >= 10.0 or ratio > 1.5 or abs_ratio > 1.5
-                    or ctrl0 / CTRL_QUIET > 1.5
-                )
-
-        n1m, vdim, vnlist = 1_000_000, 64, 2048
-        # minimal JIT warmup (VERDICT r12 task 3): a 32k-row replica of
-        # every kernel the timed legs exercise — running the section first
-        # must not fold first-use C2 compilation into the keys (cur100k
-        # learned the same lesson in r11: pre-warmup pins measured cold
-        # compilation, 18.9 s vs 6.3 s steady).  ~10 s, untimed.
-        wn = 32_768
+    def _v1m_jit_warmup(synth_clusterable):
+        """Minimal JIT warmup (VERDICT r12 task 3): a 32k-row replica of
+        every kernel the timed legs exercise — running the section first
+        must not fold first-use C2 compilation into the keys (cur100k
+        learned the same lesson in r11: pre-warmup pins measured cold
+        compilation, 18.9 s vs 6.3 s steady).  ~10 s, untimed."""
+        wn, vdim = 32_768, V1M_DIM
         wcorp = synth_clusterable(spark, wn, vdim, n_clusters=64).persist()
         wcorp.count()
         wq = synth_clusterable(
@@ -564,23 +573,51 @@ def main() -> None:
         wcorp.unpersist()
         wq.unpersist()
 
-        corp = synth_clusterable(spark, n1m, vdim, n_clusters=1024).persist()
+    def _v1m_corpus(synth_clusterable):
+        corp = synth_clusterable(
+            spark, V1M_N, V1M_DIM, n_clusters=1024
+        ).persist()
         corp.count()
-        q256 = (
-            synth_clusterable(
-                spark, 256, vdim, n_clusters=1024, lo=n1m, id_col="qid"
-            ).cache()
-        )
+        q256 = synth_clusterable(
+            spark, 256, V1M_DIM, n_clusters=1024, lo=V1M_N, id_col="qid"
+        ).cache()
         q256.count()
+        state["v1m_corp"], state["v1m_q256"] = corp, q256
+        return corp, q256
+
+    # --- vec1m BUILD leg (r14 split, VERDICT r13 task 6: the unified
+    # section ran 4-6 min — the same cadence as this host's neighbor
+    # storms, so every r13 run was storm-hit mid-section.  The build leg
+    # and search leg are now independently startable; the full suite runs
+    # them back-to-back with a bounded quiet-gate between, so the sub-3-min
+    # search leg can launch in a fresh quiet window.)
+    # SPARK_GRAFT_BENCH_ONLY=vec1m runs BOTH legs (the r13 pin protocol);
+    # =vec1m_build / =vec1m_search run one leg (search self-builds untimed).
+    @section("vec1m_build", also=("vec1m",))
+    def _vec1m_build():
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from _synth import synth_clusterable
+
+        # host-state receipt for the whole section (VERDICT r10 task 1: the
+        # r10 vec1m pins were min-of-contended-runs and 4 keys breached
+        # their own guards on round one; every vec1m number now carries the
+        # ctrl ratio needed to adjudicate ambient vs real)
+        queries["vec1m_ctrl_ratio"] = round(ctrl_time() / ctrl0, 2)
+        _v1m_jit_warmup(synth_clusterable)
+        corp, _ = _v1m_corpus(synth_clusterable)
 
         def _build_flat():
-            eng.create("bench_v1m_flat", vdim, "IDMap,Flat", metric_type="L2")
+            eng.create("bench_v1m_flat", V1M_DIM, "IDMap,Flat", metric_type="L2")
             eng.add("bench_v1m_flat", corp)
 
         timed_build("vec1m_flat_build_sec", _build_flat)
 
         def _build_ivf():
-            eng.create("bench_v1m", vdim, f"IDMap,IVF{vnlist}", metric_type="L2")
+            eng.create(
+                "bench_v1m", V1M_DIM, f"IDMap,IVF{V1M_NLIST}", metric_type="L2"
+            )
             eng.add("bench_v1m", corp)
 
         timed_build("vec1m_build_sec", _build_ivf)
@@ -593,6 +630,64 @@ def main() -> None:
             "vec1m_warm_sec",
             lambda: (eng.warm("bench_v1m"), eng.warm("bench_v1m_flat")),
         )
+
+        # SQ8 storage tier build (same corpus; its search key lives in the
+        # search leg with the other steady-state kernels)
+        def _build_sq():
+            eng.create(
+                "bench_v1m_sq", V1M_DIM, "IDMap,Flat,SQ8", metric_type="L2"
+            )
+            eng.add("bench_v1m_sq", corp)
+
+        timed_build("vec1m_sq8_build_sec", _build_sq)
+        eng.warm("bench_v1m_sq")
+        state["v1m_ready"] = True
+
+    def _v1m_ensure(untimed_warm: bool = True):
+        """Self-build for a standalone search leg (BENCH_ONLY=vec1m_search /
+        vec1m_np16): same corpus, same JIT warmup, builds untimed."""
+        if state.get("v1m_ready"):
+            return state["v1m_corp"], state["v1m_q256"]
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from _synth import synth_clusterable
+
+        _v1m_jit_warmup(synth_clusterable)
+        corp, q256 = _v1m_corpus(synth_clusterable)
+        eng.create("bench_v1m_flat", V1M_DIM, "IDMap,Flat", metric_type="L2")
+        eng.add("bench_v1m_flat", corp)
+        eng.create(
+            "bench_v1m", V1M_DIM, f"IDMap,IVF{V1M_NLIST}", metric_type="L2"
+        )
+        eng.add("bench_v1m", corp)
+        eng.create("bench_v1m_sq", V1M_DIM, "IDMap,Flat,SQ8", metric_type="L2")
+        eng.add("bench_v1m_sq", corp)
+        if untimed_warm:
+            for nm in ("bench_v1m", "bench_v1m_flat", "bench_v1m_sq"):
+                eng.warm(nm)
+        state["v1m_ready"] = True
+        return corp, q256
+
+    def _v1m_teardown():
+        for nm in ("bench_v1m", "bench_v1m_flat", "bench_v1m_sq"):
+            eng.destroy(nm)
+        state["v1m_corp"].unpersist()
+        state["v1m_q256"].unpersist()
+        state["v1m_ready"] = False
+
+    # --- vec1m SEARCH leg --------------------------------------------------
+    @section("vec1m_search", also=("vec1m",))
+    def _vec1m_search():
+        corp, q256 = _v1m_ensure()
+        # quiet-gate (r14 task 6): the search leg is < 3 min — shorter than
+        # the host's ~4-6 min storm cadence — so launching it in a fresh
+        # quiet window keeps its keys out of the storm the build leg may
+        # have attracted.  Free on a quiet host (load < 10 returns at once).
+        waited, load_g = quiet_wait(max_sec=180.0, target=10.0)
+        queries["vec1m_search_gate_wait_sec"] = round(waited, 1)
+        queries["vec1m_search_load_at_key"] = round(load_g, 2)
+        queries["vec1m_search_ctrl_ratio"] = round(ctrl_time() / ctrl0, 2)
         # search keys: median-of-3 in-artifact (VERDICT r12 task 1) — these
         # are the legs whose honest same-code spread crossed their own 2x
         # guards (bulk 15.1-88.8, sq8_knn 3.8-28.2 across four r12
@@ -646,8 +741,11 @@ def main() -> None:
             )
         # bulk grouped equi-join path (the plan corpus-scale query sides
         # auto-route onto; the path r9 made 2.6x faster had NO bench guard)
+        from _synth import synth_clusterable
+
         qbulk = synth_clusterable(
-            spark, 20_000, vdim, n_clusters=1024, lo=n1m + 256, id_col="qid"
+            spark, 20_000, V1M_DIM, n_clusters=1024, lo=V1M_N + 256,
+            id_col="qid",
         )
         bench_entry(
             "vec1m_bulk_np16",
@@ -656,15 +754,8 @@ def main() -> None:
             ).count(),
             samples=3,
         )
-        # SQ8 storage tier: same corpus, same exact-scan plan through the
-        # decode-free L2 expansion kernel (r12) — the sq8-vs-raw delta is
-        # the A/B vs vec1m_knn_exact
-        def _build_sq():
-            eng.create("bench_v1m_sq", vdim, "IDMap,Flat,SQ8", metric_type="L2")
-            eng.add("bench_v1m_sq", corp)
-
-        timed_build("vec1m_sq8_build_sec", _build_sq)
-        eng.warm("bench_v1m_sq")
+        # SQ8 decode-free L2 kernel (r12) — the sq8-vs-raw delta is the A/B
+        # vs vec1m_knn_exact
         bench_entry(
             "vec1m_sq8_knn",
             lambda: eng.search_flat("bench_v1m_sq", 10, q256).count(),
@@ -679,10 +770,38 @@ def main() -> None:
         )
         for key, floor in V1M_FLOORS.items():
             queries[f"{key}_floor_ok"] = bool(queries.get(key, 0.0) >= floor)
-        for nm in ("bench_v1m", "bench_v1m_flat", "bench_v1m_sq"):
-            eng.destroy(nm)
-        corp.unpersist()
-        q256.unpersist()
+        _v1m_teardown()
+
+    # --- vec1m np16 FOCUSED receipt mode (r14, VERDICT r13 task 4) ---------
+    # SPARK_GRAFT_BENCH_ONLY=vec1m_np16: self-build untimed, then a
+    # sub-3-min sampling leg — quiet-gate, 5 consecutive np16 samples with
+    # a per-sample load trail.  vec1m_knn_np16 has breached the official
+    # artifact two rounds running while sibling keys sat at pin; its grade
+    # needs >= 10 dedicated quiet samples (3 runs of this mode), not one
+    # lucky pin-run draw.  Never runs in the full suite.
+    @section("vec1m_np16")
+    def _vec1m_np16():
+        corp, q256 = _v1m_ensure()
+        waited, load_g = quiet_wait(max_sec=300.0, target=5.0)
+        queries["np16_gate_wait_sec"] = round(waited, 1)
+        queries["np16_gate_load"] = round(load_g, 2)
+        queries["np16_ctrl_ratio"] = round(ctrl_time() / ctrl0, 2)
+
+        def run():
+            return eng.search_flat(
+                "bench_v1m", 10, q256, params={"nprobe": 16}
+            ).count()
+
+        run()  # leg warmup (same as bench_entry warmup=True)
+        trail = []
+        for _ in range(5):
+            t = round(timed(run), 4)
+            trail.append({"sec": t, "load_1m": round(host_load(), 2)})
+        sample_trails["vec1m_knn_np16_focus"] = trail
+        queries["vec1m_knn_np16"] = _median([s["sec"] for s in trail])
+        queries["np16_min"] = min(s["sec"] for s in trail)
+        queries["np16_ctrl_after"] = round(ctrl_time() / ctrl0, 2)
+        _v1m_teardown()
 
     # --- relational headliners (count() forces full execution) -------------
     @section("relational")
@@ -1273,7 +1392,28 @@ def main() -> None:
     # attribution, per-stage splits of an already-counted pipeline, and
     # per-floor booleans — summarized to one `floors_ok`) to the file.
     here = os.path.dirname(os.path.abspath(__file__))
-    full_path = os.path.join(here, "tools", "bench_full_latest.json")
+    # Durable full artifact (VERDICT r13 What's-wrong #2: the official r13
+    # full file lived only at tools/bench_full_latest.json and the next
+    # pytest bench-smoke clobbered it).  Resolution order:
+    #   1. SPARK_GRAFT_BENCH_FULL_PATH — callers that must not clobber the
+    #      official artifact (the pytest smoke) point this at a tempdir.
+    #   2. default: a unique per-run file tools/bench_runs/full_<utc>_<pid>
+    #      .json (never overwritten; the "full" pointer in the headline line
+    #      names it) PLUS a compat copy at tools/bench_full_latest.json.
+    full_env = os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH")
+    latest_path = None
+    if full_env:
+        full_path = full_env
+    else:
+        stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+        run_dir = os.path.join(here, "tools", "bench_runs")
+        try:
+            os.makedirs(run_dir, exist_ok=True)
+        except OSError:
+            run_dir = os.path.join(here, "tools")
+        full_path = os.path.join(
+            run_dir, "full_%s_%d.json" % (stamp, os.getpid()))
+        latest_path = os.path.join(here, "tools", "bench_full_latest.json")
     full_out = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -1298,6 +1438,12 @@ def main() -> None:
             json.dump(full_out, f, indent=1)
     except OSError:
         full_path = None
+    if latest_path and full_path:
+        try:  # best-effort compat copy; the unique file is authoritative
+            with open(latest_path, "w") as f:
+                json.dump(full_out, f, indent=1)
+        except OSError:
+            pass
 
     def is_side(k: str) -> bool:
         # _ambient_breach verdicts + codegen_fallbacks stay IN-LINE: they

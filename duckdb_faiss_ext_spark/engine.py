@@ -383,8 +383,19 @@ class FaissSparkEngine:
                 vecs = combined
                 rebuild = True
                 transformed = True
-            if idx.spec.kind == "ivf" and idx.trained:
-                vecs = self._assign_clusters(idx, vecs)
+            # r14 shuffle-bytes fix (VERDICT r13 task 2c — the 8.8M x 1536
+            # raw add ENOSPC'd on a 54 GB f32 range shuffle): cluster
+            # ASSIGNMENT (a narrow pandas-UDF pass) is split from the
+            # cluster LAYOUT (the repartitionByRange exchange), and for the
+            # PQ/SQ8 storage tiers the layout shuffle runs AFTER the encode
+            # — the exchange moves m-byte / int8 codes (32x / 4x fewer
+            # bytes), not raw float32.  At 100 TB this is the difference
+            # between shuffling 100 TB and shuffling 25 TB per index build.
+            # Graph builds still lay out first (per-cluster NSW segments
+            # need co-located clusters to build over).
+            needs_layout = idx.spec.kind == "ivf" and idx.trained
+            if needs_layout:
+                vecs = self._assign_only(idx, vecs)
                 transformed = True
             if idx.codebooks is not None:
                 # PQ factory component: store m-byte codes, not float32 vectors —
@@ -403,7 +414,11 @@ class FaissSparkEngine:
                     centroids=idx.centroids if keep else None,
                 )
                 transformed = True
+                if needs_layout:
+                    vecs = self._cluster_layout(vecs)
             elif idx.spec.hnsw_m > 0:
+                if needs_layout:
+                    vecs = self._cluster_layout(vecs)
                 vecs = self._build_graph_slice(idx, vecs)
                 transformed = True
             elif idx.sq_vdiff is not None:
@@ -419,6 +434,10 @@ class FaissSparkEngine:
                     vecs, idx.sq_vmin, idx.sq_vdiff, vec_col="vector"
                 )
                 transformed = True
+                if needs_layout:
+                    vecs = self._cluster_layout(vecs)
+            elif needs_layout:
+                vecs = self._cluster_layout(vecs)
             if idx.storage_path:
                 self._add_disk(idx, vecs, rebuild)
             elif cache_parent is not None and not transformed:
@@ -2172,10 +2191,16 @@ class FaissSparkEngine:
 
         return F.pandas_udf(assign, "int")
 
-    def _assign_clusters(self, idx: FaissIndex, vecs: DataFrame) -> DataFrame:
-        assigned = vecs.withColumn(
+    def _assign_only(self, idx: FaissIndex, vecs: DataFrame) -> DataFrame:
+        """Cluster assignment alone — a narrow pandas-UDF projection, no
+        exchange.  add() encodes PQ/SQ8 storage between this and
+        `_cluster_layout` so the range shuffle moves codes, not f32 (r14)."""
+        return vecs.withColumn(
             "cluster_id", self._cluster_assign_udf(idx)(F.col("vector"))
         )
+
+    @staticmethod
+    def _cluster_layout(assigned: DataFrame) -> DataFrame:
         # co-locate clusters with RANGE partitioning on (cluster_id, label):
         # cluster runs stay contiguous (so the nprobe pre-filter skips cheap,
         # and save()'s cluster-partitioned parquet prunes on load) while a
@@ -2186,6 +2211,9 @@ class FaissSparkEngine:
         # partition's single-threaded scan).
         n_parts = max(assigned.rdd.getNumPartitions(), 1)
         return assigned.repartitionByRange(n_parts, "cluster_id", "label")
+
+    def _assign_clusters(self, idx: FaissIndex, vecs: DataFrame) -> DataFrame:
+        return self._cluster_layout(self._assign_only(idx, vecs))
 
     # ---------------------------------------------------------------- search
 

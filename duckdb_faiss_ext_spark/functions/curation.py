@@ -1113,23 +1113,29 @@ def sample_corpus_mix(
         # budget), not the corpus; the caller may .unpersist() the returned
         # DataFrame once it has materialized downstream.
         out = out.persist()
-        got = {
-            r["src"]: r["n"]
-            for r in out.groupBy(F.col(source_col).alias("src"))
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        for s, k in counts.items():
-            expect = min(k, cur.get(s, 0))
-            if got.get(s, 0) != expect:
-                out.unpersist(blocking=False)  # don't leak cache on the error path
-                raise RuntimeError(
-                    f"sample_corpus_mix(exact=True): source {s!r} selected "
-                    f"{got.get(s, 0)} rows, expected {expect} — the draw "
-                    f"prefilter undershot its margin (corpus ids may be "
-                    f"adversarial to the md5 draw); rerun with "
-                    f"prefilter=None"
-                )
+        # ADVICE r13: unpersist on ANY failure inside the verification —
+        # a Spark job error in the collect (not just a count mismatch)
+        # must not leak cached sample blocks in a long-lived session
+        try:
+            got = {
+                r["src"]: r["n"]
+                for r in out.groupBy(F.col(source_col).alias("src"))
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            for s, k in counts.items():
+                expect = min(k, cur.get(s, 0))
+                if got.get(s, 0) != expect:
+                    raise RuntimeError(
+                        f"sample_corpus_mix(exact=True): source {s!r} selected "
+                        f"{got.get(s, 0)} rows, expected {expect} — the draw "
+                        f"prefilter undershot its margin (corpus ids may be "
+                        f"adversarial to the md5 draw); rerun with "
+                        f"prefilter=None"
+                    )
+        except BaseException:
+            out.unpersist(blocking=False)  # don't leak cache on the error path
+            raise
     return out
 
 

@@ -107,6 +107,7 @@ def _cap_buckets(
     if max_bucket is None and stats is None:
         return exploded
     agg = exploded.groupBy(*keys).count()
+    over_rows = None
     if stats is not None:
         cap = 2**62 if max_bucket is None else max_bucket
         agg = agg.persist()
@@ -116,16 +117,38 @@ def _cap_buckets(
                 F.sum(F.when(F.col("count") > cap, F.col("count"))).alias("dropped"),
                 F.count(F.when(F.col("count") > cap, F.lit(1))).alias("hits"),
             ).first()
+            hits = int(row["hits"] or 0)
+            # ADVICE r13: collect the (small) over-cap key set WHILE the
+            # histogram is persisted, so neither the <=cap filter below nor
+            # a refine caller ever re-aggregates the full exploded lineage.
+            # hits is bounded in practice (pathological buckets are few);
+            # the 65536 guard keeps a degenerate corpus from driver-OOMing —
+            # past it we fall back to the lazy semi-join plan, loudly.
+            if 0 < hits <= 65536 and max_bucket is not None:
+                over_rows = [
+                    tuple(r)
+                    for r in agg.filter(F.col("count") > cap)
+                    .select(*keys)
+                    .collect()
+                ]
+                stats["_over_keys"] = over_rows
         finally:
             agg.unpersist(blocking=False)
         stats["largest_bucket"] = int(row["mx"] or 0)
-        stats["bucket_cap_hits"] = int(row["hits"] or 0)
+        stats["bucket_cap_hits"] = hits
         stats["bucket_cap_dropped_rows"] = int(row["dropped"] or 0)
         stats["max_bucket"] = max_bucket
-        if max_bucket is None or stats["bucket_cap_hits"] == 0:
+        if max_bucket is None or hits == 0:
             return exploded  # no bucket over cap: the filter is a no-op
     if max_bucket is None:
         return exploded
+    if over_rows is not None:
+        # broadcast ANTI join against the collected over-cap keys: no second
+        # aggregation of the exploded lineage at execution time
+        over_df = F.broadcast(
+            exploded.sparkSession.createDataFrame(over_rows, schema=keys)
+        )
+        return exploded.join(over_df, keys, "left_anti")
     ok = agg.filter(F.col("count") <= max_bucket).select(*keys)
     return exploded.join(ok, keys, "left_semi")
 
@@ -224,6 +247,14 @@ def minhash_lsh_pairs(
       vs the uncapped run, at +16 s on a 6 s leg — and the wider grams
       additionally surface true near-dup pairs the base banding missed.
 
+    ``band`` semantics under refine (ADVICE r13): refined pairs carry
+    ``band + nbands * level`` (level 1 = first re-banding, ...), so
+    ``band // nbands`` is the refine level that produced the row and base
+    vs refined provenance stays distinguishable.  The same (id_a, id_b)
+    pair can appear at several levels with different band values — callers
+    wanting unique pairs must ``.select("id_a", "id_b").distinct()`` (the
+    canonical pipeline does, examples/dedup_pipeline.py).
+
     None (default) keeps every bucket — the oracle-parity setting."""
     assert num_hashes % band_size == 0
     if cap_mode not in ("drop", "refine"):
@@ -233,6 +264,7 @@ def minhash_lsh_pairs(
     df = _ensure_parallelism(df, id_col)
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
     nbands = num_hashes // band_size
+    refine_active = cap_mode == "refine" and max_bucket is not None
     band_structs = F.array(
         *[
             F.struct(
@@ -249,65 +281,97 @@ def minhash_lsh_pairs(
     ).select("_id", "b.band", "b.bkey")
     # refine mode needs the audit eagerly (to know WHICH buckets breached),
     # so it forces a stats pass even when the caller didn't ask for one
-    stats = cap_stats if cap_stats is not None else (
-        {} if cap_mode == "refine" and max_bucket is not None else None
-    )
-    exploded = _cap_buckets(exploded_raw, ["band", "bkey"], max_bucket, stats)
+    stats = cap_stats if cap_stats is not None else ({} if refine_active else None)
+    if refine_active:
+        # ADVICE r13: the audit job materializes the signature/explode
+        # lineage once; persisting it here lets the breach path (over-member
+        # semi-join, refined signature pass, refined_docs stat) reuse it
+        # instead of re-running the full corpus signature pass per job.
+        # Unpersisted before return — the returned lazy plan pays one
+        # recompute at final execution, the eager refine phase pays zero.
+        exploded_raw = exploded_raw.persist()
+    try:
+        exploded = _cap_buckets(exploded_raw, ["band", "bkey"], max_bucket, stats)
+        # private audit channel (collected over-cap keys), not a user stat
+        over_keys = stats.pop("_over_keys", None) if stats is not None else None
 
-    def bucket_pairs(ex: DataFrame) -> DataFrame:
-        a, b = ex.alias("a"), ex.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bkey") == F.col("b.bkey"))
-                & (F.col("a._id") < F.col("b._id")),
+        def bucket_pairs(ex: DataFrame) -> DataFrame:
+            a, b = ex.alias("a"), ex.alias("b")
+            return (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bkey") == F.col("b.bkey"))
+                    & (F.col("a._id") < F.col("b._id")),
+                )
+                .select(
+                    F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.col("a.band").alias("band"),
+                )
+                .distinct()
             )
-            .select(
-                F.col("a._id").alias("id_a"),
-                F.col("b._id").alias("id_b"),
-                F.col("a.band").alias("band"),
-            )
-            .distinct()
-        )
 
-    pairs = bucket_pairs(exploded)
-    if (
-        cap_mode == "refine"
-        and max_bucket is not None
-        and stats["bucket_cap_hits"] > 0
-    ):
-        over = (
-            exploded_raw.groupBy("band", "bkey")
-            .count()
-            .filter(F.col("count") > max_bucket)
-            .select("band", "bkey")
-        )
-        over_ids = (
-            exploded_raw.join(over, ["band", "bkey"], "left_semi")
-            .select(F.col("_id").alias(id_col))
-            .distinct()
-        )
-        over_docs = df.join(over_ids, id_col, "left_semi")
-        sub_stats: dict = {}
-        refined = minhash_lsh_pairs(
-            over_docs, id_col, text_col, num_hashes, band_size,
-            shingle_n + 2, max_bucket, cap_stats=sub_stats,
-            cap_mode="refine" if refine_depth > 1 else "drop",
-            refine_depth=refine_depth - 1,
-        )
-        if cap_stats is not None:
-            cap_stats["refined_docs"] = over_docs.count()
-            # residual = what the DEEPEST level finally dropped (a deeper
-            # refine reports its own refined_*; a leaf reports its cap)
-            cap_stats["refined_bucket_cap_hits"] = sub_stats.get(
-                "refined_bucket_cap_hits", sub_stats.get("bucket_cap_hits")
+        pairs = bucket_pairs(exploded)
+        if refine_active and stats["bucket_cap_hits"] > 0:
+            if over_keys is not None:
+                # over-cap keys were collected during the audit's persisted
+                # window (ADVICE r13) — a broadcast join, not a second
+                # full-corpus histogram
+                over = F.broadcast(
+                    df.sparkSession.createDataFrame(
+                        over_keys, schema=["band", "bkey"]
+                    )
+                )
+            else:  # >65536 breached buckets: lazy fallback plan
+                over = (
+                    exploded_raw.groupBy("band", "bkey")
+                    .count()
+                    .filter(F.col("count") > max_bucket)
+                    .select("band", "bkey")
+                )
+            over_ids = (
+                exploded_raw.join(over, ["band", "bkey"], "left_semi")
+                .select(F.col("_id").alias(id_col))
+                .distinct()
             )
-            cap_stats["refined_dropped_rows"] = sub_stats.get(
-                "refined_dropped_rows",
-                sub_stats.get("bucket_cap_dropped_rows"),
+            over_docs = df.join(over_ids, id_col, "left_semi").persist()
+            try:
+                # one eager count: the refined_docs stat AND the cache
+                # materialization the recursive signature pass reuses
+                n_over = over_docs.count()
+                sub_stats: dict = {}
+                refined = minhash_lsh_pairs(
+                    over_docs, id_col, text_col, num_hashes, band_size,
+                    shingle_n + 2, max_bucket, cap_stats=sub_stats,
+                    cap_mode="refine" if refine_depth > 1 else "drop",
+                    refine_depth=refine_depth - 1,
+                )
+            finally:
+                over_docs.unpersist(blocking=False)
+            # band provenance tag (ADVICE r13): refined pairs get band +=
+            # nbands per refine level, so band // nbands == refine level and
+            # base vs refined rows are distinguishable.  The same (id_a,
+            # id_b) can surface at several levels — callers wanting unique
+            # pairs must distinct on (id_a, id_b); see docstring.
+            refined = refined.withColumn(
+                "band", (F.col("band") + F.lit(nbands)).cast("int")
             )
-        pairs = pairs.unionByName(refined).distinct()
+            if cap_stats is not None:
+                cap_stats["refined_docs"] = n_over
+                # residual = what the DEEPEST level finally dropped (a deeper
+                # refine reports its own refined_*; a leaf reports its cap)
+                cap_stats["refined_bucket_cap_hits"] = sub_stats.get(
+                    "refined_bucket_cap_hits", sub_stats.get("bucket_cap_hits")
+                )
+                cap_stats["refined_dropped_rows"] = sub_stats.get(
+                    "refined_dropped_rows",
+                    sub_stats.get("bucket_cap_dropped_rows"),
+                )
+            pairs = pairs.unionByName(refined).distinct()
+    finally:
+        if refine_active:
+            exploded_raw.unpersist(blocking=False)
     return pairs
 
 
@@ -774,6 +838,8 @@ def cosine_lsh_pairs(
         "_id", "b.band", "b.bkey"
     )
     e = _cap_buckets(e, ["band", "bkey"], max_bucket, cap_stats)
+    if cap_stats is not None:  # private audit channel, not a user-facing stat
+        cap_stats.pop("_over_keys", None)
     a, b = e.alias("a"), e.alias("b")
     cand_ids = (
         a.join(

@@ -73,6 +73,27 @@ def du_bytes(path: str) -> int:
     )
 
 
+def disk_free_gb(path: str = "/root") -> float:
+    st = os.statvfs(path)
+    return st.f_bavail * st.f_frsize / 1e9
+
+
+# Per-tier working-set disk estimate at n x dim f32 (VERDICT r13 task 2b:
+# run 2 died ENOSPC during the raw add — 54 GB persisted corpus + cluster
+# shuffle vs ~80 GB free.  The guard records an honest skip instead of a
+# dead run).  raw/graph persist the full f32 corpus in the index cache
+# (spilled blocks land on disk under a <= 56g heap) plus roughly one
+# corpus of shuffle/sort spill during assign; sq8 stores int8 codes
+# (corpus/4 at rest) plus the same transient assign spill.
+def tier_disk_need_gb(tier: str, n: int, dim: int) -> float:
+    corpus_gb = n * dim * 4 / 1e9
+    return {
+        "raw": 2.2 * corpus_gb,
+        "graph": 2.2 * corpus_gb,
+        "sq8": 0.25 * corpus_gb + 1.0 * corpus_gb,
+    }[tier]
+
+
 def loadavg() -> float:
     with open("/proc/loadavg") as f:
         return float(f.read().split()[0])
