@@ -22,7 +22,13 @@ SCALE.md r4/r11):
   3. exact 3-gram Jaccard computed per candidate pair
   4. connected-components survivors (max_degree=16)
 
-Run:  python tools/dedup10m_probe.py [n_docs]    (default 10_000_000)
+Run:  python tools/dedup10m_probe.py [n_docs] [cap_mode]
+      (defaults 10_000_000, refine)
+r14 (VERDICT r13 task 5): default cap_mode is now 'refine' — the r12 10M
+receipt used drop mode, and the r13 cap-recall study measured drop losing
+~18% of verified pairs on exactly this boilerplate-clique profile.  The
+receipt records refined_docs / refined residual-drop stats alongside the
+stage times so the r12 drop-mode numbers have a like-for-like refine twin.
 Appends the receipt to SCALE.md.
 """
 
@@ -91,6 +97,7 @@ def synth_corpus(spark, n: int):
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    cap_mode = sys.argv[2] if len(sys.argv) > 2 else "refine"
     from duckdb_faiss_ext_spark.operators.dedup import (
         exact_dedup,
         jaccard_verify_pairs,
@@ -120,17 +127,24 @@ def main() -> None:
     cand = (
         minhash_lsh_pairs(
             docs, "doc_id", "text", 4, 2, shingle_n=3, max_bucket=256,
-            cap_stats=cap,
+            cap_stats=cap, cap_mode=cap_mode,
         )
         .select("id_a", "id_b")
         .distinct()
         .persist()
     )
+    results["cap_mode"] = cap_mode
     results["lsh_candidate_pairs"] = cand.count()
     results["lsh_sec"] = round(time.perf_counter() - t0, 2)
     results["lsh_largest_bucket"] = cap.get("largest_bucket")
     results["lsh_bucket_cap_hits"] = cap.get("bucket_cap_hits")
     results["lsh_bucket_cap_dropped_rows"] = cap.get("bucket_cap_dropped_rows")
+    if cap_mode == "refine":
+        results["lsh_refined_docs"] = cap.get("refined_docs")
+        results["lsh_refined_bucket_cap_hits"] = cap.get(
+            "refined_bucket_cap_hits"
+        )
+        results["lsh_refined_dropped_rows"] = cap.get("refined_dropped_rows")
 
     # 3. Jaccard verify, per candidate pair (O(|pairs|) — the gram
     # self-join variant measured 61 s for 17k pairs at 200k docs) --------------
@@ -152,7 +166,7 @@ def main() -> None:
 
     lines = [
         f"\n## dedup 10M receipt n={results['n_docs']:,} docs "
-        "(max_bucket=256 + loud cap audit, max_degree=16) — r12\n",
+        f"(max_bucket=256, cap_mode={cap_mode}, max_degree=16) — r14\n",
         "| metric | value |",
         "|---|---|",
     ]

@@ -43,8 +43,10 @@ Feasibility bookkeeping (128 GiB host, ~80 GB free disk):
 - Arrow maxRecordsPerBatch=8192 (the dim-64 default 65536 would be
   ~400 MB per in-flight batch at dim 1536).
 
-Usage: SPARK_DRIVER_MEMORY=96g python tools/ref_scale_probe.py \
+Usage: SPARK_DRIVER_MEMORY=56g python tools/ref_scale_probe.py \
            [n] [dim] [nlist] [out_json] [tiers]
+(<= 56g heap, r13 OOM lesson: the JVM heap + 32 python Arrow workers share
+the 125 GiB host; let the index cache spill rather than page the host out.)
 tiers = comma list from {raw,sq8,graph} (default all three).
 Appends a receipt table to SCALE.md when all requested tiers complete.
 """
@@ -79,18 +81,21 @@ def disk_free_gb(path: str = "/root") -> float:
 
 
 # Per-tier working-set disk estimate at n x dim f32 (VERDICT r13 task 2b:
-# run 2 died ENOSPC during the raw add — 54 GB persisted corpus + cluster
-# shuffle vs ~80 GB free.  The guard records an honest skip instead of a
-# dead run).  raw/graph persist the full f32 corpus in the index cache
-# (spilled blocks land on disk under a <= 56g heap) plus roughly one
-# corpus of shuffle/sort spill during assign; sq8 stores int8 codes
-# (corpus/4 at rest) plus the same transient assign spill.
+# run 2 died ENOSPC during the raw add — 54 GB persisted corpus + f32
+# cluster shuffle vs ~80 GB free.  The guard records an honest skip
+# instead of a dead run).  raw/graph persist the full f32 corpus in the
+# index cache (spilled blocks land on disk under a <= 56g heap) plus
+# roughly one corpus of range-shuffle files during layout (shuffle files
+# stay on disk until context teardown — they are referenced by the cached
+# frame's recompute lineage).  sq8 encodes BEFORE the layout shuffle
+# (engine r14): the exchange and the cache both carry int8 codes, ~0.3x
+# corpus each with row overhead.
 def tier_disk_need_gb(tier: str, n: int, dim: int) -> float:
     corpus_gb = n * dim * 4 / 1e9
     return {
-        "raw": 2.2 * corpus_gb,
-        "graph": 2.2 * corpus_gb,
-        "sq8": 0.25 * corpus_gb + 1.0 * corpus_gb,
+        "raw": 2.0 * corpus_gb,
+        "graph": 2.1 * corpus_gb,  # + adjacency lists (~small at deg 32)
+        "sq8": 0.7 * corpus_gb,
     }[tier]
 
 
@@ -104,7 +109,7 @@ def main() -> None:
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 1536
     nlist = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
     out_path = (
-        sys.argv[4] if len(sys.argv) > 4 else "tools/out_r13/ref_scale.json"
+        sys.argv[4] if len(sys.argv) > 4 else "tools/out_r14/ref_scale.json"
     )
     tiers = (
         sys.argv[5].split(",") if len(sys.argv) > 5 else ["raw", "sq8", "graph"]
@@ -128,12 +133,51 @@ def main() -> None:
     out: dict = {
         "n": n, "dim": dim, "nlist": nlist, "params": fit_params,
         "tiers": {}, "load_start": loadavg(),
+        "disk_free_start_gb": round(disk_free_gb(), 1),
     }
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
 
     def flush():
         with open(out_path, "w") as f:
             json.dump(out, f, indent=1)
+
+    # ground-truth sidecar (r14): the r13 probe stored exact_hits inside the
+    # main JSON and popped it from the FINAL flush for readability — which
+    # broke tier-by-tier resume (a completed sq8-only run left no ground
+    # truth for a later graph-only invocation).  The sidecar is the durable
+    # cross-invocation channel; the main file stays readable.
+    hits_path = out_path + ".hits.json"
+
+    def save_hits(hits: set) -> None:
+        with open(hits_path, "w") as f:
+            json.dump(sorted(hits), f)
+
+    def load_hits() -> set:
+        if os.path.exists(hits_path):
+            with open(hits_path) as f:
+                return {tuple(x) for x in json.load(f)}
+        return set()
+
+    def disk_ok(tier: str) -> bool:
+        """Disk-budget guard (VERDICT r13 task 2b): refuse to start a tier
+        whose working set exceeds free disk; the skip IS the receipt."""
+        need = tier_disk_need_gb(tier, n, dim)
+        free = disk_free_gb()
+        if free < need:
+            out["tiers"][tier] = {
+                "skipped": "disk_budget",
+                "free_gb": round(free, 1),
+                "need_gb": round(need, 1),
+                "detail": (
+                    "working set (index cache spill + cluster-layout "
+                    "shuffle files) exceeds free disk on this host; see "
+                    "tier_disk_need_gb for the per-tier model"
+                ),
+            }
+            flush()
+            print(json.dumps({tier: out["tiers"][tier]}), flush=True)
+            return False
+        return True
 
     def corpus():  # unpersisted by design (module docstring)
         return synth_clusterable(spark, n, dim, n_clusters=1024)
@@ -182,6 +226,8 @@ def main() -> None:
         return hits
 
     # ------------------------------------------------------------------ raw
+    if "raw" in tiers and not disk_ok("raw"):
+        tiers = [t for t in tiers if t != "raw"]
     if "raw" in tiers:
         r: dict = {}
         t0 = time.perf_counter()
@@ -215,7 +261,7 @@ def main() -> None:
             ).collect()
         }
         r["exact_fullprobe_sec"] = round(time.perf_counter() - t0, 2)
-        out["exact_hits"] = sorted(exact)  # ground truth for later tiers
+        save_hits(exact)  # ground truth for later tiers/invocations
         for np_ in (4, 15, 16):
             r[f"recall_np{np_}"] = round(len(hits[np_] & exact) / len(exact), 4)
         r["load_end"] = loadavg()
@@ -227,10 +273,11 @@ def main() -> None:
         with open(out_path) as f:
             prev = json.load(f)
         out["tiers"] = prev.get("tiers", {})
-        out["exact_hits"] = prev.get("exact_hits", [])
-        exact = {tuple(x) for x in out["exact_hits"]}
+        exact = load_hits()
 
     # ------------------------------------------------------------------ sq8
+    if "sq8" in tiers and not disk_ok("sq8"):
+        tiers = [t for t in tiers if t != "sq8"]
     if "sq8" in tiers:
         r = {}
         t0 = time.perf_counter()
@@ -251,7 +298,9 @@ def main() -> None:
             r["at_rest_bytes"] = du_bytes(p)
         if not os.environ.get("SPARK_GRAFT_PROBE_NO_WARM"):
             r["warm_sec"] = round(eng.warm("ref_sq8"), 1)
-        hits = searches("ref_sq8", r, conformance=False)
+        # conformance on the sq8 tier too (r14): with raw host-limited at
+        # this shape, sq8 carries the k=1000/np32 reference timing
+        hits = searches("ref_sq8", r, conformance=True)
         if not exact:
             # no raw tier at this n (the f32 tier is host-limited at 8.8M:
             # 96g heap OOM-killed at warm, 56g heap ENOSPC'd the 54 GB
@@ -270,7 +319,7 @@ def main() -> None:
                 ).collect()
             }
             r["exact_streamed_sec"] = round(time.perf_counter() - t0, 2)
-            out["exact_hits"] = sorted(exact)
+            save_hits(exact)
             flush()
         if exact:
             for np_ in (4, 15, 16):
@@ -284,6 +333,8 @@ def main() -> None:
         eng.destroy("ref_sq8")
 
     # ---------------------------------------------------------------- graph
+    if "graph" in tiers and not disk_ok("graph"):
+        tiers = [t for t in tiers if t != "graph"]
     if "graph" in tiers:
         r = {}
         t0 = time.perf_counter()
@@ -294,7 +345,12 @@ def main() -> None:
         eng.add("ref_graph", corpus())
         r["build_sec"] = round(time.perf_counter() - t0, 1)
         r["build_load_1m"] = loadavg()
-        r["warm_sec"] = round(eng.warm("ref_graph"), 1)
+        out["tiers"]["graph"] = r
+        flush()  # build receipt survives a later crash (r13 OOM lesson)
+        if not os.environ.get("SPARK_GRAFT_PROBE_NO_WARM"):
+            # same gate as raw: warm() re-materializes the whole f32 cache
+            # — at corpus > heap it evicts as it pages (r13 OOM kill)
+            r["warm_sec"] = round(eng.warm("ref_graph"), 1)
         # the reference's operating point: nprobe=15, k=10
         run = lambda: eng.search_flat(  # noqa: E731
             "ref_graph", 10, queries, params={"nprobe": 15}
@@ -319,11 +375,10 @@ def main() -> None:
         eng.destroy("ref_graph")
 
     out["load_end"] = loadavg()
-    out.pop("exact_hits", None)  # 2560 tuples — keep the JSON readable
     flush()
 
     lines = [
-        f"\n## r13 reference-shape receipt: {n:,} x {dim}, IVF{nlist} "
+        f"\n## r14 reference-shape receipt: {n:,} x {dim}, IVF{nlist} "
         "(go/benches_c.go:31 corpus; raw / SQ8 / per-cluster-graph tiers)\n",
         "| metric | " + " | ".join(out["tiers"]) + " |",
         "|---|" + "---|" * len(out["tiers"]),
