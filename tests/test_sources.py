@@ -100,3 +100,46 @@ def test_unnest_explode_matches_duckdb(spark, sf_dir):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_except_matches_duckdb(spark, sf_dir):
+    """The retired q09_except contract row (ai.py:10 subtract), pinned here
+    after its CORRECTNESS slot rotated to curation_union (VERDICT r13
+    task 8): Spark subtract() == DuckDB EXCEPT (distinct set difference) on
+    the same parquet.  A NON-empty difference is asserted via the reverse
+    direction (orders customers minus a restricted customer set) so the pin
+    cannot pass vacuously the way the old all-customers-have-orders slot
+    did."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    con = duckdb.connect()
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT c_custkey FROM read_parquet('{sf_dir}/customer.parquet') "
+            f"EXCEPT SELECT o_custkey FROM "
+            f"read_parquet('{sf_dir}/orders.parquet')"
+        ).fetchall()
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    got = sorted(r[0] for r in c.subtract(o).collect())
+    assert got == want
+    # reverse, restricted direction: provably non-empty set difference
+    want2 = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT o_custkey FROM read_parquet('{sf_dir}/orders.parquet') "
+            f"EXCEPT SELECT c_custkey FROM "
+            f"read_parquet('{sf_dir}/customer.parquet') WHERE c_custkey < 100"
+        ).fetchall()
+    )
+    got2 = sorted(
+        r[0]
+        for r in o.subtract(c.filter(F.col("c_custkey") < 100)).collect()
+    )
+    assert got2 == want2 and len(got2) > 0
