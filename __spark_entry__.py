@@ -124,33 +124,11 @@ def q08_topk_limit(spark, sf):
     )
 
 
-def curation_union(spark, sf):
-    """r13's paper-exact coverage='union' repetition convention under the
-    driver-level CORRECTNESS gate (VERDICT r13 task 8): union coverage
-    counts each covered character position ONCE across overlapping gram
-    occurrences (Rae et al. 2021 convention) — interval-merge islands in
-    the Arrow kernel, twinned by an independent DuckDB gaps-and-islands
-    formulation (same shape as tests/test_curation.py's union oracle).
-    Replaces q09_except: its EXCEPT machinery duplicated q29_anti_join
-    (both returned the same empty customers-without-orders set); EXCEPT
-    semantics stay pinned by a direct DuckDB-parity test in
-    tests/test_sources.py."""
-    from duckdb_faiss_ext_spark.functions.curation import repetition_signals
-
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    sig = repetition_signals(
-        d, top_ns=(2,), dup_ns=(2,), coverage="union", impl="arrow"
-    )
-    return sig.select(
-        "doc_id",
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        V.round_half_up(F.col("top_2gram_char_frac"), 4).alias(
-            "top_2gram_union"
-        ),
-        V.round_half_up(F.col("dup_2gram_char_frac"), 4).alias(
-            "dup_2gram_union"
-        ),
-    )
+def q09_except(spark, sf):
+    # Q09 EXCEPT set op (ai.py:10) — subtract == EXCEPT DISTINCT
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
 
 
 def q10_cte(spark, sf):
@@ -1106,9 +1084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - text_fingerprint folded into text_stats (r8) to make room for
       media_jpeg_decode while keeping ann_hnsw_knn inside the cap;
     - q13_values rotated to curation_signals (r12), q15_unnest rotated to
-      corpus_mix_exact (r13), q09_except rotated to curation_union (r14) —
-      every retiree keeps a direct DuckDB-parity pytest pin in
-      tests/test_sources.py.
+      corpus_mix_exact (r13) — both retirees keep direct DuckDB-parity
+      pytest pins in tests/test_sources.py.
     Order: oracled queries first, rows-only (no-oracle) entries last, so a
     time-budgeted harness still hash-checks everything checkable."""
     return {
@@ -1120,11 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_argmax": q06_argmax,
         "q07_window_topk": q07_window_topk,
         "q08_topk_limit": q08_topk_limit,
-        # q09_except rotated out (r14): its EXCEPT result duplicated
-        # q29_anti_join (same empty set, two slots); direct EXCEPT-vs-DuckDB
-        # parity pinned in tests/test_sources.py.  Its slot now gates the
-        # paper-exact union-coverage repetition convention.
-        "curation_union": curation_union,
+        "q09_except": q09_except,
         "q10_cte": q10_cte,
         "q11_round_expr": q11_round_expr,
         "q12_range": q12_range,
@@ -1224,63 +1197,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_extendedprice FROM lineitem "
             "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"
         ),
-        # independent DuckDB gaps-and-islands twin of coverage='union'
-        # (tests/test_curation.py:_rep_union_oracle_sql shape, n=2 only,
-        # over the documents view): each occurrence covers char interval
-        # [cs, cs+len(gram)) in the space-joined token stream; running-max
-        # islands merge overlapping intervals; coverage = sum of island
-        # extents.  Top gram by (count DESC, union coverage DESC, first
-        # occurrence ASC) — the Arrow kernel's deterministic tie-break.
-        "curation_union": (
-            "WITH base AS (SELECT doc_id, "
-            "coalesce(length(text), 0) AS n_chars, "
-            "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t "
-            "FROM documents), "
-            "occ AS (SELECT doc_id, i, t, "
-            "array_to_string(t[i : i + 1], ' ') AS gram FROM ("
-            "SELECT b.doc_id, b.t, "
-            "unnest(generate_series(1, len(b.t) - 1)) AS i "
-            "FROM base b WHERE len(b.t) >= 2)), "
-            "iv AS (SELECT doc_id, gram, i, cs, cs + length(gram) AS ce "
-            "FROM (SELECT doc_id, gram, i, "
-            "coalesce(length(array_to_string(t[1 : i - 1], ' ')), 0) "
-            "+ CASE WHEN i > 1 THEN 1 ELSE 0 END AS cs FROM occ)), "
-            "gisl AS (SELECT doc_id, gram, cs, ce, "
-            "sum(new_isl) OVER (PARTITION BY doc_id, gram ORDER BY cs, ce "
-            "ROWS UNBOUNDED PRECEDING) AS isl FROM ("
-            "SELECT *, CASE WHEN cs > coalesce(max(ce) OVER ("
-            "PARTITION BY doc_id, gram ORDER BY cs, ce "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
-            "THEN 1 ELSE 0 END AS new_isl FROM iv)), "
-            "gcov AS (SELECT doc_id, gram, sum(mx - mn) AS ucov FROM ("
-            "SELECT doc_id, gram, isl, max(ce) AS mx, min(cs) AS mn "
-            "FROM gisl GROUP BY doc_id, gram, isl) GROUP BY doc_id, gram), "
-            "gstats AS (SELECT o.doc_id, o.gram, count(*) AS cnt, "
-            "min(o.i) AS first_i, any_value(c.ucov) AS ucov "
-            "FROM occ o JOIN gcov c USING (doc_id, gram) "
-            "GROUP BY o.doc_id, o.gram), "
-            "topg AS (SELECT doc_id, ucov FROM (SELECT doc_id, ucov, "
-            "row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, "
-            "ucov DESC, first_i ASC) AS rk FROM gstats) WHERE rk = 1), "
-            "disl AS (SELECT doc_id, cs, ce, sum(new_isl) OVER ("
-            "PARTITION BY doc_id ORDER BY cs, ce "
-            "ROWS UNBOUNDED PRECEDING) AS isl FROM ("
-            "SELECT v.doc_id, v.cs, v.ce, CASE WHEN v.cs > coalesce("
-            "max(v.ce) OVER (PARTITION BY v.doc_id ORDER BY v.cs, v.ce "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
-            "THEN 1 ELSE 0 END AS new_isl FROM iv v "
-            "JOIN gstats s USING (doc_id, gram) WHERE s.cnt > 1)), "
-            "dcov AS (SELECT doc_id, sum(mx - mn) AS ucov FROM ("
-            "SELECT doc_id, isl, max(ce) AS mx, min(cs) AS mn FROM disl "
-            "GROUP BY doc_id, isl) GROUP BY doc_id) "
-            "SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars, "
-            "FLOOR(coalesce(max(tg.ucov) / greatest(b.n_chars, 1), 0.0) "
-            "* 10000.0 + 0.5) / 10000.0 AS top_2gram_union, "
-            "FLOOR(coalesce(max(dc.ucov) / greatest(b.n_chars, 1), 0.0) "
-            "* 10000.0 + 0.5) / 10000.0 AS dup_2gram_union "
-            "FROM base b LEFT JOIN topg tg USING (doc_id) "
-            "LEFT JOIN dcov dc USING (doc_id) "
-            "GROUP BY b.doc_id, b.n_chars"
+        "q09_except": (
+            "SELECT c_custkey FROM customer "
+            "EXCEPT SELECT o_custkey AS c_custkey FROM orders"
         ),
         "q10_cte": (
             "WITH big AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders "
