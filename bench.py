@@ -320,15 +320,21 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     section_fallbacks: dict[str, int] = {}
 
-    def section(name, also=()):
+    def section(name, also=(), explicit_only=False):
         """Run one bench section; on failure record the error and move on.
         Codegen-fallback events are snapshotted around each section so a
         fallback is attributed to the section whose stage overflowed.
         ``also`` lists extra SPARK_GRAFT_BENCH_ONLY values that select this
         section (r14: `vec1m` selects both halves of the split vec1m
-        build|search pair, preserving the r13 standalone pin protocol)."""
+        build|search pair, preserving the r13 standalone pin protocol).
+        ``explicit_only`` sections run ONLY under their own
+        SPARK_GRAFT_BENCH_ONLY value — the np16 focused receipt mode
+        otherwise re-ran a SECOND full 1M self-build inside every full
+        suite (r14 fix: the smoke caught it at 613 s headline)."""
 
         def deco(fn):
+            if explicit_only and only != name:
+                return
             if only and name != only and only not in also:
                 return
             ev0 = scan.events()
@@ -779,7 +785,7 @@ def main() -> None:
     # artifact two rounds running while sibling keys sat at pin; its grade
     # needs >= 10 dedicated quiet samples (3 runs of this mode), not one
     # lucky pin-run draw.  Never runs in the full suite.
-    @section("vec1m_np16")
+    @section("vec1m_np16", explicit_only=True)
     def _vec1m_np16():
         corp, q256 = _v1m_ensure()
         waited, load_g = quiet_wait(max_sec=300.0, target=5.0)
@@ -1453,6 +1459,7 @@ def main() -> None:
             k.endswith(("_ctrl_ratio", "_ctrl_abs", "_reruns",
                         "_heap_used_mb", "_load1m",
                         "_load_at_key", "_load_after_wait", "_quiet_wait_sec",
+                        "_gate_wait_sec",
                         "_bucket_cap_hits", "_largest_bucket"))
             or k.startswith("dedup_stage_")
             or k.endswith("_floor_ok")
@@ -1472,11 +1479,16 @@ def main() -> None:
         if not is_side(k)
     }
     # fallback attribution detail is side-file only; the line keeps the
-    # single queries["codegen_fallbacks"] count
+    # single queries["codegen_fallbacks"] count.  sample_trails moved to
+    # the side file too (r14): the raw trails alone are ~700 chars — the
+    # r13 smoke line hit 1792 chars on a stormy host AFTER exhausting the
+    # whole trim list because the trails rode the line; every timing KEY
+    # the driver parses stays in `queries`, the per-sample diagnostics
+    # live in the committed full artifact.
     out_base = {
         k: v
         for k, v in full_out.items()
-        if not k.startswith("codegen_fallback_")
+        if not k.startswith("codegen_fallback_") and k != "sample_trails"
     }
     floor_keys = [k for k in queries if k.endswith("_floor_ok")]
     if floor_keys:

@@ -1448,10 +1448,28 @@ class FaissSparkEngine:
                     and min(n, cap) * nlist * 8 <= self.SMALL_FIT_BYTES
                     and not int(idx.params.get("force_distributed_fit", 0))
                 )
-                if small:
-                    cents, l2_counts = self._fit_kmeans_local(
-                        sample, nlist, max_iter
-                    )
+                # r14 medium regime (guide §1.2 step 1 — the distributed
+                # algorithm): the 524k x 2048 x 64 bench fit spent ~100 s in
+                # MLlib's per-point aggregation loop; the sample is only
+                # ~134 MB of float32, far under driver memory, and a
+                # thread-parallel chunked-BLAS Lloyd on the driver measures
+                # ~2 s/iteration on local[32] (numpy releases the GIL in
+                # gemm/argmax).  Truly large fits (sample f32 matrix above
+                # MEDIUM_FIT_BYTES — the 100 TB regime with nlist in the
+                # hundreds of thousands) keep the parallel MLlib path.
+                medium = (
+                    min(n, cap) * idx.dim * 4 <= self.MEDIUM_FIT_BYTES
+                    and not int(idx.params.get("force_distributed_fit", 0))
+                )
+                if small or medium:
+                    if small:
+                        cents, l2_counts = self._fit_kmeans_local(
+                            sample, nlist, max_iter
+                        )
+                    else:
+                        cents, l2_counts = self._fit_kmeans_medium(
+                            sample, nlist, max_iter
+                        )
                     idx.centroids = cents
                     from duckdb_faiss_ext_spark.metrics import resolve_metric
 
@@ -1532,6 +1550,95 @@ class FaissSparkEngine:
         lab, _ = assign(cents)
         counts = np.bincount(lab, minlength=nlist).astype(np.int64)
         return cents.astype(np.float32), counts
+
+    # driver-side THREADED fit ceiling: the capped sample's float32 matrix
+    # must fit comfortably on the driver (600 MB ~ 2.4M rows at dim 64,
+    # 100k rows at dim 1536 — covers every high-nlist fit a single host
+    # would run).  Above it the MLlib parallel path takes over.
+    MEDIUM_FIT_BYTES = 600e6
+
+    def _fit_kmeans_medium(
+        self, sample: DataFrame, nlist: int, max_iter: int
+    ) -> tuple:
+        """Seeded driver-side Lloyd for the mid-size regime (sample too big
+        for the f64 small-fit temps, small enough to hold as one float32
+        matrix): chunked f32 BLAS scoring fanned over a thread pool (numpy
+        releases the GIL in gemm/argmax/reduceat), f64 mean accumulation in
+        fixed chunk order (deterministic).  Replaces the MLlib path for
+        these fits — the 524k x 2048 x 64 bench fit dropped from ~100 s of
+        MLlib per-point aggregation to ~2 s/iteration (guide §1.2: fix the
+        algorithm before the configuration).
+
+        Init mirrors FAISS Clustering's random-subset init (a seeded
+        permutation of the training sample); empty clusters re-seed to the
+        farthest point from its assigned center, exactly like
+        ``_fit_kmeans_local``; convergence at max center shift < 1e-4."""
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        pdf = sample.select("vector").toPandas()
+        x = np.ascontiguousarray(list(pdf["vector"]), dtype=np.float32)
+        del pdf
+        n, d = x.shape
+        rng = np.random.default_rng(42)
+        perm = rng.permutation(n)
+        cents = x[perm[np.arange(nlist) % n]].astype(np.float32)
+        xn = np.einsum("ij,ij->i", x, x, dtype=np.float64)
+        # per-thread (chunk, nlist) f32 score temp stays ~<=32 MB
+        chunk = max(1024, int(32e6 // max(nlist * 4, 1)))
+        spans = [(s, min(n, s + chunk)) for s in range(0, n, chunk)]
+        workers = max(1, min(32, _os.cpu_count() or 8, len(spans)))
+        mind = np.empty(n, dtype=np.float64)
+
+        def assign_span(span, c, cn):
+            s, e = span
+            sc = x[s:e] @ c.T  # f32 gemm, GIL released
+            sc -= 0.5 * cn[None, :]
+            lab = sc.argmax(1)
+            # squared L2 to the assigned center (for empty-cluster repair):
+            # d2 = xn - 2*x.c + cn = xn - 2*(sc_lab + cn/2) + cn
+            #    = xn - 2*sc_lab  (the cn terms cancel)
+            mind[s:e] = xn[s:e] - 2.0 * sc[
+                np.arange(e - s), lab
+            ].astype(np.float64)
+            # per-chunk partial sums via sort + reduceat (one pass, all dims)
+            order = np.argsort(lab, kind="stable")
+            sl = lab[order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(sl)) + 1)
+            )
+            psum = np.add.reduceat(
+                x[s:e][order].astype(np.float64), starts, axis=0
+            )
+            return sl[starts], psum, np.bincount(lab, minlength=nlist)
+
+        def assign_all(c):
+            cn = np.einsum("ij,ij->i", c, c, dtype=np.float32)
+            sums = np.zeros((nlist, d), dtype=np.float64)
+            counts = np.zeros(nlist, dtype=np.int64)
+            with ThreadPoolExecutor(workers) as ex:
+                for ids, psum, cnt in ex.map(
+                    lambda sp: assign_span(sp, c, cn), spans
+                ):
+                    sums[ids] += psum
+                    counts += cnt
+            return sums, counts
+
+        for _it in range(max(1, max_iter)):
+            sums, counts = assign_all(cents)
+            new = np.empty_like(cents, dtype=np.float64)
+            nz = counts > 0
+            new[nz] = sums[nz] / counts[nz][:, None]
+            n_empty = int((~nz).sum())
+            if n_empty:
+                far = np.argsort(-mind)
+                new[~nz] = x[far[:n_empty]]
+            shift = np.sqrt(((new - cents) ** 2).sum(1)).max()
+            cents = new.astype(np.float32)
+            if shift < 1e-4:
+                break
+        _, counts = assign_all(cents)
+        return cents, counts.astype(np.int64)
 
     def _sample_metric_histogram(
         self, idx: FaissIndex, sample: DataFrame, model=None
@@ -2192,11 +2299,67 @@ class FaissSparkEngine:
         return F.pandas_udf(assign, "int")
 
     def _assign_only(self, idx: FaissIndex, vecs: DataFrame) -> DataFrame:
-        """Cluster assignment alone — a narrow pandas-UDF projection, no
+        """Cluster assignment alone — a narrow mapInArrow projection, no
         exchange.  add() encodes PQ/SQ8 storage between this and
-        `_cluster_layout` so the range shuffle moves codes, not f32 (r14)."""
-        return vecs.withColumn(
-            "cluster_id", self._cluster_assign_udf(idx)(F.col("vector"))
+        `_cluster_layout` so the range shuffle moves codes, not f32 (r14).
+
+        Arrow zero-copy decode (guide §4.1/§4.2): the list<float> column's
+        flattened child buffer reshapes straight into an (n, d) float32
+        matrix — the previous pandas-UDF path built one Python list object
+        per row (``np.asarray(list(v))``), which dominated the 1M-corpus
+        assignment pass (~45 s for ~3 s of actual BLAS).  Scoring keeps the
+        EXACT chunk-size formula and pairwise/topk_indices calls of the
+        pandas path (Arrow batch boundaries match pandas batch boundaries —
+        both are cut by arrow.maxRecordsPerBatch — so BLAS shapes and
+        therefore last-ulp tie behavior are unchanged)."""
+        import pyarrow as pa
+
+        from duckdb_faiss_ext_spark.metrics import (
+            is_descending,
+            pairwise,
+            topk_indices,
+        )
+
+        cents = idx.centroids
+        metric = idx.metric
+        marg = idx.metric_arg
+        dim = idx.dim
+        bc = self.spark.sparkContext.broadcast(cents)
+        desc = is_descending(metric)
+        vec_pos = vecs.columns.index("vector")
+
+        def assign_batches(batches):
+            c = bc.value
+            step = max(256, int(64e6 // (max(len(c), 1) * 4)))
+            for rb in batches:
+                nrows = rb.num_rows
+                if nrows == 0:
+                    continue
+                vcol = rb.column(vec_pos)
+                flat = vcol.flatten().to_numpy(zero_copy_only=False)
+                if len(flat) == nrows * dim and not vcol.null_count:
+                    x = np.ascontiguousarray(
+                        flat.reshape(nrows, dim), dtype=np.float32
+                    )
+                else:  # ragged/null rows — per-row fallback (fails loudly
+                    # on None exactly like the pandas path did)
+                    x = np.asarray(
+                        [np.asarray(v, dtype=np.float32) for v in vcol.to_pylist()]
+                    )
+                out = np.empty(nrows, dtype=np.int32)
+                for s in range(0, nrows, step):
+                    scores = pairwise(x[s : s + step], c, metric, marg)
+                    ids, _ = topk_indices(scores, 1, desc)
+                    out[s : s + step] = ids[:, 0]
+                yield rb.append_column(
+                    "cluster_id", pa.array(out, pa.int32())
+                )
+
+        schema_str = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in vecs.schema.fields
+        )
+        return vecs.mapInArrow(
+            assign_batches, schema=f"{schema_str}, cluster_id int"
         )
 
     @staticmethod

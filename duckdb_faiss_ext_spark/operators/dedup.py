@@ -449,7 +449,26 @@ def jaccard_verify_pairs(
         if n > 1
         else F.array_distinct(words)
     )
-    g = df.select(F.col(id_col).alias("__jid"), grams.alias("__grams"))
+    # r14 (guide §2.3 — filter before the expensive projection): only docs
+    # that appear in a candidate pair need their gram set computed.  The
+    # joins below prune the RESULT to paired docs either way, but Catalyst
+    # evaluates the gram transform before the join probe, so without this
+    # semi-join every corpus row paid tokenize+gram cost; candidate docs
+    # are ~|pairs| while the corpus is unbounded.  Pure plan change:
+    # inner-joining pairs with ga/gb already restricted output to these ids.
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("__jid"))
+        .unionByName(pairs.select(F.col("id_b").alias("__jid")))
+        .distinct()
+    )
+    g = (
+        df.join(
+            F.broadcast(pair_ids),
+            F.col(id_col) == F.col("__jid"),
+            "leftsemi",
+        )
+        .select(F.col(id_col).alias("__jid"), grams.alias("__grams"))
+    )
     ga = g.select(F.col("__jid").alias("id_a"), F.col("__grams").alias("__ga"))
     gb = g.select(F.col("__jid").alias("id_b"), F.col("__grams").alias("__gb"))
     inter = F.size(F.array_intersect("__ga", "__gb"))
