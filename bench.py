@@ -173,7 +173,16 @@ LOCAL_BASELINES = {
     # (GC/page-cache/neighbor effects invisible to a small probe), so a
     # breach of these guards is adjudicated by the rerun-min logic, not
     # by the ctrl ratio alone.
-    "vec1m_build_sec": 152.7,   # 133..208 (1.6x)
+    # r14 re-pin: the MLlib coarse fit (~149 s of the old 152.7 pin) was
+    # replaced by the driver-side threaded Lloyd (SCALE.md r14; fit
+    # 148.7 -> 27.7 s in the phase probe).  Recorded same-code full-leg
+    # readings this round: 79.2 / 146.7 / 151.4 / 239.7 — every one
+    # storm-hit (load 16-38 mid-leg; no build leg landed a quiet window
+    # in four attempts).  Pin = the best recorded reading per the r13
+    # stale-pin rule; itself a storm reading, so conservative vs the
+    # ~50 s quiet phase-sum (27.7 fit + 4.5 assign + ~13 add + rebalance).
+    "vec1m_build_sec": 79.2,    # r14 storm-floor; quiet expectation ~50
+
     "vec1m_flat_build_sec": 0.84,  # 0.37..1.69 (4.5x, sub-second key)
     # warm() grew a bulk-path leg mid-r11 (the variance probe showed the
     # bulk grouped-join kernel stayed cold through warm; SCALE.md r11) —
