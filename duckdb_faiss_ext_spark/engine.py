@@ -1461,20 +1461,30 @@ class FaissSparkEngine:
                     min(n, cap) * idx.dim * 4 <= self.MEDIUM_FIT_BYTES
                     and not int(idx.params.get("force_distributed_fit", 0))
                 )
+                driver_pts = None
                 if small or medium:
                     if small:
                         cents, l2_counts = self._fit_kmeans_local(
                             sample, nlist, max_iter
                         )
                     else:
-                        cents, l2_counts = self._fit_kmeans_medium(
-                            sample, nlist, max_iter
+                        cents, l2_counts, samp_x, samp_lab = (
+                            self._fit_kmeans_medium(sample, nlist, max_iter)
                         )
                     idx.centroids = cents
                     from duckdb_faiss_ext_spark.metrics import resolve_metric
 
                     if resolve_metric(idx.metric) == "L2":
                         hist = l2_counts  # same reuse rule as the MLlib path
+                        if not small:
+                            # the fit's final L2 labels ARE the index
+                            # assignment — the rebalance can slice its
+                            # per-cluster point sets from the driver-side
+                            # sample instead of re-running assignment as a
+                            # distributed job + toPandas (guide §4: the
+                            # second full sample round-trip was ~31 s of a
+                            # 69 s quiet train, r14 profile)
+                            driver_pts = (samp_x, samp_lab)
                     else:
                         hist = self._sample_metric_histogram(idx, sample, None)
                 else:
@@ -1487,7 +1497,9 @@ class FaissSparkEngine:
                         [np.asarray(c) for c in model.clusterCenters()], dtype=np.float32
                     )
                     hist = self._sample_metric_histogram(idx, sample, model)
-                hist = self._rebalance_oversize_clusters(idx, sample, hist)
+                hist = self._rebalance_oversize_clusters(
+                    idx, sample, hist, driver_pts=driver_pts
+                )
                 self._warn_if_degenerate_assignment(idx, hist)
             finally:
                 sample.unpersist()
@@ -1589,12 +1601,19 @@ class FaissSparkEngine:
         spans = [(s, min(n, s + chunk)) for s in range(0, n, chunk)]
         workers = max(1, min(32, _os.cpu_count() or 8, len(spans)))
         mind = np.empty(n, dtype=np.float64)
+        # final per-point labels, refreshed by every assign_all pass — after
+        # the closing pass these are the sample's L2 assignment under the
+        # returned centroids, handed to the oversize rebalance so it never
+        # re-assigns the sample through a second distributed job (the r14
+        # profile put that redundant pass at ~31 s of a 69 s train)
+        labels = np.empty(n, dtype=np.int32)
 
         def assign_span(span, c, cn):
             s, e = span
             sc = x[s:e] @ c.T  # f32 gemm, GIL released
             sc -= 0.5 * cn[None, :]
             lab = sc.argmax(1)
+            labels[s:e] = lab
             # squared L2 to the assigned center (for empty-cluster repair):
             # d2 = xn - 2*x.c + cn = xn - 2*(sc_lab + cn/2) + cn
             #    = xn - 2*sc_lab  (the cn terms cancel)
@@ -1638,7 +1657,7 @@ class FaissSparkEngine:
             if shift < 1e-4:
                 break
         _, counts = assign_all(cents)
-        return cents, counts.astype(np.int64)
+        return cents, counts.astype(np.int64), x, labels
 
     def _sample_metric_histogram(
         self, idx: FaissIndex, sample: DataFrame, model=None
@@ -1738,7 +1757,11 @@ class FaissSparkEngine:
     REBALANCE_CAP_SHARE = 4.0
 
     def _rebalance_oversize_clusters(
-        self, idx: FaissIndex, sample: DataFrame, counts: "np.ndarray"
+        self,
+        idx: FaissIndex,
+        sample: DataFrame,
+        counts: "np.ndarray",
+        driver_pts: tuple = None,
     ) -> "np.ndarray":
         """Split training-sample-oversize clusters into empty/tiny donor
         slots, keeping nlist constant (VERDICT r7 task 4).
@@ -1805,21 +1828,37 @@ class FaissSparkEngine:
         tiny = [c for c in tiny if c in set(wanted)]
         if not over:
             return counts
-        pdf = (
-            sample.withColumn(
-                "cid", self._cluster_assign_udf(idx)(F.col("vector"))
-            )
-            .filter(F.col("cid").isin([int(c) for c in wanted]))
-            .select("cid", "vector")
-            .toPandas()
-        )
-        if not len(pdf):
-            return counts
         pts: dict = {}
-        cids = pdf["cid"].to_numpy()
-        mat = np.asarray(list(pdf["vector"]), dtype=np.float32)
-        for c in wanted:
-            pts[c] = mat[cids == c]
+        if driver_pts is not None:
+            # the caller's fit already holds the sample matrix and its
+            # index-metric labels driver-side (medium L2 fit): slice the
+            # affected clusters locally instead of re-assigning the whole
+            # sample through a second distributed job + toPandas
+            samp_x, samp_lab = driver_pts
+            order = np.argsort(samp_lab, kind="stable")
+            sl = samp_lab[order]
+            for c in wanted:
+                lo = np.searchsorted(sl, c, side="left")
+                hi = np.searchsorted(sl, c, side="right")
+                pts[c] = np.ascontiguousarray(samp_x[order[lo:hi]])
+            mat = samp_x[:0]
+            if not any(len(p) for p in pts.values()):
+                return counts
+        else:
+            pdf = (
+                sample.withColumn(
+                    "cid", self._cluster_assign_udf(idx)(F.col("vector"))
+                )
+                .filter(F.col("cid").isin([int(c) for c in wanted]))
+                .select("cid", "vector")
+                .toPandas()
+            )
+            if not len(pdf):
+                return counts
+            cids = pdf["cid"].to_numpy()
+            mat = np.asarray(list(pdf["vector"]), dtype=np.float32)
+            for c in wanted:
+                pts[c] = mat[cids == c]
         cents = idx.centroids.astype(np.float32).copy()
         counts = counts.copy()
         rng = np.random.default_rng(42)
