@@ -410,10 +410,13 @@ def pq_search_grouped(
         # plain-PQ bulk (no clusters): an equi-join on a constant group key
         # would funnel every block pair through ONE shuffle partition —
         # use the cross-grid shape similarity_join uses instead (r4 review)
+        from duckdb_faiss_ext_spark.operators.simjoin import bnl_grid
+
+        g = bnl_grid(lb)
         pairs = (
-            lb.repartition(8)
+            lb.repartition(g)
             .crossJoin(
-                rb.repartition(8).select(
+                rb.repartition(g).select(
                     F.col("n").alias("rn"),
                     F.col("ids").alias("rids"),
                     F.col("vecs").alias("rcodes"),

@@ -71,6 +71,22 @@ def rows_for_budget(block_rows: int, block_bytes: int, dim: int, itemsize: int) 
     return max(1, min(block_rows, block_bytes // (dim * itemsize)))
 
 
+def bnl_grid(df: DataFrame) -> int:
+    """Side count g for the BNL cartesian grid: the packed block rows of
+    each side are repartitioned into g partitions so the cartesian stage is
+    g x g tasks.  Derived from the session's parallelism (guide §2:
+    scale-adaptive, not a local-core-count constant) as
+    ceil(sqrt(2 * defaultParallelism)) — two cartesian waves' worth of
+    tasks: 32 cores -> 8 (the grid every simjoin receipt through r13 was
+    measured on), 8 cores -> 4, 1000 cores -> 45.  Result sets are
+    grid-independent: the grid only sets cartesian task granularity; the
+    scoring kernel regroups pairs by blk downstream."""
+    import math
+
+    dp = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    return max(2, math.ceil(math.sqrt(2.0 * dp)))
+
+
 def _pack_blocks(
     df: DataFrame,
     id_col: str,
@@ -254,19 +270,20 @@ def similarity_join(
     # REPARTITION (not coalesce) the packed block rows into a small grid:
     # the cartesian stage becomes |lparts| x |rparts| tasks instead of a
     # partitions² grid.  A narrow coalesce here would fuse INTO the pack
-    # stage and run the packing itself 8-wide — a bottleneck once the
+    # stage and run the packing itself grid-wide — a bottleneck once the
     # inputs are big; the repartition keeps pack at input parallelism and
     # its one shuffle of compacted blocks is negligible next to the BNL's
     # own |L|·|R|/bl pair replication.
+    g = bnl_grid(left)
     lb = _pack_blocks(
         left, left_id, left_vec, block_rows, dtype, block_bytes=block_bytes
-    ).repartition(8)
+    ).repartition(g)
     decode_free = right_sq8 is not None and resolve_metric(metric) == "L2"
     rb_df = _pack_blocks(
         right, right_id, right_vec, block_rows,
         np.int8 if decode_free else dtype, block_bytes=block_bytes,
         sq8=None if decode_free else right_sq8,
-    ).repartition(8)
+    ).repartition(g)
     pairs = lb.crossJoin(
         rb_df.select(
             F.col("n").alias("rn"),
