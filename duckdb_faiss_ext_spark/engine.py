@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+from contextlib import contextmanager
 from typing import Optional
 
 import numpy as np
@@ -1569,6 +1570,59 @@ class FaissSparkEngine:
     # would run).  Above it the MLlib parallel path takes over.
     MEDIUM_FIT_BYTES = 600e6
 
+    @staticmethod
+    @contextmanager
+    def _openblas_single_thread():
+        """Pin the process-wide OpenBLAS pool to 1 thread for the duration
+        of a driver-side FAN-OUT region, restoring the previous size on
+        exit (r14 session 2).  Why: this numpy's OpenBLAS is built
+        MAX_THREADS=2 with ONE shared worker pool per process — 32
+        concurrent gemm calls from the fit's thread pool all contend for
+        that single extra worker, and the loser threads sit in the
+        kernel's yield path: the host trail recorded 60-92% SYSTEM time
+        across all 32 CPUs during fits (steal ~0), and the isolated gemm
+        pass measured 35.8 GFLOPS / 74% sys contended vs 290 GFLOPS /
+        0.2% sys with the pool pinned to 1 (tools/out_r14/
+        host_trail_session2.log, gemm microbench in OPTIMIZATION_r14.md).
+        Process-wide, hence scoped: serial driver-side BLAS paths (the
+        small-fit solver the declared queries build through, the SQ8
+        margin check) keep the default pool and their exact current
+        behavior.  No-op when the OpenBLAS control symbols are absent
+        (non-OpenBLAS numpy builds)."""
+        import ctypes as _ct
+        import glob as _glob
+        import os as _os
+
+        lib = None
+        for pat in ("*openblas*",):
+            for p in _glob.glob(
+                _os.path.join(
+                    _os.path.dirname(np.__file__), "..", "numpy.libs", pat
+                )
+            ):
+                try:
+                    lib = _ct.CDLL(p, mode=_ct.RTLD_GLOBAL)
+                    break
+                except OSError:
+                    continue
+        get_ = set_ = None
+        if lib is not None:
+            for suffix in ("64_", ""):
+                g = getattr(lib, f"openblas_get_num_threads{suffix}", None)
+                s = getattr(lib, f"openblas_set_num_threads{suffix}", None)
+                if g is not None and s is not None:
+                    get_, set_ = g, s
+                    break
+        if set_ is None:
+            yield
+            return
+        prev = int(get_())
+        set_(1)
+        try:
+            yield
+        finally:
+            set_(prev)
+
     def _fit_kmeans_medium(
         self, sample: DataFrame, nlist: int, max_iter: int
     ) -> tuple:
@@ -1588,9 +1642,34 @@ class FaissSparkEngine:
         import os as _os
         from concurrent.futures import ThreadPoolExecutor
 
-        pdf = sample.select("vector").toPandas()
-        x = np.ascontiguousarray(list(pdf["vector"]), dtype=np.float32)
-        del pdf
+        # zero-copy Arrow fetch (r14 session 2, guide §6 "Arrow for driver
+        # transfers"): the list<float> column's flattened child buffer
+        # reshapes straight into the (n, d) float32 matrix — the previous
+        # ``np.ascontiguousarray(list(pdf["vector"]))`` built one Python
+        # object per row and dominated the fit's wall clock once the gemm
+        # contention fix landed (~15 s of the 30 s fit at 524k x 64).
+        # Strict uniform-offsets check; ragged/null samples (never produced
+        # by the validated add/train paths) fall back to the row path.
+        x = None
+        try:
+            tbl = sample.select("vector").toArrow()
+            vcol = tbl.column("vector").combine_chunks()
+            if tbl.num_rows and vcol.null_count == 0:
+                off = np.asarray(vcol.offsets)
+                widths = np.unique(np.diff(off))
+                if len(widths) == 1 and widths[0] > 0:
+                    flat = vcol.flatten().to_numpy(zero_copy_only=False)
+                    x = np.ascontiguousarray(
+                        flat.reshape(tbl.num_rows, int(widths[0])),
+                        dtype=np.float32,
+                    )
+            del tbl, vcol
+        except Exception:
+            x = None
+        if x is None:
+            pdf = sample.select("vector").toPandas()
+            x = np.ascontiguousarray(list(pdf["vector"]), dtype=np.float32)
+            del pdf
         n, d = x.shape
         rng = np.random.default_rng(42)
         perm = rng.permutation(n)
@@ -1614,10 +1693,27 @@ class FaissSparkEngine:
         # re-assigns the sample through a second distributed job (the r14
         # profile put that redundant pass at ~31 s of a 69 s train)
         labels = np.empty(n, dtype=np.int32)
+        # Per-thread reusable gemm output buffers (r14 session-2 fix): a
+        # fresh (chunk, nlist) f32 score allocation per span call is a
+        # ~32 MB mmap + page-zero + munmap/TLB-shootdown per ~10 ms of
+        # compute, serialized on the process mmap lock across the pool —
+        # the host trail recorded 60-92% SYSTEM time across all 32 CPUs
+        # during a fit (tools/out_r14/host_trail_session2.log 02:49-02:51,
+        # steal ~0) and the same fit has run 27.7 s and 118.6 s on equally
+        # quiet hosts.  One buffer per worker thread, gemm writes into it
+        # with out= (BLAS beta=0 full overwrite — bit-identical scores).
+        import threading as _threading
+
+        score_bufs: dict = {}
 
         def assign_span(span, c, cn):
             s, e = span
-            sc = x[s:e] @ c.T  # f32 gemm, GIL released
+            buf = score_bufs.get(_threading.get_ident())
+            if buf is None:
+                buf = np.empty((chunk, nlist), dtype=np.float32)
+                score_bufs[_threading.get_ident()] = buf
+            sc = buf[: e - s]
+            np.matmul(x[s:e], c.T, out=sc)  # f32 gemm, GIL released
             sc -= 0.5 * cn[None, :]
             lab = sc.argmax(1)
             labels[s:e] = lab
@@ -1638,32 +1734,46 @@ class FaissSparkEngine:
             )
             return sl[starts], psum, np.bincount(lab, minlength=nlist)
 
+        # ONE pool for the whole fit (not one per pass): worker threads —
+        # and their reusable score buffers above — survive across passes,
+        # so the fit allocates `workers` gemm buffers total instead of
+        # spans-per-pass x passes mmap round-trips
+        pool = ThreadPoolExecutor(workers)
+
         def assign_all(c):
             cn = np.einsum("ij,ij->i", c, c, dtype=np.float32)
             sums = np.zeros((nlist, d), dtype=np.float64)
             counts = np.zeros(nlist, dtype=np.int64)
-            with ThreadPoolExecutor(workers) as ex:
-                for ids, psum, cnt in ex.map(
-                    lambda sp: assign_span(sp, c, cn), spans
-                ):
-                    sums[ids] += psum
-                    counts += cnt
+            for ids, psum, cnt in pool.map(
+                lambda sp: assign_span(sp, c, cn), spans
+            ):
+                sums[ids] += psum
+                counts += cnt
             return sums, counts
 
-        for _it in range(max(1, max_iter)):
-            sums, counts = assign_all(cents)
-            new = np.empty_like(cents, dtype=np.float64)
-            nz = counts > 0
-            new[nz] = sums[nz] / counts[nz][:, None]
-            n_empty = int((~nz).sum())
-            if n_empty:
-                far = np.argsort(-mind)
-                new[~nz] = x[far[:n_empty]]
-            shift = np.sqrt(((new - cents) ** 2).sum(1)).max()
-            cents = new.astype(np.float32)
-            if shift < 1e-4:
-                break
-        _, counts = assign_all(cents)
+        try:
+            # pin the shared OpenBLAS pool to 1 thread for the fan-out: 32
+            # concurrent span gemms contending for its ONE extra worker ran
+            # at 35.8 GFLOPS / 74% sys vs 290 GFLOPS / 0.2% sys pinned
+            # (measured on this fit's exact gemm shape; scoped so serial
+            # driver BLAS paths keep default behavior)
+            with self._openblas_single_thread():
+                for _it in range(max(1, max_iter)):
+                    sums, counts = assign_all(cents)
+                    new = np.empty_like(cents, dtype=np.float64)
+                    nz = counts > 0
+                    new[nz] = sums[nz] / counts[nz][:, None]
+                    n_empty = int((~nz).sum())
+                    if n_empty:
+                        far = np.argsort(-mind)
+                        new[~nz] = x[far[:n_empty]]
+                    shift = np.sqrt(((new - cents) ** 2).sum(1)).max()
+                    cents = new.astype(np.float32)
+                    if shift < 1e-4:
+                        break
+                _, counts = assign_all(cents)
+        finally:
+            pool.shutdown(wait=True)
         return cents, counts.astype(np.int64), x, labels
 
     def _sample_metric_histogram(
