@@ -349,6 +349,7 @@ class FaissSparkEngine:
         cache_parent = None
         pre_count = None
         drop_parent = True
+        layout_parent = None
         if not labeled:
             # persist the RAW slice first so the dim-validate and auto-id
             # offsets jobs materialize ONE cache that every downstream pass
@@ -395,6 +396,19 @@ class FaissSparkEngine:
             # Graph builds still lay out first (per-cluster NSW segments
             # need co-located clusters to build over).
             needs_layout = idx.spec.kind == "ivf" and idx.trained
+            # repartitionByRange computes its range bounds by SAMPLING its
+            # input with a full pass, then shuffles with a second full pass
+            # — without a cache the scan + assignment (+ encode) lineage
+            # executes TWICE per layout (guide §2.4: the r14 session-2
+            # phase timer put the duplicated pass at roughly half the
+            # slice-materialization cost of the 1M bench build).  Persist
+            # the assigned/encoded frame once; both passes read it; the
+            # add() finally drops it after the laid-out slice materializes.
+            def _laid_out(frame):
+                nonlocal layout_parent
+                layout_parent = frame.persist()
+                return self._cluster_layout(layout_parent)
+
             if needs_layout:
                 vecs = self._assign_only(idx, vecs)
                 transformed = True
@@ -416,10 +430,10 @@ class FaissSparkEngine:
                 )
                 transformed = True
                 if needs_layout:
-                    vecs = self._cluster_layout(vecs)
+                    vecs = _laid_out(vecs)
             elif idx.spec.hnsw_m > 0:
                 if needs_layout:
-                    vecs = self._cluster_layout(vecs)
+                    vecs = _laid_out(vecs)
                 vecs = self._build_graph_slice(idx, vecs)
                 transformed = True
             elif idx.sq_vdiff is not None:
@@ -436,9 +450,9 @@ class FaissSparkEngine:
                 )
                 transformed = True
                 if needs_layout:
-                    vecs = self._cluster_layout(vecs)
+                    vecs = _laid_out(vecs)
             elif needs_layout:
-                vecs = self._cluster_layout(vecs)
+                vecs = _laid_out(vecs)
             if idx.storage_path:
                 self._add_disk(idx, vecs, rebuild)
             elif cache_parent is not None and not transformed:
@@ -495,6 +509,10 @@ class FaissSparkEngine:
                         "graphs (measured trade in SCALE.md)."
                     )
         finally:
+            if layout_parent is not None:
+                # safe for the same reason as cache_parent below: the stored
+                # slice materialized from it before this point
+                layout_parent.unpersist()
             if cache_parent is not None and drop_parent:
                 # safe: _add_memory/_add_disk have materialized the stored
                 # slice before this point, so nothing recomputes through here
