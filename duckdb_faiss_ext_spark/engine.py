@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import threading
 from contextlib import contextmanager
 from typing import Optional
 
@@ -406,6 +407,33 @@ class FaissSparkEngine:
             # add() finally drops it after the laid-out slice materializes.
             def _laid_out(frame):
                 nonlocal layout_parent
+                # ADVICE r14 (medium): on the raw-f32 tier this frame is the
+                # whole corpus in float32 (8.8M x 1536 ~ 54 GB) — persisting
+                # it ON TOP of the range shuffle's files roughly doubles the
+                # transient local-disk footprint and risks re-introducing
+                # the r13 ENOSPC the encode-before-shuffle fix addressed.
+                # Above a size threshold (Catalyst plan-stat estimate;
+                # params 'layout_cache_max_bytes') skip the cache and accept
+                # the double lineage pass — at that scale the second pass is
+                # cheaper than running out of disk.  Estimates >= 2^62 mean
+                # "unknown" (Catalyst's defaultSizeInBytes sentinel) and keep
+                # the cache.
+                try:
+                    est = int(
+                        frame._jdf.queryExecution()
+                        .optimizedPlan()
+                        .stats()
+                        .sizeInBytes()
+                    )
+                except Exception:
+                    est = -1
+                cap = float(
+                    idx.params.get(
+                        "layout_cache_max_bytes", self.LAYOUT_CACHE_MAX_BYTES
+                    )
+                )
+                if 0 <= est < 2**62 and est > cap:
+                    return self._cluster_layout(frame)
                 layout_parent = frame.persist()
                 return self._cluster_layout(layout_parent)
 
@@ -1524,6 +1552,13 @@ class FaissSparkEngine:
                 sample.unpersist()
         idx.trained = True
 
+    # layout-cache ceiling (ADVICE r14): the add-path persist that lets the
+    # range shuffle's bounds sampling reuse the assigned/encoded frame is
+    # skipped when the frame's plan-stat estimate exceeds this — the double
+    # lineage pass is cheaper than doubling transient disk at 50 GB+ adds.
+    # Local/bench adds (<= a few GB) keep the r14 single-pass behavior.
+    LAYOUT_CACHE_MAX_BYTES = 16e9
+
     # driver-side fit ceiling: sample_rows x dim and sample_rows x nlist f64
     # temps must both stay under this (128 MB) — above it the MLlib parallel
     # fit wins anyway (its job overhead amortizes into real work)
@@ -1588,6 +1623,12 @@ class FaissSparkEngine:
     # would run).  Above it the MLlib parallel path takes over.
     MEDIUM_FIT_BYTES = 600e6
 
+    # serialize entries to the process-global OpenBLAS knob (ADVICE r14):
+    # depth counter restores only at the outermost exit
+    _BLAS_GUARD_LOCK = threading.Lock()
+    _BLAS_GUARD_DEPTH = 0
+    _BLAS_GUARD_PREV = 0
+
     @staticmethod
     @contextmanager
     def _openblas_single_thread():
@@ -1606,7 +1647,15 @@ class FaissSparkEngine:
         small-fit solver the declared queries build through, the SQ8
         margin check) keep the default pool and their exact current
         behavior.  No-op when the OpenBLAS control symbols are absent
-        (non-OpenBLAS numpy builds)."""
+        (non-OpenBLAS numpy builds).
+
+        The knob is a process GLOBAL, so entries are serialized on a
+        module lock with a depth counter: overlapping fits from two driver
+        threads would otherwise race the restore and could leave a stale
+        pool size behind (ADVICE r14).  The pool size is only restored
+        when the outermost guard exits; any OTHER driver-thread BLAS user
+        running concurrently with a fit runs single-threaded for that
+        window — acceptable, since the fit saturates the host anyway."""
         import ctypes as _ct
         import glob as _glob
         import os as _os
@@ -1634,12 +1683,19 @@ class FaissSparkEngine:
         if set_ is None:
             yield
             return
-        prev = int(get_())
-        set_(1)
+        cls = FaissSparkEngine
+        with cls._BLAS_GUARD_LOCK:
+            if cls._BLAS_GUARD_DEPTH == 0:
+                cls._BLAS_GUARD_PREV = int(get_())
+                set_(1)
+            cls._BLAS_GUARD_DEPTH += 1
         try:
             yield
         finally:
-            set_(prev)
+            with cls._BLAS_GUARD_LOCK:
+                cls._BLAS_GUARD_DEPTH -= 1
+                if cls._BLAS_GUARD_DEPTH == 0:
+                    set_(cls._BLAS_GUARD_PREV)
 
     def _fit_kmeans_medium(
         self, sample: DataFrame, nlist: int, max_iter: int
@@ -1653,10 +1709,22 @@ class FaissSparkEngine:
         MLlib per-point aggregation to ~2 s/iteration (guide §1.2: fix the
         algorithm before the configuration).
 
-        Init mirrors FAISS Clustering's random-subset init (a seeded
-        permutation of the training sample); empty clusters re-seed to the
-        farthest point from its assigned center, exactly like
-        ``_fit_kmeans_local``; convergence at max center shift < 1e-4."""
+        Init is k-means|| (Bahmani et al., VLDB 2012 — the same D²-weighted
+        seeding family MLlib's default init uses): 2 oversampling rounds at
+        l = 2*nlist, candidate weights from the nearest-candidate histogram,
+        then weighted k-means++ over the (small) candidate set driver-side.
+        r14 used FAISS-style random-subset init here, and on corpora whose
+        natural clusters are far apart Lloyd cannot migrate a centroid
+        across the gap — natural clusters that drew no seed ended up owned
+        by a neighbor's centroid, leaving the corpus histogram AT the 4.0
+        rebalance cap (vec1m_corpus_max_share 2.0 -> 4.0, the r14 verdict's
+        top regression: the fat clusters straggle every grouped-join bulk
+        search and trip a 16-split corpus-rebalance pass inside the timed
+        build).  D² seeding lands one seed per separated natural cluster
+        with near-certainty (guide §2.5 — fix skew at the source).
+        Empty clusters re-seed to the farthest point from its assigned
+        center, exactly like ``_fit_kmeans_local``; convergence at max
+        center shift < 1e-4."""
         import os as _os
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1672,7 +1740,15 @@ class FaissSparkEngine:
         try:
             tbl = sample.select("vector").toArrow()
             vcol = tbl.column("vector").combine_chunks()
-            if tbl.num_rows and vcol.null_count == 0:
+            # both row-level AND element-level nulls must be absent: a null
+            # ELEMENT lives on the values child, where to_numpy would
+            # silently yield NaN instead of failing loudly like the row
+            # path (ADVICE r14)
+            if (
+                tbl.num_rows
+                and vcol.null_count == 0
+                and vcol.values.null_count == 0
+            ):
                 off = np.asarray(vcol.offsets)
                 widths = np.unique(np.diff(off))
                 if len(widths) == 1 and widths[0] > 0:
@@ -1690,8 +1766,6 @@ class FaissSparkEngine:
             del pdf
         n, d = x.shape
         rng = np.random.default_rng(42)
-        perm = rng.permutation(n)
-        cents = x[perm[np.arange(nlist) % n]].astype(np.float32)
         xn = np.einsum("ij,ij->i", x, x, dtype=np.float64)
         # per-thread (chunk, nlist) f32 score temp stays ~<=32 MB
         chunk = max(1024, int(32e6 // max(nlist * 4, 1)))
@@ -1719,7 +1793,12 @@ class FaissSparkEngine:
         # during a fit (tools/out_r14/host_trail_session2.log 02:49-02:51,
         # steal ~0) and the same fit has run 27.7 s and 118.6 s on equally
         # quiet hosts.  One buffer per worker thread, gemm writes into it
-        # with out= (BLAS beta=0 full overwrite — bit-identical scores).
+        # with out= (BLAS beta=0 full overwrite).  Buffer reuse IN ISOLATION
+        # is bit-identical (tools/fit_buffer_ab.py, fit_buffer_ab1.log); the
+        # 1-thread OpenBLAS pin shifts sgemm results at the last ulp and can
+        # flip argmax ties, so the COMBINED r14 change is validated by the
+        # A/B's label-agreement (>0.99) + inertia-parity contract instead
+        # (ADVICE r14).
         import threading as _threading
 
         score_bufs: dict = {}
@@ -1769,6 +1848,102 @@ class FaissSparkEngine:
                 counts += cnt
             return sums, counts
 
+        def kmeans_parallel_init():
+            """k-means|| seeding over the in-memory sample (see docstring).
+            All heavy passes (min-distance updates against new candidate
+            batches) fan over the SAME span pool and per-thread gemm
+            buffers as the Lloyd iterations; rng draws are sequential and
+            seeded, and span writes land in disjoint slices, so the result
+            is deterministic at any pool width."""
+            dmin = np.full(n, np.inf)
+            near = np.zeros(n, dtype=np.int64)
+
+            def scatter(newc, base):
+                # fold a batch of new candidates into (dmin, near), in
+                # <= nlist column blocks so the per-thread (chunk, nlist)
+                # score buffers are reused (BLAS ldc handles the strided
+                # out= view; no per-span allocation)
+                for cs in range(0, len(newc), nlist):
+                    cb = np.ascontiguousarray(newc[cs : cs + nlist])
+                    cn = np.einsum("ij,ij->i", cb, cb, dtype=np.float32)
+                    m = len(cb)
+
+                    def upd(span, cb=cb, cn=cn, m=m, base=base + cs):
+                        s, e = span
+                        buf = score_bufs.get(_threading.get_ident())
+                        if buf is None:
+                            buf = np.empty((chunk, nlist), dtype=np.float32)
+                            score_bufs[_threading.get_ident()] = buf
+                        sc = buf[: e - s, :m]
+                        np.matmul(x[s:e], cb.T, out=sc)
+                        sc -= 0.5 * cn[None, :]
+                        j = sc.argmax(1)
+                        d2 = xn[s:e] - 2.0 * sc[
+                            np.arange(e - s), j
+                        ].astype(np.float64)
+                        better = d2 < dmin[s:e]
+                        dmin[s:e][better] = d2[better]
+                        near[s:e][better] = base + j[better]
+
+                    list(pool.map(upd, spans))
+
+            first = x[int(rng.integers(n))][None, :].copy()
+            cand = [first]
+            ncand = 1
+            scatter(first, 0)
+            for _r in range(2):  # MLlib's default 2 oversampling rounds
+                tot = float(dmin.sum())
+                if tot <= 0.0:
+                    break
+                pick = np.flatnonzero(
+                    rng.random(n) < np.minimum(1.0, 2.0 * nlist * dmin / tot)
+                )
+                if not len(pick):
+                    break
+                newc = np.ascontiguousarray(x[pick])
+                scatter(newc, ncand)
+                cand.append(newc)
+                ncand += len(pick)
+            if ncand <= nlist:
+                # degenerate draw (tiny or duplicate-heavy samples): the
+                # r14 seeded random-subset init
+                perm = rng.permutation(n)
+                return x[perm[np.arange(nlist) % n]].astype(np.float32)
+            cmat = np.vstack(cand).astype(np.float64)
+            w = np.bincount(near, minlength=ncand).astype(np.float64)
+            # weighted k-means++ (D² cumsum inversion, like
+            # _fit_kmeans_local) over the ~4*nlist candidates — driver-side
+            # and cheap: the candidate set is O(nlist), not O(n)
+            seed = np.empty((nlist, d), dtype=np.float64)
+            cw = np.cumsum(w)
+            i0 = int(np.searchsorted(cw, rng.random() * cw[-1]))
+            seed[0] = cmat[min(i0, ncand - 1)]
+            cd2 = ((cmat - seed[0]) ** 2).sum(1)
+            for jj in range(1, nlist):
+                probs = np.cumsum(cd2 * w)
+                p = (
+                    int(np.searchsorted(probs, rng.random() * probs[-1]))
+                    if probs[-1] > 0
+                    else int(rng.integers(ncand))
+                )
+                seed[jj] = cmat[min(p, ncand - 1)]
+                cd2 = np.minimum(cd2, ((cmat - seed[jj]) ** 2).sum(1))
+            # a few weighted Lloyd passes polish the seed set (MLlib does
+            # the same local refinement over its candidate set)
+            cmn = (cmat**2).sum(1, keepdims=True)
+            for _it in range(5):
+                d2m = cmn - 2.0 * (cmat @ seed.T) + (seed**2).sum(1)[None, :]
+                lab = d2m.argmin(1)
+                order = np.argsort(lab, kind="stable")
+                sl = lab[order]
+                starts = np.concatenate(([0], np.flatnonzero(np.diff(sl)) + 1))
+                sums = np.add.reduceat(cmat[order] * w[order, None], starts, axis=0)
+                cnts = np.add.reduceat(w[order], starts)
+                ids = sl[starts]
+                ok = cnts > 0
+                seed[ids[ok]] = sums[ok] / cnts[ok][:, None]
+            return seed.astype(np.float32)
+
         try:
             # pin the shared OpenBLAS pool to 1 thread for the fan-out: 32
             # concurrent span gemms contending for its ONE extra worker ran
@@ -1776,6 +1951,7 @@ class FaissSparkEngine:
             # (measured on this fit's exact gemm shape; scoped so serial
             # driver BLAS paths keep default behavior)
             with self._openblas_single_thread():
+                cents = kmeans_parallel_init()
                 for _it in range(max(1, max_iter)):
                     sums, counts = assign_all(cents)
                     new = np.empty_like(cents, dtype=np.float64)
@@ -2334,39 +2510,81 @@ class FaissSparkEngine:
             # rule every probe path uses); all other rows pass through
             # without deserializing a single vector
             bc = self.spark.sparkContext.broadcast(fams)
-
-            def reassign(cid: pd.Series, v: pd.Series) -> pd.Series:
-                out = cid.to_numpy(dtype=np.int64, copy=True)
-                x = None
-                for c, (ids, sub) in bc.value.items():
-                    m = out == c
-                    if not m.any():
-                        continue
-                    if x is None:
-                        x = np.asarray(list(v), dtype=np.float32)
-                    scores = FaissSparkEngine._coarse_scores(x[m], sub, metric, marg)
-                    best, _ = topk_indices(scores, 1, desc)
-                    out[m] = ids[best[:, 0]]
-                return pd.Series(out.astype(np.int32))
-
-            re_udf = F.pandas_udf(reassign, "int")
             sq = idx.sq_vdiff is not None
             split_ids = [int(c) for c in fams]
+            vmin, vdiff = (idx.sq_vmin, idx.sq_vdiff) if sq else (None, None)
+            dim = idx.dim
 
             def reassigned(frame: DataFrame) -> DataFrame:
-                if sq:
+                """Offenders' rows re-pick among their own children — a
+                zero-copy mapInArrow kernel (guide §4.1/§4.2, VERDICT r14
+                task 3): the r14 pandas_udf decoded one Python list PER ROW
+                (``np.asarray(list(v))``), and on SQ8 indexes additionally
+                paid a JVM decode of EVERY row's vector; the r14 layout
+                tripped 16 splits on the 1M bench corpus, putting this
+                kernel inside the timed build.  Numerics are unchanged:
+                batch boundaries are the same arrow.maxRecordsPerBatch
+                cuts, the masked rows reach the SAME _coarse_scores /
+                topk_indices calls as C-contiguous float32, and the SQ8
+                numpy decode is the bit-compatible twin of the JVM
+                expression (sq8_decode_np contract).  Batches with no
+                offender rows pass through without touching a vector
+                buffer."""
+                import pyarrow as pa
+
+                cols = frame.columns
+                cid_pos = cols.index("cluster_id")
+                vec_pos = cols.index("codes" if sq else "vector")
+
+                def batches(it):
                     from duckdb_faiss_ext_spark.functions.quantize import (
-                        sq8_decode,
+                        sq8_decode_np,
                     )
 
-                    frame = sq8_decode(
-                        frame, idx.sq_vmin, idx.sq_vdiff,
-                        codes_col="codes", out_col="vector", drop_codes=False,
-                    )
-                frame = frame.withColumn(
-                    "cluster_id", re_udf(F.col("cluster_id"), F.col("vector"))
-                )
-                return frame.drop("vector") if sq else frame
+                    fams_v = bc.value
+                    split = np.fromiter(fams_v.keys(), dtype=np.int64)
+                    for rb in it:
+                        nrows = rb.num_rows
+                        if nrows == 0:
+                            continue
+                        cid = (
+                            rb.column(cid_pos)
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64, copy=True)
+                        )
+                        if not np.isin(cid, split).any():
+                            yield rb
+                            continue
+                        vcol = rb.column(vec_pos)
+                        flat = vcol.flatten().to_numpy(zero_copy_only=False)
+                        if len(flat) == nrows * dim and not vcol.null_count:
+                            xmat = flat.reshape(nrows, dim)
+                        else:  # ragged/null rows — loud per-row fallback,
+                            # exactly like the pandas path's np.asarray
+                            xmat = np.asarray(
+                                [np.asarray(v) for v in vcol.to_pylist()]
+                            )
+                        for c, (ids, sub) in fams_v.items():
+                            m = cid == c
+                            if not m.any():
+                                continue
+                            xm = np.ascontiguousarray(xmat[m])
+                            if sq:
+                                xm = sq8_decode_np(xm, vmin, vdiff)
+                            else:
+                                xm = xm.astype(np.float32, copy=False)
+                            scores = FaissSparkEngine._coarse_scores(
+                                xm, sub, metric, marg
+                            )
+                            best, _ = topk_indices(scores, 1, desc)
+                            cid[m] = ids[best[:, 0]]
+                        yield rb.set_column(
+                            cid_pos,
+                            rb.schema.field(cid_pos),
+                            pa.array(cid.astype(np.int32), pa.int32()),
+                        )
+
+                return frame.mapInArrow(batches, schema=frame.schema)
 
             if idx.storage_path:
                 # disk mode (the 100 TB shape): rewrite ONLY the offenders'
