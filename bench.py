@@ -549,7 +549,21 @@ def main() -> None:
                 or ctrl0 / CTRL_QUIET > 1.5
             )
 
-    V1M_N, V1M_DIM, V1M_NLIST = 1_000_000, 64, 2048
+    # r15 smoke-scale knob (VERDICT r14 task 2): pytest's bench smoke runs
+    # the suite for CORRECTNESS of every section, not timing — yet the
+    # constant-size synthetic sections (1M vectors, 100k docs) made it a
+    # 19-minute test, 47% of a 41-minute suite the driver's verify gate
+    # truncates at ~35.  SPARK_GRAFT_BENCH_SMOKE=1 shrinks the synthetic
+    # shapes 8x while preserving the regime ratios (natural clusters per
+    # IVF list, queries per corpus row).  The driver's bench never sets it,
+    # so every graded number keeps the full shape.
+    SMOKE = bool(os.environ.get("SPARK_GRAFT_BENCH_SMOKE"))
+    if SMOKE:
+        V1M_N, V1M_DIM, V1M_NLIST = 125_000, 64, 256
+        V1M_NC, V1M_NBULK = 128, 2_500
+    else:
+        V1M_N, V1M_DIM, V1M_NLIST = 1_000_000, 64, 2048
+        V1M_NC, V1M_NBULK = 1024, 20_000
 
     def _v1m_jit_warmup(synth_clusterable):
         """Minimal JIT warmup (VERDICT r12 task 3): a 32k-row replica of
@@ -590,11 +604,11 @@ def main() -> None:
 
     def _v1m_corpus(synth_clusterable):
         corp = synth_clusterable(
-            spark, V1M_N, V1M_DIM, n_clusters=1024
+            spark, V1M_N, V1M_DIM, n_clusters=V1M_NC
         ).persist()
         corp.count()
         q256 = synth_clusterable(
-            spark, 256, V1M_DIM, n_clusters=1024, lo=V1M_N, id_col="qid"
+            spark, 256, V1M_DIM, n_clusters=V1M_NC, lo=V1M_N, id_col="qid"
         ).cache()
         q256.count()
         state["v1m_corp"], state["v1m_q256"] = corp, q256
@@ -759,7 +773,7 @@ def main() -> None:
         from _synth import synth_clusterable
 
         qbulk = synth_clusterable(
-            spark, 20_000, V1M_DIM, n_clusters=1024, lo=V1M_N + 256,
+            spark, V1M_NBULK, V1M_DIM, n_clusters=V1M_NC, lo=V1M_N + 256,
             id_col="qid",
         )
         bench_entry(
@@ -816,6 +830,47 @@ def main() -> None:
         queries["vec1m_knn_np16"] = _median([s["sec"] for s in trail])
         queries["np16_min"] = min(s["sec"] for s in trail)
         queries["np16_ctrl_after"] = round(ctrl_time() / ctrl0, 2)
+        _v1m_teardown()
+
+    # --- vec1m bulk FOCUSED receipt mode (r15, VERDICT r14 task 7) ---------
+    # SPARK_GRAFT_BENCH_ONLY=vec1m_bulk: self-build untimed, quiet-gate,
+    # then 5 consecutive bulk-np16 samples with a per-sample load trail
+    # plus the corpus-histogram max_share receipt.  vec1m_bulk_np16 is the
+    # suite's worst non-build key and r14's adjudication of its 8.5->20 s
+    # regression hinged on one storm-hit full-suite window; this mode
+    # grades it on >= 5 dedicated quiet samples.  Never runs in the full
+    # suite (the full suite's vec1m_search section still times it).
+    @section("vec1m_bulk", explicit_only=True)
+    def _vec1m_bulk():
+        _v1m_ensure()
+        from _synth import synth_clusterable
+
+        qbulk = synth_clusterable(
+            spark, V1M_NBULK, V1M_DIM, n_clusters=V1M_NC, lo=V1M_N + 256,
+            id_col="qid",
+        )
+        queries["vec1m_corpus_max_share"] = eng.rebalance("bench_v1m")[
+            "max_share"
+        ]
+        waited, load_g = quiet_wait(max_sec=300.0, target=5.0)
+        queries["bulk_gate_wait_sec"] = round(waited, 1)
+        queries["bulk_gate_load"] = round(load_g, 2)
+        queries["bulk_ctrl_ratio"] = round(ctrl_time() / ctrl0, 2)
+
+        def run():
+            return eng.search_flat(
+                "bench_v1m", 10, qbulk, params={"nprobe": 16, "bulk_queries": 1}
+            ).count()
+
+        run()  # leg warmup (same as bench_entry warmup=True)
+        trail = []
+        for _ in range(5):
+            t = round(timed(run), 4)
+            trail.append({"sec": t, "load_1m": round(host_load(), 2)})
+        sample_trails["vec1m_bulk_np16_focus"] = trail
+        queries["vec1m_bulk_np16"] = _median([s["sec"] for s in trail])
+        queries["bulk_min"] = min(s["sec"] for s in trail)
+        queries["bulk_ctrl_after"] = round(ctrl_time() / ctrl0, 2)
         _v1m_teardown()
 
     # --- relational headliners (count() forces full execution) -------------
@@ -1110,7 +1165,7 @@ def main() -> None:
     def _wide():
         from duckdb_faiss_ext_spark.operators.simjoin import similarity_join
 
-        wdim, wn, wq = 1536, 20_000, 2_000
+        wdim, wn, wq = (1536, 5_000, 500) if SMOKE else (1536, 20_000, 2_000)
         # r12 root-cause of the round-over-round Janino 64 KB fallback
         # (VERDICT r11 task 2): the old synth built the vector as
         # F.array(*[F.rand(seed=101+j) for j in range(1536)]) — a
@@ -1273,6 +1328,36 @@ def main() -> None:
                 if kk in cap:
                     queries[f"dedup_{pfx}_{kk}"] = cap[kk]
 
+    # --- dedup pipeline FOCUSED receipt mode (r15, VERDICT r14 task 7) -----
+    # SPARK_GRAFT_BENCH_ONLY=dedup_full: quiet-gate, then 5 consecutive
+    # full-pipeline samples with a per-sample load trail.  r14's official
+    # 32-core reading (22.9 s, ctrl_ratio 4.45) was pure ambient noise —
+    # the quiet 8-core run timed 6.12 s — so this key's grade needs
+    # dedicated quiet samples, not one full-suite window.  Never runs in
+    # the full suite (the dedup_pipeline_full section still times it there).
+    @section("dedup_full", explicit_only=True)
+    def _ddp_focus():
+        from examples.dedup_pipeline import run_pipeline
+
+        docs0 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        waited, load_g = quiet_wait(max_sec=300.0, target=5.0)
+        queries["ddfull_gate_wait_sec"] = round(waited, 1)
+        queries["ddfull_gate_load"] = round(load_g, 2)
+        queries["ddfull_ctrl_ratio"] = round(ctrl_time() / ctrl0, 2)
+
+        def run():
+            run_pipeline(docs0, emb)
+
+        run()  # leg warmup
+        trail = []
+        for _ in range(5):
+            t = round(timed(run), 4)
+            trail.append({"sec": t, "load_1m": round(host_load(), 2)})
+        sample_trails["dedup_pipeline_full_focus"] = trail
+        queries["dedup_pipeline_full"] = _median([s["sec"] for s in trail])
+        queries["ddfull_min"] = min(s["sec"] for s in trail)
+        queries["ddfull_ctrl_after"] = round(ctrl_time() / ctrl0, 2)
+
     @section("text_quality_lang")
     def _tq():
         bench_entry(
@@ -1304,7 +1389,7 @@ def main() -> None:
             repetition_signals,
         )
 
-        cn = 100_000
+        cn = 12_500 if SMOKE else 100_000
         docs = synth_docs(spark, cn, 120, degenerate_every=1000).persist()
         docs.count()
         # JIT warmup on a 2k-doc slice: standalone (SPARK_GRAFT_BENCH_ONLY)
