@@ -392,6 +392,17 @@ def pq_search_grouped(
     from duckdb_faiss_ext_spark.operators.simjoin import _pack_blocks
 
     block_rows = max(1, min(block_rows, LUT_BLOCK_BUDGET_BYTES // (m * nk * 4)))
+    if cluster_col is not None:
+        # colocate each cluster's query rows before packing (guide §2.3,
+        # same rationale as similarity_join_grouped): scattered left rows
+        # pack into per-partition mini-blocks and the grp equi-join then
+        # replicates each code block once per mini-block; hashing by the
+        # cluster id first keeps the join's right-side replication ~1x.
+        # The shuffle is bounded by the exploded query side.
+        n_lp = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+        )
+        queries_df = queries_df.repartition(n_lp, cluster_col)
     lb = _pack_blocks(
         queries_df, qid_col, vec_col, block_rows, np.float32,
         group_col=cluster_col,

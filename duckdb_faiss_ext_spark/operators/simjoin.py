@@ -458,8 +458,25 @@ def similarity_join_grouped(
     f64 = dtype is np.float64
     desc = is_descending(metric)
 
+    n_out = max(
+        int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    # colocate each group's left rows BEFORE packing (guide §2.3 — shuffle
+    # fewer bytes): the left side is queries x nprobe, scattered across
+    # partitions, so without this every partition emits a mini-block per
+    # probed cluster (32 partitions x 2048 clusters ≈ 62k blocks of ~5 rows
+    # at the vec1m bench shape) and the grp equi-join then replicates each
+    # corpus block once PER mini-block — ~30x the packed corpus (~8 GB)
+    # through the kernel exchange, measured 9.6 s steady-state.  Hashing the
+    # left by grp first packs ~one block per (grp, partition), so the join
+    # replicates each corpus block ~once; the left shuffle itself is
+    # bounded by the exploded query side (~90 MB at the bench shape).
+    # Results are identical: blocks still partition each group's id set,
+    # the kernel's per-(blk, grp) top-k is merged globally per left id by
+    # the window below, and blk stays content-derived (min of ids).
     lb = _pack_blocks(
-        left, left_id, left_vec, block_rows, dtype, group_col, block_bytes=block_bytes
+        left.repartition(n_out, group_col),
+        left_id, left_vec, block_rows, dtype, group_col, block_bytes=block_bytes
     )
     decode_free = right_sq8 is not None and resolve_metric(metric) == "L2"
     rb_df = _pack_blocks(
@@ -476,9 +493,6 @@ def similarity_join_grouped(
         ),
         "grp",
     ).select("blk", "grp", "n", "ids", "vecs", "rn", "rids", "rvecs")
-    n_out = max(
-        int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
-    )
     np_t = np.float64 if f64 else np.float32
     pa_t = pa.float64() if f64 else pa.float32()
     score = _stream_topk_kernel(
