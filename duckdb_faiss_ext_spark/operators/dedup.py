@@ -393,21 +393,34 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     )
-    g = df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("gram"))
-    sizes = g.groupBy("_id").agg(F.count("*").alias("sz"))
+    # r15 (guide §1.2/§2.3, VERDICT r14 task 8): the old plan scanned the
+    # tokenize+gram projection FOUR times — once per self-join side, once
+    # for the per-doc gram-count aggregation, and once more joining that
+    # count back onto each pair side.  The gram count IS the size of the
+    # distinct-gram array (explode drops zero-gram docs from both forms
+    # identically), so carrying it through the explode (+8 bytes/row)
+    # removes the count aggregation and both count joins: 4 scans -> 2
+    # (one per self-join side), 3 shuffles fewer.  Values are unchanged:
+    # same distinct-gram sets, same integer inter/union, same division.
+    base = df.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
+    g = base.select(
+        "_id",
+        F.size("_grams").alias("sz"),
+        F.explode("_grams").alias("gram"),
+    )
     a = g.alias("a")
     b = g.alias("b")
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.sz").alias("sz_a"),
+            F.first("b.sz").alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jac",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
